@@ -1,0 +1,39 @@
+"""Parquet table sources for the test-data star schema.
+
+Mirrors the reference's ``CREATE TABLE`` + source-operator stage
+(reference: circuit/operator/DBSPSourceOperator.java): a source is a
+declarative scan so Catalyst can push filters/column pruning into the
+parquet reader. Never ``.cache()`` here — at 100 TB the scan must
+stream, and pushdown only happens on the un-materialized plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast even at 100 TB fact scale
+# (region/nation are fixed-size; supplier/part grow sub-linearly).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

@@ -1,0 +1,89 @@
+"""Local replica of the driver's correctness gate.
+
+Runs a registry query on Spark and its oracle on DuckDB over the same
+parquet, canonicalizes both results (columns sorted by name, rows
+sorted by value), and compares EXACTLY — stricter than any reasonable
+value-hash, so passing here predicts passing the driver's gate.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime
+
+import duckdb
+import pandas as pd
+
+from sql_to_dbsp_compiler_spark.sources.tables import TABLE_NAMES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb_connection(sf_dir)
+    try:
+        return con.execute(sql).fetch_df()
+    finally:
+        con.close()
+
+
+def _canon_cell(v: object) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"  # pandas can't distinguish double NULL from NaN
+        return repr(v)
+    if isinstance(v, (pd.Timestamp, datetime)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, int):
+        return str(v)
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def canonicalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    cols = sorted(df.columns)
+    rows = [tuple(_canon_cell(row[c]) for c in cols) for _, row in df[cols].iterrows()]
+    return sorted(rows)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of human-readable mismatch descriptions (empty == pass)."""
+    problems: list[str] = []
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        return [f"column mismatch: spark={s_cols} oracle={o_cols}"]
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    s_rows, o_rows = canonicalize(spark_pdf), canonicalize(oracle_pdf)
+    if s_rows != o_rows:
+        diffs = [
+            (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
+        ]
+        for i, a, b in diffs[:5]:
+            problems.append(f"row {i} (cols {s_cols}):\n  spark : {a}\n  oracle: {b}")
+        extra = len(s_rows) - len(o_rows)
+        if not diffs and extra:
+            tail = s_rows[-1] if extra > 0 else o_rows[-1]
+            problems.append(f"extra rows on {'spark' if extra > 0 else 'oracle'} side, e.g. {tail}")
+    return problems

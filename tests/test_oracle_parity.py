@@ -1,0 +1,28 @@
+"""Replica of the driver's t2 gate: every oracle-bearing registry
+query must match DuckDB exactly at sf0.001 (and the full run at sf0.01
+is exercised by the driver; use -k to spot-check one query)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sql_to_dbsp_compiler_spark.queries import REGISTRY
+from sql_to_dbsp_compiler_spark.testing import compare_frames, run_oracle
+
+ORACLE_QUERIES = sorted(name for name, q in REGISTRY.items() if q.oracle)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(spark, sf_dir, name):
+    q = REGISTRY[name]
+    spark_pdf = q.fn(spark, sf_dir).toPandas()
+    oracle_pdf = run_oracle(q.oracle, sf_dir)
+    problems = compare_frames(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}:\n" + "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", sorted(set(REGISTRY) - set(ORACLE_QUERIES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, sf_dir)
+    assert df.count() >= 0
