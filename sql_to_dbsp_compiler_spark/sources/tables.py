@@ -32,7 +32,18 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # TIMESTAMP(NANOS) arrives as bigint (nanosAsLong); truncate
+        # to micros — same thing DuckDB does reading this file.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer DIV, not `/`: nano-epochs exceed 2^53, double
+            # division would lose the low microsecond digits.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
