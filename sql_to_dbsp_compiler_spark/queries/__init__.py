@@ -2,6 +2,12 @@
 
 from sql_to_dbsp_compiler_spark.queries.registry import REGISTRY, Query, query
 
-from sql_to_dbsp_compiler_spark.queries import functions_sql, relational, tpch  # noqa: E402,F401
+from sql_to_dbsp_compiler_spark.queries import (  # noqa: E402,F401
+    functions_sql,
+    nexmark,
+    relational,
+    tpch,
+    windows_batch,
+)
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -1,0 +1,164 @@
+"""Window (OVER-clause) queries — the reference's
+DBSPWindowAggregateOperator surface (reference:
+circuit/operator/DBSPWindowAggregateOperator.java; window tests appear
+through Nexmark q5/q7).
+
+Determinism rules: RANK/DENSE_RANK over non-unique orderings are
+well-defined (functions of the key only); ROW_NUMBER is only used over
+total orderings; running sums accumulate in DECIMAL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_to_dbsp_compiler_spark.operators.aggregates import dec2
+from sql_to_dbsp_compiler_spark.queries.registry import query
+from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_custkey,
+           CAST(RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_custkey) AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_custkey) AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER (ORDER BY o_orderkey) AS BIGINT) AS quartile
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    tags=("window",),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_custkey")
+    wq = Window.orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_custkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(wq).cast("bigint").alias("quartile"),
+    )
+
+
+@query(
+    "window_lag",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           LAG(o_totalprice, 2, -1.0) OVER w AS prev2_or_default,
+           o_totalprice - COALESCE(LAG(o_totalprice) OVER w, o_totalprice) AS delta
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.lag("o_totalprice", 2, -1.0).over(w).alias("prev2_or_default"),
+        (F.col("o_totalprice") - F.coalesce(prev, F.col("o_totalprice"))).alias("delta"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS lifetime_value,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nth_order
+    FROM orders WHERE o_custkey <= 100
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals — the batch analogue of DBSP's Integral operator
+    (reference: circuit/operator/DBSPIntegralOperator.java)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("lifetime_value"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nth_order"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_orderdate,
+           CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS orders_to_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS volume_to_date
+    FROM orders WHERE o_orderkey <= 1500
+    """,
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: peers (same o_orderdate) enter the frame together —
+    well-defined under ties, unlike a ROWS frame on a partial order."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1500)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("orders_to_date"),
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("volume_to_date"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT event_id, user_id, value,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+            / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg3
+    FROM events WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame (moving average), computed as exact SUM ÷
+    COUNT so the result is frame-order deterministic."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        (
+            F.sum(dec2("value")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("moving_avg3"),
+    )
