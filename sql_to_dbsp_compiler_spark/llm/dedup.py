@@ -1,0 +1,214 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Scale shape: every near-dup algorithm here generates candidates via an
+EQUI-JOIN on a bucket key (LSH band hash / SimHash band), never by
+comparing all pairs. At 100 TB the candidate join shuffles on the
+band key and the verify step touches only candidate pairs. Bucket-size
+caps guard against degenerate buckets (e.g. empty-text clusters)
+blowing up a join task.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sql_to_dbsp_compiler_spark.llm.text import words
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the minimum id per duplicate group (hash
+    groupBy — one shuffle on the content key; use a content *hash* as
+    the key at scale so the shuffle rows stay small)."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, as an array column (pure JVM)."""
+    ws = words(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k + 1) for k in range(n)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature: array of num_hashes minima of seeded
+    xxhash64 over the shingle set. One pass, no shuffle, no UDF."""
+    sh = shingles(text, shingle_n)
+
+    def hasher(i: int):
+        # NB: must be a ONE-argument lambda — a second (even defaulted)
+        # parameter makes pyspark pass the array index into it.
+        prefix = F.lit(f"mh{i}|")
+        return lambda s: F.xxhash64(F.concat(prefix, s))
+
+    mins = [F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
+    return F.array(*mins)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` slices; docs
+    sharing any band slice become a candidate pair.
+
+    Implementation is a self-equi-join on (band_id, band_hash):
+    shuffle is linear in corpus size, and pair generation is quadratic
+    only within a bucket — bounded by `max_bucket` (oversized buckets
+    are near-identical boilerplate; they are reported by exact dedup
+    instead, and capping keeps task sizes predictable)."""
+    rows = F.size(F.col(sig_col)) / bands  # rows per band
+    banded = (
+        sig_df.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band_id"),
+                        F.xxhash64(
+                            F.slice(F.col(sig_col), b * rows.cast("int") + 1, rows.cast("int"))
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("band"),
+        )
+        .select(id_col, "band.band_id", "band.band_hash")
+    )
+    # prune degenerate buckets before the join
+    sizes = banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("bucket_n"))
+    banded = banded.join(
+        F.broadcast(sizes.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")),
+        ["band_id", "band_hash"],
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: explode shingle sets,
+    count co-occurrences per pair via an equi-join on the shingle, then
+    jaccard = inter / (|A| + |B| - inter).
+
+    This is the verify stage after LSH at scale (applied to candidate
+    pairs); run standalone it is quadratic only in docs *sharing* a
+    shingle — here used with small n on a bounded corpus."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """SimHash: majority vote per bit over word-hash bits, weighted by
+    term frequency. One groupBy(doc) with 64 SUM aggregates — single
+    shuffle, map-side partials, all codegen."""
+    wc = (
+        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = wc.groupBy(id_col).agg(*votes)
+    sig = reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * (2**i) if i < 63 else F.lit(-(2**63)))
+            .otherwise(0)
+            .cast("long")
+        ),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", band_bits: int = 16
+) -> DataFrame:
+    """Candidate pairs sharing any 16-bit SimHash band (docs within
+    Hamming distance 3 of each other share >=1 of 4 bands)."""
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig_df.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )

@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns.
+
+- Brute-force cosine top-k: broadcast the (small) query set, scan the
+  corpus once — embarrassingly parallel, the right baseline at any
+  scale where |queries| ≪ |corpus|.
+- IVF top-k: partition the corpus into nlist centroid buckets
+  (deterministic seeding), probe only nprobe buckets per query —
+  scan cost shrinks by ~nlist/nprobe at the cost of recall.
+
+All vector math is JVM-side (zip_with/aggregate fold — sequential,
+hence bit-deterministic and identical to DuckDB's list functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sql_to_dbsp_compiler_spark.operators.topk import topk_per_group
+
+
+def as_double_array(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. Plan: broadcast-nested-loop join
+    (queries side broadcast) → per-query WindowGroupLimit top-k."""
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col, id_col, cosine(F.col("__qvec"), F.col("__cvec")).alias("sim")
+    )
+    return topk_per_group(
+        scored, [query_id_col], [F.col("sim").desc(), F.col(id_col)], k
+    ).withColumn("rn", F.col("rn").cast("bigint"))
+
+
+def ivf_assign(
+    corpus: DataFrame, nlist: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF 'training': the first nlist vectors (by id)
+    are the centroids; every vector is assigned to its nearest
+    centroid by cosine. Returns (centroids, assignments)."""
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(nlist)
+        .select(F.col(id_col).alias("centroid_id"), as_double_array(F.col(vec_col)).alias("cvec"))
+    )
+    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("vec"))
+    scored = c.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        "vec",
+        "centroid_id",
+        cosine(F.col("vec"), F.col("cvec")).alias("csim"),
+    )
+    assigned = (
+        topk_per_group(scored, [id_col], [F.col("csim").desc(), F.col("centroid_id")], 1)
+        .select(id_col, "vec", "centroid_id")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: route each query to its nprobe nearest centroids,
+    scan only those buckets. The bucket join is an equi-join on
+    centroid_id — at 100 TB the corpus would be written bucketed/
+    partitioned by centroid_id so probing prunes file scans."""
+    centroids, assigned = ivf_assign(corpus, nlist, id_col, vec_col)
+    q = queries.select(F.col(query_id_col), as_double_array(F.col(vec_col)).alias("qvec"))
+    probes = topk_per_group(
+        q.crossJoin(F.broadcast(centroids)).select(
+            query_id_col, "qvec", "centroid_id", cosine(F.col("qvec"), F.col("cvec")).alias("csim")
+        ),
+        [query_id_col],
+        [F.col("csim").desc(), F.col("centroid_id")],
+        nprobe,
+    ).select(query_id_col, "qvec", "centroid_id")
+    scored = probes.join(assigned, "centroid_id").select(
+        query_id_col, F.col(id_col), cosine(F.col("qvec"), F.col("vec")).alias("sim")
+    )
+    return topk_per_group(
+        scored, [query_id_col], [F.col("sim").desc(), F.col(id_col)], k
+    ).withColumn("rn", F.col("rn").cast("bigint"))

@@ -1,0 +1,93 @@
+"""Text analysis operators: tokenization, quality scoring, language
+ID, fingerprinting. All pure Column expressions (whole-stage codegen;
+zero Python in the row path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: letter runs, digit runs, or single symbols.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# Tiny deterministic stopword profiles for the language-ID heuristic.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "value", "row", "table"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "dans", "pour"),
+    "zh": ("de5", "shi4", "zai4", "he2", "you3", "wo3", "ta1", "le5", "bu4", "ren2"),
+}
+
+
+def words(text: Column) -> Column:
+    return F.filter(F.split(text, " ", -1), lambda w: w != "")
+
+
+def token_count_whitespace(text: Column) -> Column:
+    return F.size(words(text)).cast("bigint")
+
+
+def token_count_regex(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0))).cast("bigint")
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Quality-scoring feature set (length / punctuation / stopword /
+    repetition ratios) — the standard pre-training filter features."""
+    ws = words(text)
+    n_words = F.size(ws).cast("double")
+    n_chars = F.length(text).cast("double")
+    stop = F.array([F.lit(s) for s in LANG_PROFILES["en"]])
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words.cast("bigint"),
+        "avg_word_len": (n_chars - (n_words - 1)) / n_words,
+        "punct_ratio": (
+            F.length(F.regexp_replace(text, "[^.,;:!?]", "")).cast("double") / n_chars
+        ),
+        "stopword_ratio": (
+            F.size(F.filter(ws, lambda w: F.array_contains(stop, F.lower(w)))).cast("double")
+            / n_words
+        ),
+        "distinct_ratio": F.size(F.array_distinct(ws)).cast("double") / n_words,
+    }
+
+
+def langid_scores(text: Column) -> dict[str, Column]:
+    """Stopword-profile hit counts per language."""
+    ws = words(text)
+    out = {}
+    for lang, profile in LANG_PROFILES.items():
+        arr = F.array([F.lit(s) for s in profile])
+        out[lang] = F.size(F.filter(ws, lambda w: F.array_contains(arr, F.lower(w)))).cast("bigint")
+    return out
+
+
+def langid_best(text: Column) -> Column:
+    """Argmax language with deterministic tie-break (lexicographic)."""
+    scores = langid_scores(text)
+    # struct ordering: (score DESC, lang ASC) via (-score, lang) min
+    structs = F.array(
+        [F.struct((-s).alias("neg"), F.lit(lang).alias("lang")) for lang, s in sorted(scores.items())]
+    )
+    return F.array_min(structs)["lang"]
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 over the sorted distinct
+    word set (order- and duplication-insensitive, so it survives
+    re-partitioning and shuffling of the corpus)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(words(text))), " ").cast("binary"))
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    cols = quality_columns(t)
+    return df.select(
+        "*",
+        *(c.alias(name) for name, c in cols.items()),
+        token_count_regex(t).alias("n_tokens"),
+        langid_best(t).alias("lang_pred"),
+        fingerprint(t).alias("fp"),
+    )

@@ -4,6 +4,7 @@ from sql_to_dbsp_compiler_spark.queries.registry import REGISTRY, Query, query
 
 from sql_to_dbsp_compiler_spark.queries import (  # noqa: E402,F401
     functions_sql,
+    llm_queries,
     nexmark,
     relational,
     tpch,

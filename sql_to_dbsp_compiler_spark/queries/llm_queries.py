@@ -1,0 +1,313 @@
+"""LLM training-data pipeline queries (SURVEY §2.5): dedup,
+similarity search, text analysis, multimodal — registry entries over
+the `documents` and `embeddings` tables.
+
+Oracle-expressible ops get full DuckDB value parity (including
+cosine similarity, which is bit-identical between Spark's sequential
+aggregate fold and DuckDB's list_cosine_similarity). MinHash/SimHash
+use engine-specific hashes (xxhash64 seeds) → rows-only here, recall
+quality asserted in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_to_dbsp_compiler_spark.llm.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+    simhash_signatures,
+)
+from sql_to_dbsp_compiler_spark.llm.multimodal import decode_features, media_table
+from sql_to_dbsp_compiler_spark.llm.similarity import (
+    as_double_array,
+    brute_force_topk,
+    cosine,
+    ivf_topk,
+)
+from sql_to_dbsp_compiler_spark.llm.text import (
+    TOKEN_REGEX,
+    fingerprint,
+    langid_best,
+    langid_scores,
+    quality_columns,
+    token_count_regex,
+    token_count_whitespace,
+)
+from sql_to_dbsp_compiler_spark.queries.registry import query
+from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+# DuckDB fragment: non-empty word list of `text`.
+_WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5(array_to_string(list_sort(list_distinct({_WORDS})), ' ')) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on the content fingerprint (bag-of-words md5):
+    one hash-groupBy shuffle over a 32-byte key, not the full text."""
+    d = load_table(spark, sf_dir, "documents").withColumn("fp", fingerprint(F.col("text")))
+    return exact_dedup(d, ["fp"], "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity join (the verify stage of the
+    LSH pipeline, runnable standalone)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query("dedup_minhash_pairs", tags=("llm", "dedup", "rows-only"))
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs.
+    xxhash64-seeded signatures are engine-specific → no SQL oracle;
+    recall vs exact Jaccard asserted in tests/test_dedup.py."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", minhash_signature(F.col("text"), 16, 3).alias("sig"))
+    return lsh_candidate_pairs(sigs, "doc_id", "sig", bands=4)
+
+
+@query("dedup_simhash", tags=("llm", "dedup", "rows-only"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup candidates via 16-bit band collisions."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(d, "doc_id", "text")
+    return simhash_candidate_pairs(sigs, "doc_id")
+
+
+@query(
+    "embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.v, b.v) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. All-pairs here (bounded
+    corpus); at 100 TB the same predicate runs on LSH/IVF candidates."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), sim.alias("sim"))
+        .where(F.col("sim") >= 0.45)
+    )
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id >= 10)
+    SELECT query_id, vec_id, sim, rn FROM (
+        SELECT query_id, vec_id, list_cosine_similarity(qv, cv) AS sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY list_cosine_similarity(qv, cv) DESC, vec_id) AS BIGINT) AS rn
+        FROM q CROSS JOIN c
+    ) WHERE rn <= 5
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors against the corpus —
+    broadcast queries, single corpus scan, per-query WindowGroupLimit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 10)
+    return brute_force_topk(corpus, queries, k=5)
+
+
+@query("ann_ivf_topk", tags=("llm", "similarity", "rows-only"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (nlist=16, nprobe=4): ~4x less corpus scanned
+    per query; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 10)
+    return ivf_topk(corpus, queries, k=5, nlist=16, nprobe=4)
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len({_WORDS}) AS BIGINT) AS n_words,
+           (CAST(length(text) AS DOUBLE) - (len({_WORDS}) - 1)) / len({_WORDS}) AS avg_word_len,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+           CAST(len(list_filter({_WORDS}, w -> list_contains(
+                ['the','a','of','and','to','in','is','value','row','table'], lower(w))))
+                AS DOUBLE) / len({_WORDS}) AS stopword_ratio,
+           CAST(len(list_distinct({_WORDS})) AS DOUBLE) / len({_WORDS}) AS distinct_ratio
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cols = quality_columns(F.col("text"))
+    return d.select("doc_id", *(c.alias(name) for name, c in cols.items()))
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+            CAST(len(list_filter(list_filter(string_split(text, ' '), w -> w <> ''),
+                 w -> list_contains(['the','a','of','and','to','in','is','value','row','table'], lower(w)))) AS BIGINT) AS s_en,
+            CAST(len(list_filter(list_filter(string_split(text, ' '), w -> w <> ''),
+                 w -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','auf'], lower(w)))) AS BIGINT) AS s_de,
+            CAST(len(list_filter(list_filter(string_split(text, ' '), w -> w <> ''),
+                 w -> list_contains(['le','la','les','et','est','un','une','de','dans','pour'], lower(w)))) AS BIGINT) AS s_fr,
+            CAST(len(list_filter(list_filter(string_split(text, ' '), w -> w <> ''),
+                 w -> list_contains(['de5','shi4','zai4','he2','you3','wo3','ta1','le5','bu4','ren2'], lower(w)))) AS BIGINT) AS s_zh
+        FROM documents
+    )
+    SELECT doc_id, lang, s_en, s_de, s_fr, s_zh,
+           CASE WHEN s_de >= greatest(s_en, s_fr, s_zh) THEN 'de'
+                WHEN s_en >= greatest(s_fr, s_zh) THEN 'en'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM scored
+    """,
+    tags=("llm", "text"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-profile hit counts, argmax with
+    lexicographic tie-break (matches the CASE-chain oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = langid_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        *(s.alias(f"s_{lang}") for lang, s in scores.items()),
+        langid_best(F.col("text")).alias("lang_pred"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_WORDS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count_whitespace(t).alias("n_ws_tokens"),
+        token_count_regex(t).alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_WORDS})), ' ')) AS fp
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS media_type,
+           COUNT(*) AS n,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(SUM(n_chars % 1920) AS DOUBLE) / COUNT(*) AS avg_width,
+           CAST(MAX(n_chars * 7) AS BIGINT) AS max_duration_ms
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata aggregation: binary payload sizes + typed
+    metadata, payload never leaves the JVM (metadata-only plan)."""
+    m = media_table(load_table(spark, sf_dir, "documents"))
+    return m.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length(F.col("payload"))).cast("bigint").alias("total_bytes"),
+        (F.sum("width").cast("double") / F.count(F.lit(1))).alias("avg_width"),
+        F.max("duration_ms").cast("bigint").alias("max_duration_ms"),
+    )
+
+
+@query("multimodal_decode", tags=("llm", "multimodal", "rows-only"))
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode pipeline (deterministic fake kernel — see
+    llm/multimodal.py): per-type feature means over decoded batches."""
+    m = media_table(load_table(spark, sf_dir, "documents"))
+    feats = decode_features(m)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.avg(F.element_at("features", 1)).alias("mean_first_byte"),
+    )

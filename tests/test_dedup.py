@@ -1,0 +1,82 @@
+"""LSH recall/precision checks vs exact Jaccard (the oracle for the
+rows-only minhash/simhash queries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_to_dbsp_compiler_spark.llm.dedup import (
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+    simhash_signatures,
+)
+from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+
+def _exact_pairs(spark, sf_dir, threshold=0.7):
+    d = load_table(spark, sf_dir, "documents")
+    return {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=threshold).collect()
+    }
+
+
+def test_minhash_lsh_recall(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", minhash_signature(F.col("text"), 16, 3).alias("sig"))
+    cands = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, "doc_id", "sig", bands=4).collect()
+    }
+    truth = _exact_pairs(spark, sf_dir, threshold=0.7)
+    if truth:
+        recall = len(truth & cands) / len(truth)
+        # 4 bands x 4 rows: P(candidate | j=0.7) = 1-(1-0.7^4)^4 ~ 0.67;
+        # near-identical docs (j>0.9) are caught almost surely.
+        assert recall >= 0.5, f"LSH recall too low: {recall} ({len(cands)} candidates)"
+    # candidate set must stay far below all-pairs
+    n_docs = d.count()
+    assert len(cands) < n_docs * (n_docs - 1) / 8
+
+
+def test_simhash_bands_find_multiset_dups(spark, sf_dir):
+    """SimHash is term-frequency weighted: docs with identical word
+    MULTISETS have identical signatures and must appear as candidates
+    (set-equal-but-frequency-different docs legitimately may not)."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = simhash_signatures(d, "doc_id", "text")
+    cands = {(r.id_a, r.id_b) for r in simhash_candidate_pairs(sigs, "doc_id").collect()}
+
+    # multiset fingerprint: md5 over the sorted FULL word list
+    from sql_to_dbsp_compiler_spark.llm.text import words
+
+    fps = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(words(F.col("text"))), " ").cast("binary")).alias("fp"),
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    same_bag = {
+        (r.id_a, r.id_b)
+        for r in a.join(
+            b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .collect()
+    }
+    assert same_bag <= cands, f"missed {len(same_bag - cands)} identical-multiset pairs"
+    # and the banding must not devolve into all-pairs
+    n = d.count()
+    assert len(cands) < n * (n - 1) / 4
+
+
+def test_minhash_signature_stability(spark, sf_dir):
+    """Signatures are deterministic across plans/partitionings."""
+    d = load_table(spark, sf_dir, "documents")
+    s1 = d.select("doc_id", minhash_signature(F.col("text")).alias("sig")).collect()
+    s2 = (
+        d.repartition(7)
+        .select("doc_id", minhash_signature(F.col("text")).alias("sig"))
+        .collect()
+    )
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))

@@ -1,0 +1,44 @@
+"""ANN: IVF recall vs brute force; vector-math determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_to_dbsp_compiler_spark.llm.similarity import brute_force_topk, ivf_topk
+from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+
+def _split(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return e.where(F.col("vec_id") >= 10), q
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    corpus, queries = _split(spark, sf_dir)
+    exact = brute_force_topk(corpus, queries, k=5).collect()
+    approx = ivf_topk(corpus, queries, k=5, nlist=8, nprobe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4, f"IVF mean recall too low: {recalls}"
+
+
+def test_bruteforce_topk_is_ordered_and_complete(spark, sf_dir):
+    corpus, queries = _split(spark, sf_dir)
+    rows = brute_force_topk(corpus, queries, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == queries.count()
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rn)
+        sims = [r.sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rs) == 5
