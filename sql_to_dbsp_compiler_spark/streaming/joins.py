@@ -1,0 +1,32 @@
+"""Streaming joins (reference: DBSPIncrementalJoinOperator.java).
+
+- stream-static: the static side is broadcast per micro-batch — the
+  incremental join ΔA ⋈ B, which is exactly DBSP's bilinear join rule
+  when one side is constant.
+- stream-stream: both sides buffered in the state store, bounded by
+  watermarks + a time-range join condition (DBSP bounds the same
+  buffers via its time-indexed traces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_static_join(stream: DataFrame, static: DataFrame, on: Column) -> DataFrame:
+    return stream.join(F.broadcast(static), on)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    return left.withWatermark(left_ts, left_watermark).join(
+        right.withWatermark(right_ts, right_watermark), on
+    )
