@@ -51,6 +51,38 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) ->
     return F.array(*mins)
 
 
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures as a staged, parallel plan.
+
+    Two scale problems with the naive single-projection form:
+    (1) a small parquet file arrives as ONE partition, serializing all
+        per-doc hashing → repartition by id first;
+    (2) the shingle array expression would be inlined (and recomputed)
+        into each of the num_hashes transforms → materialize shingles
+        once behind a persist barrier, then hash from the stored array.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    sh_df = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh"))
+        .persist()
+    )
+
+    def hasher(i: int):
+        prefix = F.lit(f"mh{i}|")
+        return lambda s: F.xxhash64(F.concat(prefix, s))
+
+    mins = [F.array_min(F.transform(F.col("__sh"), hasher(i))) for i in range(num_hashes)]
+    return sh_df.select(F.col(id_col), F.array(*mins).alias("sig"))
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -67,6 +99,10 @@ def lsh_candidate_pairs(
     are near-identical boilerplate; they are reported by exact dedup
     instead, and capping keeps task sizes predictable)."""
     rows = F.size(F.col(sig_col)) / bands  # rows per band
+    # materialize once: this subtree feeds the bucket-size scan AND
+    # both sides of the self-join — without persist the (expensive)
+    # signature computation would run three times.
+    sig_df = sig_df.persist()
     banded = (
         sig_df.select(
             F.col(id_col),
@@ -118,9 +154,13 @@ def ngram_jaccard_pairs(
     This is the verify stage after LSH at scale (applied to candidate
     pairs); run standalone it is quadratic only in docs *sharing* a
     shingle — here used with small n on a bounded corpus."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
-    ).distinct()
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+        .persist()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -151,8 +191,10 @@ def simhash_signatures(
     """SimHash: majority vote per bit over word-hash bits, weighted by
     term frequency. One groupBy(doc) with 64 SUM aggregates — single
     shuffle, map-side partials, all codegen."""
+    par = df.sparkSession.sparkContext.defaultParallelism
     wc = (
-        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", F.xxhash64("w"))

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from sql_to_dbsp_compiler_spark.llm.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
-    minhash_signature,
+    minhash_signatures_df,
     ngram_jaccard_pairs,
     simhash_candidate_pairs,
     simhash_signatures,
@@ -101,7 +101,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64-seeded signatures are engine-specific → no SQL oracle;
     recall vs exact Jaccard asserted in tests/test_dedup.py."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", minhash_signature(F.col("text"), 16, 3).alias("sig"))
+    sigs = minhash_signatures_df(d, "doc_id", "text", 16, 3)
     return lsh_candidate_pairs(sigs, "doc_id", "sig", bands=4)
 
 
