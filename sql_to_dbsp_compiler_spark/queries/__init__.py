@@ -8,6 +8,7 @@ from sql_to_dbsp_compiler_spark.queries import (  # noqa: E402,F401
     nexmark,
     relational,
     tpch,
+    tpch2,
     windows_batch,
 )
 
