@@ -1,0 +1,188 @@
+"""Edge-case semantics queries (reference: EndToEndTests.java,
+postgres/PostgresNumericTests.java — NULL-propagating aggregates,
+empty-group behavior, division/modulo sign rules, string boundary
+cases, LIKE escapes, greatest/least NULL handling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_to_dbsp_compiler_spark.operators.aggregates import dec2
+from sql_to_dbsp_compiler_spark.queries.registry import query
+from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+
+@query(
+    "agg_empty_input",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s,
+           MIN(o_totalprice) AS mn,
+           MAX(o_totalprice) AS mx,
+           CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_d
+    FROM orders WHERE o_totalprice < 0
+    """,
+    tags=("edge", "aggregate"),
+)
+def agg_empty_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate over zero rows: COUNT=0, every other aggregate
+    NULL — one output row, not zero (ANSI + reference semantics)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") < 0)
+    return o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2("o_totalprice")).cast("double").alias("s"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.min("o_orderdate").alias("first_d"),
+    )
+
+
+@query(
+    "groupby_empty_input",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders WHERE o_totalprice < 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("edge", "aggregate"),
+)
+def groupby_empty_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY over zero rows: zero output rows (vs. one for global)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") < 0)
+    return o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "division_modulo_semantics",
+    oracle="""
+    SELECT v.a, v.b,
+           v.a / v.b AS true_div,
+           CAST(FLOOR(CAST(v.a AS DOUBLE) / v.b) AS BIGINT) AS floor_div,
+           v.a % v.b AS mod_trunc,
+           CAST(v.a AS DOUBLE) / 4 AS div_by_int
+    FROM (VALUES (7, 2), (-7, 2), (7, -2), (-7, -2), (0, 3)) AS v(a, b)
+    """,
+    tags=("edge", "numeric"),
+)
+def division_modulo_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign rules: `/` on integers is true division (double) in both
+    engines; floor division is spelled FLOOR(a/b) (NB DuckDB's `//`
+    TRUNCATES toward zero, it does not floor); `%` is
+    truncation-signed in both (reference: doc/sql/integer.rst)."""
+    df = spark.createDataFrame(
+        [(7, 2), (-7, 2), (7, -2), (-7, -2), (0, 3)], schema="a int, b int"
+    )
+    return df.select(
+        "a",
+        "b",
+        (F.col("a") / F.col("b")).alias("true_div"),
+        F.floor(F.col("a") / F.col("b")).cast("bigint").alias("floor_div"),
+        (F.col("a") % F.col("b")).alias("mod_trunc"),
+        (F.col("a").cast("double") / 4).alias("div_by_int"),
+    )
+
+
+@query(
+    "string_boundaries",
+    oracle="""
+    SELECT c_custkey,
+           substring(c_name, 100, 5) AS past_end,
+           substring(c_name, 1, 0) AS zero_len,
+           substring(c_name, length(c_name), 10) AS tail_over,
+           c_name || '' AS concat_empty,
+           CAST(length(trim('')) AS BIGINT) AS empty_trim_len,
+           replace(c_name, c_name, '') AS replaced_all,
+           lpad(c_name, 5, 'x') AS truncating_pad
+    FROM customer WHERE c_custkey <= 100
+    """,
+    tags=("edge", "string"),
+)
+def string_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 100)
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.substring(name, 100, 5).alias("past_end"),
+        F.substring(name, 1, 0).alias("zero_len"),
+        F.expr("substring(c_name, length(c_name), 10)").alias("tail_over"),
+        F.concat(name, F.lit("")).alias("concat_empty"),
+        F.length(F.trim(F.lit(""))).cast("bigint").alias("empty_trim_len"),
+        F.replace(name, name, F.lit("")).alias("replaced_all"),
+        F.lpad(name, 5, "x").alias("truncating_pad"),
+    )
+
+
+@query(
+    "like_escape",
+    oracle="""
+    SELECT s, s LIKE '100!%' ESCAPE '!' AS is_pct,
+           s LIKE 'a!_b' ESCAPE '!' AS is_underscore,
+           s LIKE '100%' AS pct_wild
+    FROM (VALUES ('100%'), ('100x'), ('a_b'), ('axb')) AS t(s)
+    """,
+    tags=("edge", "string"),
+)
+def like_escape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE with ESCAPE: escaped wildcards match literally."""
+    df = spark.createDataFrame([("100%",), ("100x",), ("a_b",), ("axb",)], schema="s string")
+    return df.select(
+        "s",
+        F.expr("s LIKE '100!%' ESCAPE '!'").alias("is_pct"),
+        F.expr("s LIKE 'a!_b' ESCAPE '!'").alias("is_underscore"),
+        F.col("s").like("100%").alias("pct_wild"),
+    )
+
+
+@query(
+    "greatest_least_nulls",
+    oracle="""
+    SELECT c_custkey,
+           greatest(c_acctbal, o_totalprice) AS g,
+           least(c_acctbal, o_totalprice) AS l,
+           greatest(c_acctbal, NULL) AS g_null
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 450000
+    WHERE c_custkey <= 150
+    """,
+    tags=("edge", "null"),
+)
+def greatest_least_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """greatest/least skip NULLs (only all-NULL yields NULL) — same in
+    both engines, unlike strict ANSI."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 150)
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 450000)
+    return c.join(o, cond, "left").select(
+        "c_custkey",
+        F.greatest(F.col("c_acctbal"), F.col("o_totalprice")).alias("g"),
+        F.least(F.col("c_acctbal"), F.col("o_totalprice")).alias("l"),
+        F.greatest(F.col("c_acctbal"), F.lit(None).cast("double")).alias("g_null"),
+    )
+
+
+@query(
+    "distinct_on_groupwise_first",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_date
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) = 1
+    """,
+    tags=("edge", "window"),
+)
+def distinct_on_groupwise_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON / groupwise-first (each customer's earliest order)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_date"),
+        )
+    )
