@@ -106,3 +106,76 @@ def test_stream_static_join_matches_batch(spark, event_batches_dir, events_schem
     result = run_incremental(stream, view, output_mode="append")
     batch = view(spark.read.parquet(event_batches_dir))
     assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+
+
+@pytest.fixture(scope="module")
+def time_ordered_batches_dir(spark, tmp_path_factory):
+    """Events split into 3 time-ordered micro-batches (by ~10-day
+    ranges). Stream-stream joins need a feed whose watermark advances
+    monotonically, else older rows are (correctly) dropped as late."""
+    import glob
+    import shutil
+
+    base = str(tmp_path_factory.mktemp("ts_stream"))
+    out = str(tmp_path_factory.mktemp("ts_files"))
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    cuts = ["2024-01-11", "2024-01-21"]
+    parts = [
+        e.where(F.col("ts") < cuts[0]),
+        e.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        e.where(F.col("ts") >= cuts[1]),
+    ]
+    for i, b in enumerate(parts):
+        b.coalesce(1).write.mode("overwrite").parquet(os.path.join(base, f"b{i}"))
+        shutil.copy(
+            glob.glob(os.path.join(base, f"b{i}", "*.parquet"))[0],
+            os.path.join(out, f"batch_{i}.parquet"),
+        )
+    return out
+
+
+def test_stream_stream_join_with_watermarks(spark, time_ordered_batches_dir, events_schema):
+    """Self-join of the event stream: purchases matched to clicks by
+    the same user within ±30 min (time-bounded stream-stream join;
+    both buffers watermark-bounded). The 2-day watermark exceeds the
+    max intra-batch disorder, so nothing is late and the append-mode
+    stream must emit exactly the batch join."""
+    from sql_to_dbsp_compiler_spark.streaming.joins import stream_stream_join
+
+    event_batches_dir = time_ordered_batches_dir
+    purchases = stream_from_dir(spark, event_batches_dir, events_schema).where(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = stream_from_dir(spark, event_batches_dir, events_schema).where(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTE"))
+    )
+    q = (
+        stream_stream_join(purchases, clicks, cond, "2 days", "2 days", "p_ts", "c_ts")
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination()
+    result = spark.table("ss_join")
+
+    raw = spark.read.parquet(event_batches_dir)
+    p = raw.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    c = raw.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    batch = p.join(c, cond)
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
