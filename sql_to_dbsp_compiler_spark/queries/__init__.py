@@ -5,6 +5,7 @@ from sql_to_dbsp_compiler_spark.queries.registry import REGISTRY, Query, query
 from sql_to_dbsp_compiler_spark.queries import (  # noqa: E402,F401
     edge_semantics,
     functions_sql,
+    functions_sql2,
     llm_queries,
     nexmark,
     relational,
