@@ -1,0 +1,37 @@
+"""Skew-handling join: salting (reference's runtime shards hot keys
+across workers; Spark's AQE skew-join splits oversized partitions at
+runtime — salting is the static fallback when a single key is hot
+enough to overwhelm one task even after AQE splitting).
+
+`salted_join` replicates the (small-ish) build side `salt` times and
+scatters the probe side across the replicas, so one hot key spreads
+over `salt` tasks. Result is identical to the plain join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with the probe side salted and the build side
+    replicated `salt` times. Use when a probe key is pathologically
+    hot; costs `salt`x replication of the build side."""
+    salted_probe = probe.withColumn(
+        "__psalt", (F.abs(F.xxhash64(F.monotonically_increasing_id())) % salt).cast("int")
+    )
+    replicated_build = build.withColumn(
+        "__bsalt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>"))
+    )
+    out = salted_probe.join(
+        replicated_build,
+        (F.col(probe_key) == F.col(build_key)) & (F.col("__psalt") == F.col("__bsalt")),
+    )
+    return out.drop("__psalt", "__bsalt")

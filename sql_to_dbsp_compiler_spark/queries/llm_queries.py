@@ -311,3 +311,49 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.avg(F.element_at("features", 1)).alias("mean_first_byte"),
     )
+
+
+@query(
+    "zset_incremental_view",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    tags=("zset", "incremental"),
+)
+def zset_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSP-style incremental evaluation, end to end: the orders table
+    arrives as three snapshots (with deletes); the view
+    filter→project→count is maintained by feeding DELTAS through the
+    Z-set pipeline and integrating the per-step output changes. The
+    oracle is simply the batch view on the final snapshot — equality
+    IS the DBSP correctness theorem.
+    """
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet, differentiate
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    snapshots = [
+        o.where(F.col("o_orderkey") % 3 == 0),
+        o.where(F.col("o_orderkey") % 3 != 2),
+        o,  # final snapshot = full table
+    ]
+    deltas = differentiate(snapshots)
+    out_changes = [
+        d.filter(F.col("o_totalprice") > 100000)
+        .map(F.col("o_orderstatus"), F.col("o_orderpriority"), F.lit(1).alias("__one"))
+        .aggregate_linear(["o_orderstatus", "o_orderpriority"], F.col("__one"), "n")
+        for d in deltas
+    ]
+    acc = None
+    for ch in out_changes:
+        cur = ch.df.select("o_orderstatus", "o_orderpriority", "n")
+        acc = cur if acc is None else acc.unionByName(cur)
+    return (
+        acc.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .where(F.col("n") != 0)
+    )
