@@ -31,6 +31,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def cosine_neardup_pairs(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """All-pairs cosine near-dup with per-ROW norm precomputation:
+    norms are O(n) not O(n²), and the similarity is evaluated once per
+    pair inside the join condition. The value dot/(na*nb) keeps the
+    exact operation order of dot/(sqrt(aa)*sqrt(bb)), so results stay
+    bit-identical to DuckDB's list_cosine_similarity."""
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    e = (
+        emb.repartition(par, F.col(id_col))
+        .select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .persist()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (sim >= threshold))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            sim.alias("sim"),
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -24,9 +24,8 @@ from sql_to_dbsp_compiler_spark.llm.dedup import (
 )
 from sql_to_dbsp_compiler_spark.llm.multimodal import decode_features, media_table
 from sql_to_dbsp_compiler_spark.llm.similarity import (
-    as_double_array,
     brute_force_topk,
-    cosine,
+    cosine_neardup_pairs,
     ivf_topk,
 )
 from sql_to_dbsp_compiler_spark.llm.text import (
@@ -127,15 +126,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs. All-pairs here (bounded
     corpus); at 100 TB the same predicate runs on LSH/IVF candidates."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array(F.col("embedding")).alias("v")
-    )
-    a, b = e.alias("a"), e.alias("b")
-    sim = cosine(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), sim.alias("sim"))
-        .where(F.col("sim") >= 0.45)
+    return cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
     )
 
 
