@@ -9,6 +9,7 @@ from sql_to_dbsp_compiler_spark.queries import (  # noqa: E402,F401
     llm_queries,
     nexmark,
     relational,
+    statistics,
     tpch,
     tpch2,
     windows_batch,

@@ -1,0 +1,179 @@
+"""Statistics aggregates, multiset set-ops, bit ops, regex functions
+(reference: postgres/PostgresNumericTests.java for stddev/variance,
+EndToEndTests for set ops, doc/sql/{integer,string}.rst).
+
+Variance/stddev are computed from DECIMAL-exact Σx and Σx² with one
+final double expression, so they are deterministic under any
+partitioning — Spark's builtin var_samp (running double accumulation)
+is not, which is exactly why a 1000-executor job would return
+different low bits each run."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_to_dbsp_compiler_spark.operators.aggregates import dec2
+from sql_to_dbsp_compiler_spark.queries.registry import query
+from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+
+@query(
+    "except_all_intersect_all",
+    oracle="""
+    WITH a AS (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000),
+         b AS (SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 5000)
+    SELECT 'except_all' AS op, k, COUNT(*) AS n FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+    UNION ALL
+    SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+    UNION ALL
+    SELECT 'union_distinct' AS op, k, CAST(1 AS BIGINT) AS n FROM (SELECT k FROM a UNION SELECT k FROM b)
+    """,
+    tags=("setop",),
+)
+def except_all_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL / INTERSECT ALL (Z-set subtraction with
+    weights kept) + UNION DISTINCT, disambiguated by an op column."""
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("k"))
+    )
+    b = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("k"))
+    )
+    ea = a.exceptAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "k", "n"
+    )
+    ia = a.intersectAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "k", "n"
+    )
+    ud = a.union(b).distinct().select(
+        F.lit("union_distinct").alias("op"), "k", F.lit(1).cast("bigint").alias("n")
+    )
+    return ea.unionByName(ia).unionByName(ud)
+
+
+@query(
+    "variance_stddev",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                        * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           (sxx - sx * sx / n) / (n - 1) AS var_samp,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_samp,
+           (sxx - sx * sx / n) / n AS var_pop
+    FROM s
+    """,
+    tags=("statistics", "aggregate"),
+)
+def variance_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample/population variance and stddev from exact Σx, Σx²."""
+    o = load_table(spark, sf_dir, "orders")
+    d = dec2("o_totalprice")
+    s = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).cast("double").alias("sx"),
+        F.sum(d * d).cast("double").alias("sxx"),
+    )
+    var_s = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    var_p = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    return s.select(
+        "o_orderstatus",
+        "n",
+        var_s.alias("var_samp"),
+        F.sqrt(var_s).alias("stddev_samp"),
+        var_p.alias("var_pop"),
+    )
+
+
+@query(
+    "median_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.25) AS q1_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("statistics", "aggregate"),
+)
+def median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (Spark percentile == DuckDB
+    quantile_cont). The exact form sorts per group — at 100 TB use
+    approx_percentile (t-digest) unless exactness is contractual."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_quantity"), F.lit(0.5)).alias("median_qty"),
+        F.percentile(F.col("l_quantity"), F.lit(0.25)).alias("q1_qty"),
+        F.percentile(F.col("l_quantity"), F.lit(0.9)).alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query(
+    "bitwise_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey & 255 AS BIGINT) AS and_mask,
+           CAST(l_orderkey | 4096 AS BIGINT) AS or_flag,
+           CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS xored,
+           CAST(l_orderkey << 2 AS BIGINT) AS shl,
+           CAST(l_orderkey >> 3 AS BIGINT) AS shr
+    FROM lineitem WHERE l_orderkey <= 600
+    """,
+    tags=("functions", "integer"),
+)
+def bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 600)
+    k = F.col("l_orderkey")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("and_mask"),
+        k.bitwiseOR(F.lit(4096)).cast("bigint").alias("or_flag"),
+        k.bitwiseXOR(F.col("l_partkey")).cast("bigint").alias("xored"),
+        F.shiftleft(k, 2).cast("bigint").alias("shl"),
+        F.shiftright(k, 3).cast("bigint").alias("shr"),
+    )
+
+
+@query(
+    "regex_functions",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           regexp_extract(text, '([0-9]+)', 1) AS first_number,
+           regexp_matches(text, 'table.*scan') AS has_table_scan,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_prefix
+    FROM (SELECT doc_id, substr(text, 1, 60) AS text FROM documents WHERE doc_id < 100)
+    """,
+    tags=("functions", "string", "regex"),
+)
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface on a bounded prefix (patterns chosen inside the
+    Java/RE2 common dialect)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", F.substring(F.col("text"), 1, 60).alias("text"))
+    )
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(t, "([a-z]+)", 1).alias("first_word"),
+        F.regexp_extract(t, "([0-9]+)", 1).alias("first_number"),
+        t.rlike("table.*scan").alias("has_table_scan"),
+        F.regexp_replace(t, "[aeiou]", "_").alias("devoweled_prefix"),
+    )
