@@ -177,3 +177,18 @@ def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.rlike("table.*scan").alias("has_table_scan"),
         F.regexp_replace(t, "[aeiou]", "_").alias("devoweled_prefix"),
     )
+
+
+@query("approx_sketches", tags=("statistics", "approximate", "rows-only"))
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for the 100 TB regime: HLL++ distinct counts
+    and t-digest percentiles — fixed-size mergeable state instead of
+    exact sort/set memory. No SQL oracle (approximate by design);
+    tests/test_sketches.py bounds the error vs exact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(5000)).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
