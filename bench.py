@@ -23,11 +23,16 @@ BENCH_QUERIES = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
+    "tpch_q18_large_orders",
+    "cte_pipeline",
+    "asof_join",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "embedding_neardup",
     "ann_bruteforce_topk",
     "text_quality",
     "tumbling_window_agg",
+    "zset_incremental_view",
 ]
 
 
