@@ -179,3 +179,47 @@ def test_stream_stream_join_with_watermarks(spark, time_ordered_batches_dir, eve
     )
     batch = p.join(c, cond)
     assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_materialize_incremental_view_to_parquet(spark, event_batches_dir, events_schema, tmp_path):
+    """The parquet-materialized view after draining the stream equals
+    the batch view — the reference's sink semantics (output relation =
+    integral of output changes)."""
+    from sql_to_dbsp_compiler_spark.streaming.sinks import materialize_incremental
+
+    out = str(tmp_path / "mv")
+
+    def view(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("value")).cast("double").alias("total"),
+        )
+
+    stream = stream_from_dir(spark, event_batches_dir, events_schema)
+    materialize_incremental(stream, view, ["event_type"], out)
+
+    stored = spark.read.parquet(out)
+    batch = view(spark.read.parquet(event_batches_dir))
+    assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_windowed_max_matches_batch(spark, event_batches_dir, events_schema):
+    """Nexmark q7 shape as a stream: max bid per tumbling hour."""
+    stream = stream_from_dir(spark, event_batches_dir, events_schema)
+
+    def view(df):
+        return (
+            df.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.max("value").alias("max_value"))
+            .select(F.col("win.start").alias("window_start"), "max_value")
+        )
+
+    result = run_incremental(stream, view, output_mode="complete")
+    batch = (
+        spark.read.parquet(event_batches_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.max("value").alias("max_value"))
+        .select(F.col("win.start").alias("window_start"), "max_value")
+    )
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
