@@ -31,7 +31,24 @@ TABLE_NAMES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The engine may be handed an externally-created SparkSession
+    (the driver contract does exactly that). Two confs are
+    load-bearing and runtime-settable — pin them defensively:
+    nanos-timestamp parquet support and UTC timestamp semantics."""
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            if spark.conf.get(key, None) != val:
+                spark.conf.set(key, val)
+        except Exception:
+            pass  # non-settable in this build: keep going
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # TIMESTAMP(NANOS) arrives as bigint (nanosAsLong); truncate
