@@ -81,6 +81,55 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(words(text))), " ").cast("binary"))
 
 
+def staged_words(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, text, __ws) with the split materialized once behind a
+    repartition barrier — every downstream feature reads the stored
+    array instead of re-splitting the text per column (CollapseProject
+    would otherwise inline N copies of split())."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(par, F.col(id_col))
+        .select("*", words(F.col(text_col)).alias("__ws"))
+        .persist()
+    )
+
+
+def quality_columns_from(ws: Column, text: Column) -> dict[str, Column]:
+    """quality_columns, but over a pre-materialized words array."""
+    n_words = F.size(ws).cast("double")
+    n_chars = F.length(text).cast("double")
+    stop = F.array([F.lit(s) for s in LANG_PROFILES["en"]])
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words.cast("bigint"),
+        "avg_word_len": (n_chars - (n_words - 1)) / n_words,
+        "punct_ratio": (
+            F.length(F.regexp_replace(text, "[^.,;:!?]", "")).cast("double") / n_chars
+        ),
+        "stopword_ratio": (
+            F.size(F.filter(ws, lambda w: F.array_contains(stop, F.lower(w)))).cast("double")
+            / n_words
+        ),
+        "distinct_ratio": F.size(F.array_distinct(ws)).cast("double") / n_words,
+    }
+
+
+def langid_scores_from(ws: Column) -> dict[str, Column]:
+    out = {}
+    for lang, profile in LANG_PROFILES.items():
+        arr = F.array([F.lit(s) for s in profile])
+        out[lang] = F.size(F.filter(ws, lambda w: F.array_contains(arr, F.lower(w)))).cast("bigint")
+    return out
+
+
+def langid_best_from(ws: Column) -> Column:
+    scores = langid_scores_from(ws)
+    structs = F.array(
+        [F.struct((-s).alias("neg"), F.lit(lang).alias("lang")) for lang, s in sorted(scores.items())]
+    )
+    return F.array_min(structs)["lang"]
+
+
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     cols = quality_columns(t)

@@ -189,8 +189,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text"),
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    cols = quality_columns(F.col("text"))
+    from sql_to_dbsp_compiler_spark.llm.text import quality_columns_from, staged_words
+
+    d = staged_words(load_table(spark, sf_dir, "documents"))
+    cols = quality_columns_from(F.col("__ws"), F.col("text"))
     return d.select("doc_id", *(c.alias(name) for name, c in cols.items()))
 
 
@@ -221,13 +223,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-profile hit counts, argmax with
     lexicographic tie-break (matches the CASE-chain oracle)."""
-    d = load_table(spark, sf_dir, "documents")
-    scores = langid_scores(F.col("text"))
+    from sql_to_dbsp_compiler_spark.llm.text import langid_best_from, langid_scores_from, staged_words
+
+    d = staged_words(load_table(spark, sf_dir, "documents"))
+    scores = langid_scores_from(F.col("__ws"))
     return d.select(
         "doc_id",
         "lang",
         *(s.alias(f"s_{lang}") for lang, s in scores.items()),
-        langid_best(F.col("text")).alias("lang_pred"),
+        langid_best_from(F.col("__ws")).alias("lang_pred"),
     )
 
 
