@@ -663,3 +663,26 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("click", "view", "purchase", "signup", "error")
     ]
     return e.groupBy(day).agg(*aggs)
+
+
+@query(
+    "rollup_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate",),
+)
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicators distinguish subtotal rows from genuine
+    NULL group keys (reference Calcite surface)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    )
