@@ -176,3 +176,52 @@ def cte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(nation_rev, F.col("n_nationkey") == F.col("c_nationkey")).select(
         "n_name", "nation_total", "nation_orders"
     )
+
+
+@query(
+    "explode_split",
+    oracle="""
+    SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS part
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    tags=("flatmap",),
+)
+def explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlatMap over a computed array: split then explode
+    (reference: DBSPFlatMapOperator)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
+    return o.select(
+        "o_orderkey", F.explode(F.split(F.col("o_orderpriority"), "-", -1)).alias("part")
+    )
+
+
+@query(
+    "string_functions2",
+    oracle="""
+    SELECT c_custkey,
+           chr(65 + CAST(c_custkey % 26 AS INT)) AS letter,
+           right(c_name, 3) AS name_tail,
+           left(c_name, 4) AS name_head,
+           rpad(c_mktsegment, 12, '.') AS seg_padded,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+           concat_ws('|', c_name, c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS joined
+    FROM customer WHERE c_custkey <= 300
+    """,
+    tags=("functions", "string"),
+)
+def string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface II: chr/left/right/rpad/translate/concat_ws.
+    (initcap and OVERLAY exist in Spark but not DuckDB — engine
+    supports them; no oracle possible, so excluded here.)"""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    return c.select(
+        "c_custkey",
+        F.char(F.lit(65) + (F.col("c_custkey") % 26).cast("int")).alias("letter"),
+        F.expr("right(c_name, 3)").alias("name_tail"),
+        F.expr("left(c_name, 4)").alias("name_head"),
+        F.rpad(F.col("c_mktsegment"), 12, ".").alias("seg_padded"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_translated"),
+        F.concat_ws(
+            "|", F.col("c_name"), F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("joined"),
+    )
