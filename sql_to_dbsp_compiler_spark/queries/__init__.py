@@ -12,6 +12,7 @@ from sql_to_dbsp_compiler_spark.queries import (  # noqa: E402,F401
     statistics,
     tpch,
     tpch2,
+    tpch3,
     windows_batch,
 )
 

@@ -84,7 +84,7 @@ def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer ON c_custkey = o_custkey
     JOIN nation n1 ON s_nationkey = n1.n_nationkey
     JOIN nation n2 ON c_nationkey = n2.n_nationkey
-    WHERE n1.n_name IN ('CHINA', 'INDIA') AND n2.n_name IN ('FRANCE', 'GERMANY')
+    WHERE n1.n_name IN ('NATION_6', 'NATION_9') AND n2.n_name IN ('NATION_7', 'NATION_11')
       AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
     GROUP BY 1, 2, 3
     """,
@@ -98,10 +98,10 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    n1 = n.where(F.col("n_name").isin("CHINA", "INDIA")).select(
+    n1 = n.where(F.col("n_name").isin("NATION_6", "NATION_9")).select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
-    n2 = n.where(F.col("n_name").isin("FRANCE", "GERMANY")).select(
+    n2 = n.where(F.col("n_name").isin("NATION_7", "NATION_11")).select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     j = (

@@ -1,0 +1,451 @@
+"""Third TPC-H wave: the remaining query shapes (q2, q8, q9, q11, q13,
+q15, q16, q17, q20, q21), adapted to the trimmed test schema — there is
+no partsupp table and lineitem has no receipt/commit dates, so those
+queries substitute lineitem-derived part↔supplier facts while keeping
+the reference plan shape intact (correlated min, market-share ratio,
+multi-join profit rollup, HAVING vs global scalar, outer-join count
+distribution, view + scalar max, COUNT DISTINCT + NOT IN, per-group avg
+threshold, nested IN with HAVING, double EXISTS/NOT EXISTS).
+
+Reference: ComplexQueriesTest.java / EndToEndTests.java run the same
+decision-support shapes as incremental views.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_to_dbsp_compiler_spark.operators.aggregates import dec2
+from sql_to_dbsp_compiler_spark.operators.joins import dim_join
+from sql_to_dbsp_compiler_spark.operators.topk import topk_global
+from sql_to_dbsp_compiler_spark.queries.registry import query
+from sql_to_dbsp_compiler_spark.queries.tpch import _DISC_PRICE, _disc_price
+from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+    FROM part
+    JOIN cost ON p_partkey = l_partkey
+    JOIN eu ON l_suppkey = s_suppkey
+    WHERE p_size <= 15 AND p_type = 'STANDARD'
+      AND unit_cost = (SELECT MIN(c2.unit_cost)
+                       FROM cost c2 JOIN eu e2 ON c2.l_suppkey = e2.s_suppkey
+                       WHERE c2.l_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("tpch3", "subquery", "topk"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2: min-cost supplier per part within a region. partsupp is
+    substituted by lineitem-derived (part, supplier) min unit price;
+    the correlated 'equal to regional min' subquery is decorrelated to
+    a window MIN — one shuffle on partkey, no join-back."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = dim_join(s, n, F.col("s_nationkey") == F.col("n_nationkey"))
+    eu = dim_join(eu, r, F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "s_suppkey", "s_name", "s_acctbal", "n_name"
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    regional = dim_join(cost, eu, F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    best = regional.withColumn("__mn", F.min("unit_cost").over(w)).where(
+        F.col("unit_cost") == F.col("__mn")
+    )
+    out = dim_join(best, p, F.col("p_partkey") == F.col("l_partkey")).select(
+        "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost"
+    )
+    return topk_global(
+        out,
+        [F.col("s_acctbal").desc(), F.col("n_name"), F.col("s_name"), F.col("p_partkey")],
+        100,
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_9' THEN volume
+                         ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               {_DISC_PRICE} AS volume, n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    ) t
+    GROUP BY o_year
+    """,
+    tags=("tpch3", "join", "aggregate"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8: national market share — conditional-sum / total-sum ratio by
+    year over an 8-table join. Dims broadcast; only the three fact
+    joins shuffle."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+
+    j = dim_join(l, p, F.col("p_partkey") == F.col("l_partkey"))
+    j = dim_join(j, s, F.col("s_suppkey") == F.col("l_suppkey"))
+    j = j.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    j = j.join(c, F.col("o_custkey") == F.col("c_custkey"))
+    j = dim_join(j, n1, F.col("c_nationkey") == F.col("n1_key"))
+    j = dim_join(j, r, F.col("n1_rk") == F.col("r_regionkey"))
+    j = dim_join(j, n2, F.col("s_nationkey") == F.col("n2_key"))
+
+    vol = _disc_price()
+    china = F.when(F.col("nation") == "NATION_9", vol).otherwise(F.lit(0).cast("decimal(17,4)"))
+    return j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year")).agg(
+        (F.sum(china).cast("double") / F.sum(vol).cast("double")).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM({_DISC_PRICE}
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    """,
+    tags=("tpch3", "join", "aggregate"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9: product-type profit by nation and year. ps_supplycost is
+    substituted by retailprice*qty*0.5, all exact DECIMAL so the SUM is
+    partition-order independent."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    j = dim_join(l, p, F.col("p_partkey") == F.col("l_partkey"))
+    j = dim_join(j, s, F.col("s_suppkey") == F.col("l_suppkey"))
+    j = j.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    j = dim_join(j, n, F.col("s_nationkey") == F.col("n_nationkey"))
+    profit = _disc_price() - dec2("p_retailprice") * dec2("l_quantity") * F.lit(0.5).cast(
+        "decimal(2,1)"
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    ).agg(F.sum(profit).cast("double").alias("sum_profit"))
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    SELECT l_partkey AS partkey, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_9'
+    GROUP BY l_partkey
+    HAVING SUM({_DISC_PRICE}) > (
+        SELECT SUM({_DISC_PRICE}) * CAST(0.001 AS DECIMAL(4,3))
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_9')
+    """,
+    tags=("tpch3", "subquery", "aggregate"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11: per-part value with HAVING against a global scalar — the
+    grouped aggregate is computed once and reused for both the groups
+    and the global threshold (multi-view common-subplan reuse)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+    j = dim_join(l, dim_join(s, n, F.col("s_nationkey") == F.col("n_nationkey")),
+                 F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part = j.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("__v")).persist()
+    total = per_part.agg(
+        (F.sum("__v") * F.lit(0.001).cast("decimal(4,3)")).alias("__threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("__v") > F.col("__threshold"))
+        .select(F.col("l_partkey").alias("partkey"), F.col("__v").cast("double").alias("value"))
+    )
+
+
+@query(
+    "tpch_q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    tags=("tpch3", "join", "aggregate"),
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q13: customer order-count distribution — outer join with an
+    extra join-condition predicate, COUNT of a nullable column, then a
+    second aggregation over the counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, SUM({_DISC_PRICE}) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+    tags=("tpch3", "subquery"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q15: revenue view + 'equal to global max' scalar subquery. The
+    view aggregate is computed once (persist) and probed twice — the
+    reference's MultiViewTests shape."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).alias("__rev")
+    ).persist()
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    best = rev.crossJoin(F.broadcast(mx)).where(F.col("__rev") == F.col("__mx"))
+    return dim_join(s, best, F.col("s_suppkey") == F.col("supplier_no")).select(
+        "s_suppkey", "s_name", F.col("__rev").cast("double").alias("total_rev")
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("tpch3", "aggregate", "subquery"),
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16: COUNT DISTINCT suppliers per part group, excluding a
+    NOT-IN supplier set (anti join; the subquery key is non-null so
+    NOT IN == anti join)."""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    kept = l.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    j = dim_join(kept, p, F.col("p_partkey") == F.col("l_partkey"))
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+      AND l_quantity < 0.2 * (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                                     / COUNT(*)
+                              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("tpch3", "subquery", "aggregate"),
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17: rows below 20% of their part's average quantity. The
+    correlated per-part AVG decorrelates to a grouped aggregate joined
+    back on partkey (computed over ALL lineitems of the part — the
+    part-attribute filter only prunes which parts qualify). AVG uses
+    decimal-sum / count so the threshold is bit-identical to DuckDB."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    avg_qty = l.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("__avg_qty")
+    )
+    j = dim_join(l, p, F.col("p_partkey") == F.col("l_partkey"))
+    j = j.join(avg_qty, F.col("l_partkey") == F.col("__pk"))
+    return j.where(F.col("l_quantity") < 0.2 * F.col("__avg_qty")).agg(
+        (F.sum(dec2("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_9'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+    """,
+    tags=("tpch3", "subquery"),
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20: nested IN-subquery with a HAVING aggregate — aggregate the
+    inner fact once, then semi join the qualifying key set."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    heavy = (
+        dim_join(l, p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec2("l_quantity")).alias("__q"))
+        .where(F.col("__q") > 300)
+        .select("l_suppkey")
+    )
+    cn = dim_join(s, n, F.col("s_nationkey") == F.col("n_nationkey"))
+    return cn.join(
+        F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_6'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("tpch3", "subquery", "topk"),
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21: suppliers who were the ONLY late shipper on a multi-supplier
+    order ('late' = shipped >60 days after order date, standing in for
+    receipt-vs-commit which the trimmed schema lacks). EXISTS → semi
+    join, NOT EXISTS → anti join, both on orderkey with extra
+    conditions referencing the left side."""
+    l1 = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_6")
+    sn = dim_join(s, n, F.col("s_nationkey") == F.col("n_nationkey"))
+
+    late_cutoff = F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    base = (
+        l1.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > late_cutoff)
+    )
+    base = dim_join(base, sn, F.col("s_suppkey") == F.col("l_suppkey"))
+
+    l2 = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("__k2"), F.col("l_suppkey").alias("__s2")
+    )
+    base = base.join(
+        l2,
+        (F.col("__k2") == F.col("l_orderkey")) & (F.col("__s2") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    l3 = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("__k3"),
+        F.col("l_suppkey").alias("__s3"),
+        F.col("l_shipdate").alias("__ship3"),
+    )
+    base = base.join(
+        l3,
+        (F.col("__k3") == F.col("l_orderkey"))
+        & (F.col("__s3") != F.col("l_suppkey"))
+        & (F.col("__ship3") > late_cutoff),
+        "left_anti",
+    )
+    agg = base.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+    return topk_global(agg, [F.col("numwait").desc(), F.col("s_name")], 20)
