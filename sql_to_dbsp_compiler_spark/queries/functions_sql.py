@@ -160,7 +160,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_brand, p_type
     FROM part
-    WHERE p_type LIKE '%BRASS%' AND p_name NOT LIKE '%green%'
+    WHERE p_type LIKE '%AR%' AND p_name NOT LIKE '%green%'
       AND p_brand ILIKE 'brand#1%'
     """,
     tags=("functions", "string", "filter"),
@@ -168,7 +168,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def string_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     return p.where(
-        F.col("p_type").like("%BRASS%")
+        F.col("p_type").like("%AR%")
         & ~F.col("p_name").like("%green%")
         & F.col("p_brand").ilike("brand#1%")
     ).select("p_partkey", "p_name", "p_brand", "p_type")

@@ -153,7 +153,7 @@ def nexmark_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, first_seen FROM (
         SELECT user_id, MIN(ts) AS first_seen FROM events GROUP BY user_id
-    ) WHERE first_seen >= TIMESTAMP '2024-01-25'
+    ) WHERE first_seen >= TIMESTAMP '2024-01-01 06:00:00'
     """,
     tags=("nexmark", "aggregate"),
 )
@@ -162,7 +162,7 @@ def nexmark_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("user_id")
         .agg(F.min("ts").alias("first_seen"))
-        .where(F.col("first_seen") >= F.lit("2024-01-25").cast("timestamp"))
+        .where(F.col("first_seen") >= F.lit("2024-01-01 06:00:00").cast("timestamp"))
     )
 
 

@@ -360,7 +360,7 @@ def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = (
         load_table(spark, sf_dir, "supplier")
-        .where(F.col("s_acctbal") > 9000)
+        .where(F.col("s_acctbal") > 8000)
         .select(F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal"), F.lit("supplier").alias("kind"))
     )
     return c.unionByName(s)
@@ -369,9 +369,9 @@ def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "except_op",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9990
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
     """,
     tags=("setop",),
 )
@@ -379,12 +379,12 @@ def except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSPSubtractOperator + distinct (SQL EXCEPT)."""
     c = (
         load_table(spark, sf_dir, "customer")
-        .where(F.col("c_acctbal") > 9990)
+        .where(F.col("c_acctbal") > 9000)
         .select(F.col("c_nationkey").alias("nationkey"))
     )
     s = (
         load_table(spark, sf_dir, "supplier")
-        .where(F.col("s_acctbal") > 9000)
+        .where(F.col("s_acctbal") > 8000)
         .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.subtract(s)
@@ -393,21 +393,21 @@ def except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "intersect_op",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9990
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
     INTERSECT
-    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 8000
     """,
     tags=("setop",),
 )
 def intersect_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         load_table(spark, sf_dir, "customer")
-        .where(F.col("c_acctbal") > 9990)
+        .where(F.col("c_acctbal") > 9000)
         .select(F.col("c_nationkey").alias("nationkey"))
     )
     s = (
         load_table(spark, sf_dir, "supplier")
-        .where(F.col("s_acctbal") > 9000)
+        .where(F.col("s_acctbal") > 8000)
         .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.intersect(s)
@@ -457,7 +457,7 @@ def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (
+    WHERE o_totalprice > 1.5 * (
         SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
         FROM orders)
     """,
@@ -472,7 +472,7 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.crossJoin(F.broadcast(avg_df))
-        .where(F.col("o_totalprice") > 2 * F.col("avg_all"))
+        .where(F.col("o_totalprice") > 1.5 * F.col("avg_all"))
         .select("o_orderkey", "o_totalprice")
     )
 

@@ -259,7 +259,8 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
     FROM customer, avg_bal
     WHERE c_acctbal > a
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01')
     GROUP BY c_nationkey
     """,
     tags=("tpch2", "subquery"),
@@ -272,7 +273,8 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(dec2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("a")
     )
     rich = c.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("a"))
-    idle = rich.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    recent = o.where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+    idle = rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
     return idle.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
         F.sum(dec2("c_acctbal")).cast("double").alias("totacctbal"),

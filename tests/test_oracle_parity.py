@@ -11,6 +11,22 @@ from sql_to_dbsp_compiler_spark.testing import compare_frames, run_oracle
 
 ORACLE_QUERIES = sorted(name for name, q in REGISTRY.items() if q.oracle)
 
+# Queries allowed to return 0 rows at sf0.001: either the empty result
+# IS the point, or the tiny scale (10 suppliers, 150 customers)
+# legitimately starves a selective multi-way filter. Everything else
+# returning 0 rows means the filters match nothing — a vacuous test
+# (this caught filters on real-world nation names that don't exist in
+# the synthetic NATION_k data).
+EMPTY_OK_AT_TINY_SF = {
+    "groupby_empty_input",
+    "array_agg_op",
+    "intersect_op",
+    "tpch_q7_volume",
+    "tpch_q11_important_stock",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+}
+
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_parity(spark, sf_dir, name):
@@ -19,6 +35,8 @@ def test_oracle_parity(spark, sf_dir, name):
     oracle_pdf = run_oracle(q.oracle, sf_dir)
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{name}:\n" + "\n".join(problems)
+    if name not in EMPTY_OK_AT_TINY_SF:
+        assert len(spark_pdf) > 0, f"{name}: matched the oracle but on 0 rows (vacuous)"
 
 
 @pytest.mark.parametrize("name", sorted(set(REGISTRY) - set(ORACLE_QUERIES)))
