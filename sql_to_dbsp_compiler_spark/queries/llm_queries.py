@@ -171,6 +171,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(corpus, queries, k=5, nlist=16, nprobe=4)
 
 
+@query("ann_ivf_kmeans_topk", tags=("llm", "similarity", "rows-only"))
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with REAL k-means training (distributed Lloyd via
+    pyspark.ml.KMeans on L2-normalized vectors): tighter buckets than
+    head-init, so the same nprobe recovers more true neighbors. Recall
+    vs brute force asserted in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 10)
+    return ivf_topk(corpus, queries, k=5, nlist=16, nprobe=4, train="kmeans")
+
+
 @query(
     "text_quality",
     oracle=f"""

@@ -30,6 +30,26 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.4, f"IVF mean recall too low: {recalls}"
 
 
+def _mean_recall(exact, approx):
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    return sum(
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ) / len(exact_sets)
+
+
+def test_ivf_kmeans_recall(spark, sf_dir):
+    """k-means-trained IVF must reach solid recall at nprobe=4/nlist=16
+    (a quarter of the corpus scanned)."""
+    corpus, queries = _split(spark, sf_dir)
+    exact = brute_force_topk(corpus, queries, k=5).collect()
+    kmeans = ivf_topk(corpus, queries, k=5, nlist=8, nprobe=4, train="kmeans").collect()
+    assert _mean_recall(exact, kmeans) >= 0.5
+
+
 def test_bruteforce_topk_is_ordered_and_complete(spark, sf_dir):
     corpus, queries = _split(spark, sf_dir)
     rows = brute_force_topk(corpus, queries, k=5).collect()
