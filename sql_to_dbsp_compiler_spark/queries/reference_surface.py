@@ -1,0 +1,102 @@
+"""Reference-surface completion: GEOPOINT distance, TIMESTAMPDIFF,
+ELEMENT/CARDINALITY — the remaining scalar surfaces the reference
+exposes (reference: lib/sqllib/src/geopoint.rs ST_POINT/ST_DISTANCE
+euclidean; doc/sql/datetime.rst TIMESTAMPDIFF; doc/sql/array.rst
+ELEMENT/CARDINALITY)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_to_dbsp_compiler_spark.queries.registry import query
+from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+
+@query(
+    "geo_distance",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dist
+    FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+                 CAST(embedding[2] AS DOUBLE) AS y
+          FROM embeddings WHERE vec_id <= 20) a
+    JOIN (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+                 CAST(embedding[2] AS DOUBLE) AS y
+          FROM embeddings WHERE vec_id <= 20) b
+      ON a.vec_id < b.vec_id
+    """,
+    tags=("functions", "geo"),
+)
+def geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOPOINT surface: ST_POINT construction (a 2-double struct) and
+    ST_DISTANCE = euclidean distance (reference geopoint.rs:26 uses
+    geo::EuclideanDistance). Same sqrt/pow op order both engines, so
+    doubles are bit-identical."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 20)
+    pts = e.select(
+        "vec_id",
+        F.struct(
+            F.element_at("embedding", 1).cast("double").alias("x"),
+            F.element_at("embedding", 2).cast("double").alias("y"),
+        ).alias("pt"),
+    )
+    a = pts.select(F.col("vec_id").alias("id_a"), F.col("pt").alias("pa"))
+    b = pts.select(F.col("vec_id").alias("id_b"), F.col("pt").alias("pb"))
+    dx = F.col("pa.x") - F.col("pb.x")
+    dy = F.col("pa.y") - F.col("pb.y")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.sqrt(dx * dx + dy * dy).alias("dist"))
+    )
+
+
+@query(
+    "timestampdiff_units",
+    oracle="""
+    SELECT event_id,
+           CAST(date_sub('second', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS sec_since,
+           CAST(date_sub('minute', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS min_since,
+           CAST(date_sub('hour',   TIMESTAMP '2024-01-01', ts) AS BIGINT) AS hr_since,
+           CAST(date_sub('day',    TIMESTAMP '2024-01-01', ts) AS BIGINT) AS day_since
+    FROM events WHERE event_id <= 500
+    """,
+    tags=("functions", "datetime"),
+)
+def timestampdiff_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMPDIFF for fixed-width units = complete elapsed units
+    (reference doc/sql/datetime.rst; DuckDB's date_sub has the same
+    complete-units semantics, unlike date_diff's boundary crossings)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    t0 = "TIMESTAMP '2024-01-01'"
+    return e.select(
+        "event_id",
+        F.expr(f"timestampdiff(SECOND, {t0}, ts)").cast("bigint").alias("sec_since"),
+        F.expr(f"timestampdiff(MINUTE, {t0}, ts)").cast("bigint").alias("min_since"),
+        F.expr(f"timestampdiff(HOUR, {t0}, ts)").cast("bigint").alias("hr_since"),
+        F.expr(f"timestampdiff(DAY, {t0}, ts)").cast("bigint").alias("day_since"),
+    )
+
+
+@query(
+    "element_cardinality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(lang, '-')) AS BIGINT) AS n_parts,
+           CASE WHEN len(string_split(lang, '-')) = 1
+                THEN string_split(lang, '-')[1] END AS sole_element
+    FROM documents WHERE doc_id <= 500
+    """,
+    tags=("functions", "array"),
+)
+def element_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ELEMENT (sole element of a singleton array, NULL otherwise) and
+    CARDINALITY (reference doc/sql/array.rst: ELEMENT errors on >1
+    element; we take the total-function variant returning NULL)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") <= 500)
+    arr = F.split(F.col("lang"), "-", -1)
+    return d.select(
+        "doc_id",
+        F.size(arr).cast("bigint").alias("n_parts"),
+        F.when(F.size(arr) == 1, F.element_at(arr, 1)).alias("sole_element"),
+    )
