@@ -34,3 +34,25 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def bucket_tpch_facts(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the two big TPC-H facts bucketed+sorted on orderkey
+    — the join key every order-grain pipeline reuses. The shuffle is
+    paid once here; every later orders⋈lineitem is a zero-Exchange
+    sort-merge join (DBSP keeps the same relations indexed by key —
+    DBSPIndexOperator — for exactly this reason). At 100 TB this is the
+    difference between re-shuffling ~TBs per pipeline and none.
+
+    Returns (orders_bucketed, lineitem_bucketed)."""
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"), "orders_bk", "o_orderkey", num_buckets
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"), "lineitem_bk", "l_orderkey", num_buckets
+    )
+    return spark.table("orders_bk"), spark.table("lineitem_bk")
