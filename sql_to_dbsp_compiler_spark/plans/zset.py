@@ -119,6 +119,15 @@ class ZSet:
         return sorted(tuple(r[c] for c in cols) for r in z.collect())
 
 
+def incremental_join(a_prev: ZSet, da: ZSet, b_prev: ZSet, db: ZSet, on: Column) -> ZSet:
+    """DBSPIncrementalJoinOperator: the bilinear delta rule
+    Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB, where A/B are the integrated
+    states BEFORE this step. Each term is an ordinary weighted join;
+    at scale A and B would be maintained as bucketed/indexed state so
+    each per-step term shuffles only the (small) delta side."""
+    return da.join(b_prev, on).add(a_prev.join(db, on)).add(da.join(db, on))
+
+
 # ---- stream-of-snapshots operators ------------------------------------
 def differentiate(snapshots: list[DataFrame]) -> list[ZSet]:
     """DBSPDifferentialOperator over a stream of snapshots:

@@ -92,3 +92,36 @@ def test_flatmap_and_filter_weight_preserving(spark, sf_dir):
         d.select(F.explode(F.col("ws")).alias("w")).where(F.col("w") != "")
     )
     assert z.rows() == ZSet.from_df(batch).rows()
+
+
+def test_incremental_join_bilinear_rule(spark, sf_dir):
+    """Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB at every step, including deletes
+    (reference: DBSPIncrementalJoinOperator.java)."""
+    from sql_to_dbsp_compiler_spark.plans.zset import incremental_join
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    a_snaps = [
+        o.where(F.col("o_orderkey") <= 200),
+        o.where(F.col("o_orderkey") <= 500),
+        o.where((F.col("o_orderkey") <= 900) & (F.col("o_orderkey") > 40)),
+    ]
+    b_snaps = [
+        c.where(F.col("c_custkey") <= 60),
+        c.where((F.col("c_custkey") <= 100) & (F.col("c_custkey") > 5)),
+        c.where(F.col("c_custkey") <= 130),
+    ]
+    on = F.col("o_custkey") == F.col("c_custkey")
+    joined_snaps = [a.join(b, on) for a, b in zip(a_snaps, b_snaps)]
+    want_deltas = differentiate(joined_snaps)
+
+    da_list = differentiate(a_snaps)
+    db_list = differentiate(b_snaps)
+    empty_a = ZSet.from_df(a_snaps[0].limit(0))
+    empty_b = ZSet.from_df(b_snaps[0].limit(0))
+    a_prev, b_prev = empty_a, empty_b
+    for t in range(3):
+        got = incremental_join(a_prev, da_list[t], b_prev, db_list[t], on)
+        assert got.rows() == want_deltas[t].rows(), f"step {t}"
+        a_prev = a_prev.add(da_list[t]).consolidate()
+        b_prev = b_prev.add(db_list[t]).consolidate()
