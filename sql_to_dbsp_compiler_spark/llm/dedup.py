@@ -36,6 +36,26 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, gram))
 
 
+def _rot(x: Column, k: int) -> Column:
+    """64-bit rotate-left using shifts+or only (ANSI-safe, no overflow)."""
+    return F.shiftleft(x, k).bitwiseOR(F.shiftrightunsigned(x, 64 - k))
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct word-n-gram shingles as 64-bit HASHES, built from one
+    xxhash64 pass over words + rotate/xor combining — the n-gram string
+    is never materialized (the expensive part of shingling at scale is
+    building millions of short strings; longs are 10x cheaper)."""
+    hs = F.transform(words(text), lambda w: F.xxhash64(w))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(hs) - n, F.lit(-1)))
+    combine = lambda i: reduce(  # noqa: E731
+        lambda acc, k: acc.bitwiseXOR(_rot(F.element_at(hs, i + k + 1), (k * 21) % 63 + 1)),
+        range(n),
+        F.lit(0).cast("long"),
+    )
+    return F.array_distinct(F.transform(idx, combine))
+
+
 def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
     """MinHash signature: array of num_hashes minima of seeded
     xxhash64 over the shingle set. One pass, no shuffle, no UDF."""
@@ -69,17 +89,30 @@ def minhash_signatures_df(
     """
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    sh_df = (
-        df.repartition(par, F.col(id_col))
-        .select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__sh"))
-        .persist()
+    # Shingles are built directly as 64-bit hashes (one xxhash64 pass
+    # over words, rotate/xor n-gram combining — no n-gram strings); the
+    # num_hashes family is derived from the base hash with xorshift
+    # mixing (XOR+shifts only — safe under ANSI overflow checking, and
+    # ~10x cheaper than re-hashing a string per function).
+    # Linear DAG (one consumer per subtree) — no persist barriers; the
+    # repartition spreads single-file inputs across the cluster before
+    # the per-doc compute.
+    sh_df = df.repartition(par, F.col(id_col)).select(
+        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("__h")
     )
 
-    def hasher(i: int):
-        prefix = F.lit(f"mh{i}|")
-        return lambda s: F.xxhash64(F.concat(prefix, s))
+    def variant(i: int):
+        seed = F.lit((0x9E3779B97F4A7C15 * (i + 1)) % (1 << 63)).cast("long")
 
-    mins = [F.array_min(F.transform(F.col("__sh"), hasher(i))) for i in range(num_hashes)]
+        def mix(x):
+            v = x.bitwiseXOR(seed)
+            v = v.bitwiseXOR(F.shiftright(v, 33))
+            v = v.bitwiseXOR(F.shiftleft(v, 21))
+            return v.bitwiseXOR(F.shiftright(v, 17))
+
+        return mix
+
+    mins = [F.array_min(F.transform(F.col("__h"), variant(i))) for i in range(num_hashes)]
     return sh_df.select(F.col(id_col), F.array(*mins).alias("sig"))
 
 
@@ -99,10 +132,6 @@ def lsh_candidate_pairs(
     are near-identical boilerplate; they are reported by exact dedup
     instead, and capping keeps task sizes predictable)."""
     rows = F.size(F.col(sig_col)) / bands  # rows per band
-    # materialize once: this subtree feeds the bucket-size scan AND
-    # both sides of the self-join — without persist the (expensive)
-    # signature computation would run three times.
-    sig_df = sig_df.persist()
     banded = (
         sig_df.select(
             F.col(id_col),
@@ -120,24 +149,32 @@ def lsh_candidate_pairs(
         )
         .select(id_col, "band.band_id", "band.band_hash")
     )
-    # prune degenerate buckets before the join
-    sizes = banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("bucket_n"))
-    banded = banded.join(
-        F.broadcast(sizes.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")),
-        ["band_id", "band_hash"],
+    # ONE shuffle: group each (band, hash) bucket, cap degenerate
+    # buckets (near-identical boilerplate is reported by exact dedup
+    # instead; the cap keeps task sizes predictable), and enumerate
+    # pairs WITHIN the bucket array — no bucket-size pre-scan, no
+    # self-join, no second shuffle of the banded rows.
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    # NB two-arg lambda: pyspark passes the 0-based
+                    # array index as the second argument.
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(1))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def ngram_jaccard_pairs(
