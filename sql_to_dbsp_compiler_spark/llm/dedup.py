@@ -78,25 +78,18 @@ def minhash_signatures_df(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signatures as a staged, parallel plan.
+    """MinHash signatures as one linear, parallel plan.
 
-    Two scale problems with the naive single-projection form:
-    (1) a small parquet file arrives as ONE partition, serializing all
-        per-doc hashing → repartition by id first;
-    (2) the shingle array expression would be inlined (and recomputed)
-        into each of the num_hashes transforms → materialize shingles
-        once behind a persist barrier, then hash from the stored array.
-    """
+    Shingles are built directly as 64-bit hashes (one xxhash64 pass
+    over words, rotate/xor n-gram combining — no n-gram strings); the
+    num_hashes family is derived from the base hash by xorshift mixing
+    (XOR+shifts only — ANSI-overflow-safe, and ~10x cheaper than
+    re-hashing a string per function). The repartition spreads
+    single-file inputs across the cluster before the per-doc compute;
+    the DAG is linear (one consumer per subtree) so there are no
+    persist barriers."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    # Shingles are built directly as 64-bit hashes (one xxhash64 pass
-    # over words, rotate/xor n-gram combining — no n-gram strings); the
-    # num_hashes family is derived from the base hash with xorshift
-    # mixing (XOR+shifts only — safe under ANSI overflow checking, and
-    # ~10x cheaper than re-hashing a string per function).
-    # Linear DAG (one consumer per subtree) — no persist barriers; the
-    # repartition spreads single-file inputs across the cluster before
-    # the per-doc compute.
     sh_df = df.repartition(par, F.col(id_col)).select(
         F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("__h")
     )
@@ -116,46 +109,17 @@ def minhash_signatures_df(
     return sh_df.select(F.col(id_col), F.array(*mins).alias("sig"))
 
 
-def lsh_candidate_pairs(
-    sig_df: DataFrame,
-    id_col: str = "doc_id",
-    sig_col: str = "sig",
-    bands: int = 4,
-    max_bucket: int = 1000,
-) -> DataFrame:
-    """LSH banding: split the signature into `bands` slices; docs
-    sharing any band slice become a candidate pair.
 
-    Implementation is a self-equi-join on (band_id, band_hash):
-    shuffle is linear in corpus size, and pair generation is quadratic
-    only within a bucket — bounded by `max_bucket` (oversized buckets
-    are near-identical boilerplate; they are reported by exact dedup
-    instead, and capping keeps task sizes predictable)."""
-    rows = F.size(F.col(sig_col)) / bands  # rows per band
-    banded = (
-        sig_df.select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band_id"),
-                        F.xxhash64(
-                            F.slice(F.col(sig_col), b * rows.cast("int") + 1, rows.cast("int"))
-                        ).alias("band_hash"),
-                    ),
-                )
-            ).alias("band"),
-        )
-        .select(id_col, "band.band_id", "band.band_hash")
-    )
-    # ONE shuffle: group each (band, hash) bucket, cap degenerate
-    # buckets (near-identical boilerplate is reported by exact dedup
-    # instead; the cap keeps task sizes predictable), and enumerate
-    # pairs WITHIN the bucket array — no bucket-size pre-scan, no
-    # self-join, no second shuffle of the banded rows.
+def _pairs_within_buckets(
+    banded, bucket_cols: list[str], id_col: str, max_bucket: int
+):
+    """Join-free candidate pairing: ONE shuffle groups rows into
+    buckets; pairs are enumerated inside the (capped) bucket array.
+    Replaces the bucket-size pre-scan + broadcast filter + self-join of
+    the naive formulation — shuffle volume is linear in the banded rows
+    and pair generation is quadratic only within a bucket."""
     buckets = (
-        banded.groupBy("band_id", "band_hash")
+        banded.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
@@ -175,6 +139,39 @@ def lsh_candidate_pairs(
         ).alias("p")
     )
     return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` slices; docs
+    sharing any band slice become a candidate pair (pairing via
+    _pairs_within_buckets — one linear shuffle on the band key)."""
+    rows = F.size(F.col(sig_col)) / bands  # rows per band
+    banded = (
+        sig_df.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band_id"),
+                        F.xxhash64(
+                            F.slice(F.col(sig_col), b * rows.cast("int") + 1, rows.cast("int"))
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("band"),
+        )
+        .select(id_col, "band.band_id", "band.band_hash")
+    )
+    # degenerate (oversized) buckets are near-identical boilerplate —
+    # reported by exact dedup instead; the cap keeps task sizes bounded.
+    return _pairs_within_buckets(banded, ["band_id", "band_hash"], id_col, max_bucket)
 
 
 def ngram_jaccard_pairs(
@@ -280,14 +277,4 @@ def simhash_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_val")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return _pairs_within_buckets(banded, ["band_id", "band_val"], id_col, 1000)
