@@ -8,6 +8,7 @@ from sql_to_dbsp_compiler_spark.queries import (  # noqa: E402,F401
     functions_sql2,
     llm_queries,
     nexmark,
+    program_queries,
     reference_surface,
     relational,
     statistics,

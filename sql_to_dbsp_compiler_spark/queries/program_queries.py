@@ -1,0 +1,105 @@
+"""Queries driven through the SQL *program* compiler — exercising the
+reference's actual user API (a program of CREATE TABLE + CREATE VIEW
+statements, every view an output; reference: doc/sql/structure.rst,
+SQL-compiler frontend CalciteCompiler) end-to-end under the driver's
+oracle gate. The oracle runs the equivalent chained SQL in DuckDB, so
+a hash match proves program parsing + source binding + ordered view
+evaluation all preserve semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sql_to_dbsp_compiler_spark.compiler import compile_batch
+from sql_to_dbsp_compiler_spark.queries.registry import query
+
+_CHAIN_PROGRAM = """
+CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR,
+                    o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority VARCHAR,
+                    o_clerk VARCHAR, o_shippriority INTEGER, o_comment VARCHAR);
+CREATE TABLE customer(c_custkey BIGINT, c_name VARCHAR, c_address VARCHAR,
+                      c_nationkey INTEGER, c_phone VARCHAR, c_acctbal DOUBLE,
+                      c_mktsegment VARCHAR, c_comment VARCHAR);
+CREATE VIEW v_open_orders AS
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+    FROM orders WHERE o_orderstatus = 'O';
+CREATE VIEW v_cust_spend AS
+    SELECT o_custkey, CAST(SUM(price) AS DECIMAL(18,2)) AS total_spend,
+           COUNT(*) AS open_cnt
+    FROM v_open_orders GROUP BY o_custkey;
+CREATE VIEW v_segment_top AS
+    SELECT c_mktsegment, CAST(SUM(total_spend) AS DOUBLE) AS seg_spend,
+           CAST(SUM(open_cnt) AS BIGINT) AS seg_orders
+    FROM v_cust_spend JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment;
+"""
+
+
+@query(
+    "program_multiview_chain",
+    oracle="""
+    WITH v_open_orders AS (
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders WHERE o_orderstatus = 'O'
+    ), v_cust_spend AS (
+        SELECT o_custkey, CAST(SUM(price) AS DECIMAL(18,2)) AS total_spend,
+               COUNT(*) AS open_cnt
+        FROM v_open_orders GROUP BY o_custkey
+    )
+    SELECT c_mktsegment, CAST(SUM(total_spend) AS DOUBLE) AS seg_spend,
+           CAST(SUM(open_cnt) AS BIGINT) AS seg_orders
+    FROM v_cust_spend JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("compiler", "multiview"),
+)
+def program_multiview_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three chained views (filter→aggregate→join-aggregate) compiled
+    from a reference-style program over the parquet tables. Catalyst
+    fuses the chain into one plan: the orders scan keeps pushdown of
+    the status filter, customer is broadcast, and money is summed in
+    DECIMAL for partition-order determinism."""
+    views = compile_batch(spark, _CHAIN_PROGRAM, sf_dir=sf_dir)
+    return views["v_segment_top"]
+
+
+_INLINE_PROGRAM = """
+CREATE TABLE dept(dept_id INTEGER, dept_name VARCHAR(30));
+CREATE TABLE emp(emp_id INTEGER, dept_id INTEGER, salary DECIMAL(10,2), active BOOLEAN);
+INSERT INTO dept VALUES (1, 'eng'), (2, 'sales'), (3, 'empty');
+INSERT INTO emp VALUES (10, 1, 120000.50, true), (11, 1, 95000.25, false),
+                       (12, 2, 80000.00, true), (13, 2, 81000.10, true);
+CREATE VIEW active_pay AS
+    SELECT dept_id, CAST(SUM(salary) AS DOUBLE) AS pay, COUNT(*) AS n
+    FROM emp WHERE active GROUP BY dept_id;
+CREATE VIEW dept_pay AS
+    SELECT dept_name, COALESCE(pay, 0.0) AS pay, COALESCE(n, 0) AS n
+    FROM dept LEFT JOIN active_pay ON dept.dept_id = active_pay.dept_id;
+"""
+
+
+@query(
+    "program_values_inline",
+    oracle="""
+    WITH dept(dept_id, dept_name) AS (VALUES (1, 'eng'), (2, 'sales'), (3, 'empty')),
+    emp(emp_id, dept_id, salary, active) AS (
+        VALUES (10, 1, CAST(120000.50 AS DECIMAL(10,2)), true),
+               (11, 1, CAST(95000.25 AS DECIMAL(10,2)), false),
+               (12, 2, CAST(80000.00 AS DECIMAL(10,2)), true),
+               (13, 2, CAST(81000.10 AS DECIMAL(10,2)), true)
+    ), active_pay AS (
+        SELECT dept_id, CAST(SUM(salary) AS DOUBLE) AS pay, COUNT(*) AS n
+        FROM emp WHERE active GROUP BY dept_id
+    )
+    SELECT dept_name, COALESCE(pay, 0.0) AS pay, COALESCE(n, 0) AS n
+    FROM dept LEFT JOIN active_pay ON dept.dept_id = active_pay.dept_id
+    """,
+    tags=("compiler", "values"),
+)
+def program_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-contained program: INSERT VALUES populate the inputs
+    (reference test programs do the same via their JIT input
+    adapters), outer join keeps the empty department with COALESCEd
+    zeros."""
+    views = compile_batch(spark, _INLINE_PROGRAM)
+    return views["dept_pay"]

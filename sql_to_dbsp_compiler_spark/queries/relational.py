@@ -360,7 +360,7 @@ def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = (
         load_table(spark, sf_dir, "supplier")
-        .where(F.col("s_acctbal") > 8000)
+        .where(F.col("s_acctbal") > 9000)
         .select(F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal"), F.lit("supplier").alias("kind"))
     )
     return c.unionByName(s)

@@ -1,6 +1,8 @@
 """Replica of the driver's t2 gate: every oracle-bearing registry
-query must match DuckDB exactly at sf0.001 (and the full run at sf0.01
-is exercised by the driver; use -k to spot-check one query)."""
+query must match DuckDB exactly at sf0.01 — the SAME scale the driver
+uses. (It used to run at sf0.001, which let a filter-threshold
+mismatch in union_all slip through because no supplier row fell in
+the divergent band at that scale; use -k to spot-check one query.)"""
 
 from __future__ import annotations
 
@@ -11,12 +13,12 @@ from sql_to_dbsp_compiler_spark.testing import compare_frames, run_oracle
 
 ORACLE_QUERIES = sorted(name for name, q in REGISTRY.items() if q.oracle)
 
-# Queries allowed to return 0 rows at sf0.001: either the empty result
-# IS the point, or the tiny scale (10 suppliers, 150 customers)
-# legitimately starves a selective multi-way filter. Everything else
-# returning 0 rows means the filters match nothing — a vacuous test
-# (this caught filters on real-world nation names that don't exist in
-# the synthetic NATION_k data).
+# Queries allowed to return 0 rows at small SF: either the empty
+# result IS the point, or the scale legitimately starves a selective
+# multi-way filter. Everything else returning 0 rows means the
+# filters match nothing — a vacuous test (this caught filters on
+# real-world nation names that don't exist in the synthetic NATION_k
+# data).
 EMPTY_OK_AT_TINY_SF = {
     "groupby_empty_input",
     "array_agg_op",
@@ -29,10 +31,10 @@ EMPTY_OK_AT_TINY_SF = {
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_oracle_parity(spark, sf_dir, name):
+def test_oracle_parity(spark, sf_correct_dir, name):
     q = REGISTRY[name]
-    spark_pdf = q.fn(spark, sf_dir).toPandas()
-    oracle_pdf = run_oracle(q.oracle, sf_dir)
+    spark_pdf = q.fn(spark, sf_correct_dir).toPandas()
+    oracle_pdf = run_oracle(q.oracle, sf_correct_dir)
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{name}:\n" + "\n".join(problems)
     if name not in EMPTY_OK_AT_TINY_SF:

@@ -1,0 +1,172 @@
+"""SQL program compiler tests: parse, batch multi-view evaluation,
+and the DBSP incremental correctness criterion — output deltas from
+IncrementalProgram integrate to exactly the batch evaluation of each
+view on the integrated inputs (reference: NaiveIncrementalTests /
+OptimizedIncrementalTests assert the same property on their circuits).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_to_dbsp_compiler_spark.compiler import (
+    IncrementalProgram,
+    SqlProgram,
+    compile_batch,
+)
+from sql_to_dbsp_compiler_spark.compiler.program import spark_type, split_statements
+from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+
+
+PROGRAM = """
+-- reference-style program: tables are inputs, views are outputs
+CREATE TABLE t(col0 INTEGER, col1 INTEGER NOT NULL, name VARCHAR(20));
+CREATE VIEW v1 AS SELECT col0, col1 * 2 AS dbl, name FROM t WHERE col1 > 0;
+CREATE VIEW v2 AS SELECT name, SUM(dbl) AS s, COUNT(*) AS c FROM v1 GROUP BY name;
+"""
+
+
+def test_parse_statements_respect_strings_and_comments():
+    text = """
+    CREATE TABLE a(x INTEGER); -- trailing; comment; with; semicolons
+    /* block; comment */
+    CREATE VIEW v AS SELECT 'semi;colon''s' AS s, x FROM a
+    """
+    stmts = split_statements(text)
+    assert len(stmts) == 2
+    assert stmts[1].startswith("CREATE VIEW")
+    prog = SqlProgram.parse(text)
+    assert list(prog.tables) == ["a"]
+    assert prog.views[0].name == "v"
+
+
+def test_parse_table_and_view_defs():
+    prog = SqlProgram.parse(PROGRAM)
+    assert prog.tables["t"].columns == (
+        ("col0", "INTEGER"),
+        ("col1", "INTEGER"),
+        ("name", "VARCHAR(20)"),
+    )
+    assert [v.name for v in prog.views] == ["v1", "v2"]
+
+
+@pytest.mark.parametrize(
+    "sql,expected",
+    [
+        ("INTEGER", "int"),
+        ("BIGINT", "bigint"),
+        ("VARCHAR(10)", "string"),
+        ("CHAR", "string"),
+        ("DECIMAL(12,2)", "decimal(12,2)"),
+        ("DOUBLE PRECISION", "double"),
+        ("TIMESTAMP(3)", "timestamp"),
+        ("BOOLEAN", "boolean"),
+        ("VARBINARY", "binary"),
+    ],
+)
+def test_type_mapping(sql, expected):
+    assert spark_type(sql) == expected
+
+
+def test_batch_multiview_with_inserts(spark):
+    prog = PROGRAM + """
+    INSERT INTO t VALUES (1, 10, 'a'), (2, 20, 'a'), (3, -5, 'b'), (4, 7, 'b');
+    """
+    views = compile_batch(spark, prog)
+    assert set(views) == {"v1", "v2"}
+    got = {
+        (r["name"], r["s"], r["c"])
+        for r in views["v2"].collect()
+    }
+    assert got == {("a", 60, 2), ("b", 14, 1)}
+
+
+def test_batch_binds_parquet_sources(spark, sf_dir):
+    prog = """
+    CREATE TABLE nation(n_nationkey INTEGER, n_name VARCHAR, n_regionkey INTEGER, n_comment VARCHAR);
+    CREATE VIEW big_nations AS SELECT n_regionkey, COUNT(*) AS cnt FROM nation GROUP BY n_regionkey;
+    """
+    views = compile_batch(spark, prog, sf_dir=sf_dir)
+    total = views["big_nations"].agg(F.sum("cnt").alias("t")).collect()[0]["t"]
+    expected = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    assert total == expected
+
+
+def test_empty_table_binding(spark):
+    prog = """
+    CREATE TABLE empty_t(x INTEGER, y VARCHAR);
+    CREATE VIEW v AS SELECT COUNT(*) AS c, SUM(x) AS s FROM empty_t;
+    """
+    views = compile_batch(spark, prog)
+    row = views["v"].collect()[0]
+    assert (row["c"], row["s"]) == (0, None)
+
+
+def _zrows(z: ZSet) -> set[tuple]:
+    return {tuple(r) for r in z.consolidate().df.collect()}
+
+
+def test_incremental_matches_batch_snapshot(spark):
+    """Feed insert/delete deltas; after every step, integrated output
+    deltas == batch recompute on integrated inputs (D∘Q∘I spec)."""
+    prog = SqlProgram.parse(PROGRAM)
+    inc = IncrementalProgram(spark, prog, checkpoint_every=2)
+
+    def mk(rows):
+        df = spark.createDataFrame(rows, "col0 int, col1 int, name string, __weight long")
+        return ZSet(df)
+
+    steps = [
+        {"t": mk([(1, 10, "a", 1), (2, 20, "a", 1), (3, -5, "b", 1)])},
+        {"t": mk([(4, 7, "b", 1), (2, 20, "a", -1)])},  # delete row 2
+        {"t": mk([(5, 3, "a", 2)])},  # multiset insert, weight 2
+        {},  # no-change step: all output deltas must be empty
+    ]
+
+    integrated_v2: ZSet | None = None
+    state_rows: list[tuple] = []
+    for deltas in steps:
+        for z in deltas.values():
+            for r in z.df.collect():
+                state_rows.extend([tuple(r)[:-1]] * abs(r["__weight"]) if r["__weight"] > 0 else [])
+                if r["__weight"] < 0:
+                    for _ in range(-r["__weight"]):
+                        state_rows.remove(tuple(r)[:-1])
+        out = inc.step(deltas)
+        integrated_v2 = out["v2"] if integrated_v2 is None else integrated_v2.add(out["v2"])
+        if not deltas:
+            assert _zrows(out["v1"]) == set()
+            assert _zrows(out["v2"]) == set()
+
+        # batch recompute of v2 on the integrated input
+        snap = spark.createDataFrame(state_rows, "col0 int, col1 int, name string")
+        snap.createOrReplaceTempView("t")
+        spark.sql(prog.views[0].sql).createOrReplaceTempView("v1")
+        batch_v2 = spark.sql(prog.views[1].sql)
+        assert _zrows(integrated_v2) == _zrows(ZSet.from_df(batch_v2))
+
+    # snapshot() agrees with the running integral
+    assert _zrows(inc.snapshot("v2")) == _zrows(integrated_v2)
+
+
+def test_incremental_join_program(spark):
+    """Two-table join view maintained incrementally (the bilinear
+    case the reference's DBSPIncrementalJoinOperator handles)."""
+    prog = """
+    CREATE TABLE l(k INTEGER, lv VARCHAR);
+    CREATE TABLE r(k INTEGER, rv VARCHAR);
+    CREATE VIEW j AS SELECT l.k AS k, lv, rv FROM l JOIN r ON l.k = r.k;
+    """
+    inc = IncrementalProgram(spark, prog)
+
+    def mk(schema, rows):
+        return ZSet(spark.createDataFrame(rows, schema + ", __weight long"))
+
+    d1 = inc.step({"l": mk("k int, lv string", [(1, "l1", 1), (2, "l2", 1)])})
+    assert _zrows(d1["j"]) == set()  # r empty: join empty
+    d2 = inc.step({"r": mk("k int, rv string", [(1, "r1", 1)])})
+    assert _zrows(d2["j"]) == {(1, "l1", "r1", 1)}
+    d3 = inc.step({"l": mk("k int, lv string", [(1, "l1", -1)])})
+    assert _zrows(d3["j"]) == {(1, "l1", "r1", -1)}
+    assert _zrows(inc.snapshot("j")) == set()
