@@ -254,11 +254,17 @@ def simhash_signatures(
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_candidate_pairs(
-    sig_df: DataFrame, id_col: str = "doc_id", band_bits: int = 16
+def banded_pairs_int64(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    band_bits: int,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """Candidate pairs sharing any 16-bit SimHash band (docs within
-    Hamming distance 3 of each other share >=1 of 4 bands)."""
+    """Band a packed 64-bit signature into ``64 // band_bits`` slices;
+    rows sharing any slice become candidate pairs (join-free bucket
+    pairing — one linear shuffle on (band_id, band_val)). Shared by
+    SimHash (text) and signed-random-projection (embedding) LSH."""
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sig_df.select(
@@ -268,7 +274,7 @@ def simhash_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                        F.shiftrightunsigned(F.col(sig_col), b * band_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("band_val"),
                     )
@@ -277,4 +283,12 @@ def simhash_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_val")
-    return _pairs_within_buckets(banded, ["band_id", "band_val"], id_col, 1000)
+    return _pairs_within_buckets(banded, ["band_id", "band_val"], id_col, max_bucket)
+
+
+def simhash_candidate_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", band_bits: int = 16
+) -> DataFrame:
+    """Candidate pairs sharing any 16-bit SimHash band (docs within
+    Hamming distance 3 of each other share >=1 of 4 bands)."""
+    return banded_pairs_int64(sig_df, id_col, "simhash", band_bits)

@@ -13,6 +13,8 @@ hence bit-deterministic and identical to DuckDB's list functions).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -135,6 +137,83 @@ def ivf_train_kmeans(
         schema="centroid_id int, cvec array<double>",
     )
     return centroids, assigned
+
+
+def srp_signatures(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """Signed-random-projection (cosine) LSH signature: 64 pseudo-
+    random hyperplanes; bit i = sign(v · h_i), packed into one long.
+    P[bit match] = 1 - angle(a,b)/π, so banding the signature gives a
+    cosine-similarity candidate filter (Charikar's SimHash for real
+    vectors — same family the reference's text SimHash belongs to).
+
+    One Arrow-batched pandas UDF does the (batch × dim) @ (dim × 64)
+    matmul in numpy — vectorized, no per-row Python. Hyperplanes are
+    regenerated per batch from the fixed seed (cheap: 64×dim doubles)
+    so the signature is deterministic across partitions/runs."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def srp(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="int64")
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        H = np.random.default_rng(seed).standard_normal((X.shape[1], 64))
+        bits = (X @ H) > 0.0
+        weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+        packed = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        return pd.Series(packed.view(np.int64))
+
+    return emb.select(F.col(id_col), srp(as_double_array(F.col(vec_col))).alias("srp_sig"))
+
+
+def srp_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_bits: int = 4,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Embedding near-dup via SRP-LSH: signature → banded candidate
+    pairs → exact cosine verify (precision 1 by construction; recall
+    set by band geometry). Band-width tuning: recall per pair at
+    cosine s is 1-(1-p^band_bits)^(64/band_bits) with p = 1-acos(s)/π;
+    narrow bands (4 bits) catch moderate similarity (s≈0.45, recall
+    ≈0.95) but give only 2^4 buckets per band — right for corpora
+    where bucket size (n/2^band_bits) stays in the thousands. At
+    larger n, raise band_bits (and the signature width with it) so
+    buckets stay bounded; the exact-verify join is an equi-join on
+    candidate ids either way, so cost scales with candidates, not n²."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import banded_pairs_int64
+
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    e = (
+        emb.repartition(par, F.col(id_col))
+        .select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .persist()
+    )
+    cands = banded_pairs_int64(
+        srp_signatures(e, id_col=id_col, vec_col="v"), id_col, "srp_sig", band_bits, max_bucket
+    )
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .where(sim >= threshold)
+        .select("id_a", "id_b", sim.alias("sim"))
+    )
 
 
 def ivf_topk(

@@ -112,6 +112,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidate_pairs(sigs, "doc_id")
 
 
+@query("embedding_lsh_neardup", tags=("llm", "dedup", "similarity", "rows-only"))
+def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via signed-random-projection LSH (candidate
+    pruning) + exact cosine verify — the scale path for
+    embedding_neardup: candidates come from banded signature
+    collisions (linear shuffle) instead of the all-pairs join.
+    Seeded-hash signatures are engine-specific → no SQL oracle;
+    precision/recall vs the exact all-pairs result asserted in
+    tests/test_similarity.py."""
+    from sql_to_dbsp_compiler_spark.llm.similarity import srp_neardup_pairs
+
+    return srp_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
 @query(
     "embedding_neardup",
     oracle="""

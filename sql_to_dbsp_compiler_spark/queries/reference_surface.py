@@ -100,3 +100,43 @@ def element_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(arr).cast("bigint").alias("n_parts"),
         F.when(F.size(arr) == 1, F.element_at(arr, 1)).alias("sole_element"),
     )
+
+
+@query(
+    "datetime_floor_ceil",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP) + INTERVAL (o_orderkey % 30) HOUR AS ts
+        FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey,
+           CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS floor_day,
+           CAST(CASE WHEN date_trunc('day', ts) = ts THEN ts
+                     ELSE date_trunc('day', ts) + INTERVAL 1 DAY END AS VARCHAR) AS ceil_day,
+           CAST(CAST(date_trunc('month', ts) AS TIMESTAMP) AS VARCHAR) AS floor_month,
+           CAST(CASE WHEN date_trunc('month', ts) = ts THEN ts
+                     ELSE date_trunc('month', ts) + INTERVAL 1 MONTH END AS VARCHAR) AS ceil_month
+    FROM t
+    """,
+    tags=("functions", "datetime"),
+)
+def datetime_floor_ceil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLOOR(datetime TO unit) / CEIL(datetime TO unit)
+    (reference doc/sql/datetime.rst; lib/sqllib datetime rounding):
+    floor = date_trunc; ceil = floor + one unit unless already on the
+    boundary. All JVM-side expressions, codegen'd."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    ts = F.col("o_orderdate").cast("timestamp") + F.expr(
+        "make_interval(0, 0, 0, 0, CAST(o_orderkey % 30 AS INT), 0, 0)"
+    )
+    t = o.select("o_orderkey", ts.alias("ts"))
+
+    def fc(unit: str, one: str) -> tuple:
+        fl = F.date_trunc(unit, F.col("ts"))
+        ce = F.when(fl == F.col("ts"), F.col("ts")).otherwise(fl + F.expr(one))
+        return fl.cast("string").alias(f"floor_{unit}"), ce.cast("string").alias(f"ceil_{unit}")
+
+    fd, cd = fc("day", "INTERVAL 1 DAY")
+    fm, cm = fc("month", "INTERVAL 1 MONTH")
+    return t.select("o_orderkey", fd, cd, fm, cm)

@@ -62,3 +62,32 @@ def test_bruteforce_topk_is_ordered_and_complete(spark, sf_dir):
         sims = [r.sim for r in rs]
         assert sims == sorted(sims, reverse=True)
         assert len(rs) == 5
+
+
+def test_srp_lsh_neardup_precision_and_recall(spark, sf_correct_dir):
+    """SRP-LSH pairs ⊆ exact all-pairs result (precision 1 — every
+    candidate is cosine-verified) and recall is high at the planted
+    similarity level (theory: ≥0.95 at s=0.45 with 16 bands × 4 bits)."""
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        cosine_neardup_pairs,
+        srp_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_correct_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b) for r in cosine_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    got = {(r.id_a, r.id_b) for r in srp_neardup_pairs(emb, threshold=0.45).collect()}
+    assert exact, "no planted near-dup pairs at this SF — vacuous test"
+    assert got <= exact, f"false positives: {got - exact}"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"SRP recall {recall:.2f} below 0.8 ({len(exact)} true pairs)"
+
+
+def test_srp_signature_deterministic(spark, sf_dir):
+    from sql_to_dbsp_compiler_spark.llm.similarity import srp_signatures
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {(r.vec_id, r.srp_sig) for r in srp_signatures(emb).collect()}
+    b = {(r.vec_id, r.srp_sig) for r in srp_signatures(emb.repartition(7)).collect()}
+    assert a == b
