@@ -1,0 +1,307 @@
+"""Incremental view-maintenance operators: per-step cost ∝ |delta|.
+
+These are the DBSP *optimized incremental* operators (reference:
+circuit/operator/DBSPIncrementalAggregateOperator.java,
+DBSPIncrementalJoinOperator.java, DBSPIncrementalDistinctOperator.java;
+the reference's OptimizedIncrementalTests pin their behavior against
+naive D∘Q∘I recomputation). Each operator holds integrated state as
+DataFrames and exposes ``step(delta) -> delta``:
+
+- :class:`IncrementalFilterMap` — linear (stateless): the delta of a
+  select/filter is the select/filter of the delta.
+- :class:`IncrementalLinearAgg` — SUM/COUNT/AVG group-bys: aggregate
+  the (small) delta, equi-join it with per-key state, emit
+  retraction+insertion rows for affected keys only. At scale the
+  state join shuffles |delta| keys against bucketed state — never
+  rescans the input.
+- :class:`IncrementalJoin` — bilinear rule Δ(A⋈B) = ΔA⋈B + A⋈ΔB +
+  ΔA⋈ΔB; state sides would be bucketed on the join key at scale so
+  each term shuffles only the delta side.
+
+State lineage is truncated with ``localCheckpoint`` every few steps
+(plans grow per step otherwise — same device as IncrementalProgram).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .zset import WEIGHT, ZSet, incremental_join
+
+
+class IncrementalFilterMap:
+    """Linear view: SELECT <exprs> WHERE <cond> over one input.
+
+    Linear operators commute with Z-set addition, so the output delta
+    is just the operator applied to the input delta — no state."""
+
+    def __init__(self, cols: list[Column] | None, cond: Column | None):
+        self.cols = cols
+        self.cond = cond
+
+    def step(self, delta: ZSet) -> ZSet:
+        z = delta
+        if self.cond is not None:
+            z = z.filter(self.cond)
+        if self.cols is not None:
+            z = z.map(*self.cols)
+        return z
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """One output aggregate column: kind ∈ {sum, count, avg};
+    expr is the aggregated expression (None for COUNT(*))."""
+
+    alias: str
+    kind: str
+    expr: Column | None = None
+
+
+class IncrementalLinearAgg:
+    """GROUP BY keys with linear aggregates (SUM / COUNT / AVG).
+
+    State: one row per live key holding Σ(expr·w) per SUM/AVG spec and
+    Σw (+ per-column non-null counts for COUNT(col)/AVG). A step:
+
+    1. aggregate the delta (map-side combine, |delta| rows in),
+    2. full-outer equi-join delta-agg with state on the keys,
+    3. output = retract old finished row (w=-1) + insert new finished
+       row (w=+1) for touched keys; groups appear/disappear with
+       Σw > 0,
+    4. state += delta-agg.
+
+    Step cost is |delta| + |touched keys| — independent of the
+    integrated input size, which is the entire point of DBSP."""
+
+    def __init__(
+        self,
+        keys: list[str],
+        specs: list[AggSpec],
+        cond: Column | None = None,
+        checkpoint_every: int = 8,
+    ):
+        if not specs:
+            raise ValueError("need at least one aggregate")
+        self.keys = keys
+        self.specs = specs
+        self.cond = cond
+        self._state: DataFrame | None = None  # keys + __cnt + per-spec sums
+        self._steps = 0
+        self._checkpoint_every = checkpoint_every
+
+    # -- internal helpers -------------------------------------------------
+    def _delta_agg(self, delta: ZSet) -> DataFrame:
+        z = delta if self.cond is None else delta.filter(self.cond)
+        w = F.col(WEIGHT)
+        aggs = [F.sum(w).alias("__cnt")]
+        for i, s in enumerate(self.specs):
+            if s.kind == "count" and s.expr is None:
+                continue  # COUNT(*) reuses __cnt
+            if s.kind == "count":
+                aggs.append(F.sum(F.when(s.expr.isNotNull(), w).otherwise(F.lit(0))).alias(f"__c{i}"))
+            else:  # sum / avg: Σ(expr·w) + non-null count (the count
+                # distinguishes "no non-null values yet" → SQL NULL sum
+                # from a genuine zero sum)
+                aggs.append(F.sum(s.expr * w).alias(f"__s{i}"))
+                aggs.append(
+                    F.sum(F.when(s.expr.isNotNull(), w).otherwise(F.lit(0))).alias(f"__c{i}")
+                )
+        return z.df.groupBy(*self.keys).agg(*aggs)
+
+    def _finish(self, prefix: str) -> list[Column]:
+        """Finished output columns from state columns named
+        {prefix}__cnt / {prefix}__s{i} / {prefix}__c{i}."""
+        cols = []
+        for i, s in enumerate(self.specs):
+            if s.kind == "count" and s.expr is None:
+                cols.append(F.col(f"{prefix}__cnt").alias(s.alias))
+            elif s.kind == "count":
+                cols.append(F.col(f"{prefix}__c{i}").alias(s.alias))
+            elif s.kind == "sum":
+                # SQL SUM over a group with only NULLs is NULL; with our
+                # Σ(expr·w) NULLs contribute NULL→sum skips them, but an
+                # all-NULL group yields NULL already. Weighted sum of
+                # nothing is NULL too — matches.
+                cols.append(F.col(f"{prefix}__s{i}").alias(s.alias))
+            else:  # avg: NULL when no non-null values (guarded — ANSI
+                # mode raises on the 0-divisor branch otherwise)
+                cols.append(
+                    F.when(
+                        F.col(f"{prefix}__c{i}") > 0,
+                        F.col(f"{prefix}__s{i}") / F.col(f"{prefix}__c{i}"),
+                    ).alias(s.alias)
+                )
+        return cols
+
+    # -- the operator ------------------------------------------------------
+    def step(self, delta: ZSet) -> ZSet:
+        d = self._delta_agg(delta)
+        state_cols = [c for c in d.columns if c not in self.keys]
+
+        if self._state is None:
+            # Even a pure-insert delta can need the NULL fix: non-null
+            # contributions may cancel (e.g. +x then -x) leaving Σ=0
+            # with non-null count 0, which SQL-wise is a NULL sum.
+            for i, s in enumerate(self.specs):
+                if s.kind in ("sum", "avg"):
+                    d = d.withColumn(
+                        f"__s{i}",
+                        F.when(F.col(f"__c{i}") == 0, F.lit(None)).otherwise(F.col(f"__s{i}")),
+                    )
+            new_state = d.where(F.col("__cnt") != 0)
+            out_new = new_state.where(F.col("__cnt") > 0).select(
+                *self.keys, *self._finish(""), F.lit(1).cast("long").alias(WEIGHT)
+            )
+            self._state = new_state
+            self._bump()
+            return ZSet(out_new)
+
+        st = self._state
+        sd = st.select(
+            *[F.col(k).alias(f"__k{j}") for j, k in enumerate(self.keys)],
+            *[F.col(c).alias(f"o{c}") for c in state_cols],
+        )
+        key_eq = None
+        for j, k in enumerate(self.keys):
+            eq = d[k].eqNullSafe(F.col(f"__k{j}"))
+            key_eq = eq if key_eq is None else (key_eq & eq)
+        joined = d.join(sd, key_eq, "full_outer")
+        # coalesce keys (either side may be absent)
+        keysel = [
+            F.coalesce(d[k], F.col(f"__k{j}")).alias(k) for j, k in enumerate(self.keys)
+        ]
+        merged = joined.select(
+            *keysel,
+            d["__cnt"].isNotNull().alias("__touched"),
+            *[F.col(f"o{c}").alias(f"old{c}") for c in state_cols],
+            *[
+                (
+                    F.coalesce(F.col(f"o{c}"), F.lit(0))
+                    + F.coalesce(d[c], F.lit(0))
+                ).alias(f"new{c}")
+                # NB: for __s{i} sums NULL means "no non-null contributions
+                # yet"; adding with coalesce(…,0) would turn NULL+NULL into
+                # 0. Handled below by nulling sums when count is 0.
+                for c in state_cols
+            ],
+        )
+        # where a group's non-null count is 0, its sum must be NULL (SQL)
+        fixes = {}
+        for i, s in enumerate(self.specs):
+            if s.kind in ("sum", "avg"):
+                fixes[f"new__s{i}"] = F.when(F.col(f"new__c{i}") == 0, F.lit(None)).otherwise(
+                    F.col(f"new__s{i}")
+                )
+        for c, expr in fixes.items():
+            merged = merged.withColumn(c, expr)
+        merged = merged.localCheckpoint(eager=False)
+
+        retract = merged.where(F.col("__touched") & (F.col("old__cnt") > 0)).select(
+            *self.keys, *self._finish("old"), F.lit(-1).cast("long").alias(WEIGHT)
+        )
+        insert = merged.where(F.col("__touched") & (F.col("new__cnt") > 0)).select(
+            *self.keys, *self._finish("new"), F.lit(1).cast("long").alias(WEIGHT)
+        )
+
+        self._state = merged.where(F.col("new__cnt") != 0).select(
+            *self.keys, *[F.col(f"new{c}").alias(c) for c in state_cols]
+        )
+        self._bump()
+        return ZSet(retract.unionByName(insert)).consolidate()
+
+    def _bump(self) -> None:
+        self._steps += 1
+        if self._steps % self._checkpoint_every == 0 and self._state is not None:
+            self._state = self._state.localCheckpoint(eager=False)
+
+    def snapshot(self) -> DataFrame:
+        if self._state is None:
+            raise ValueError("no steps applied")
+        return self._state.where(F.col("__cnt") > 0).select(*self.keys, *self._finish(""))
+
+
+class IncrementalJoin:
+    """Two-input equi-join maintained by the bilinear delta rule;
+    output payload is an arbitrary projection of the joined row."""
+
+    def __init__(self, on: Column, project: list[Column] | None = None, checkpoint_every: int = 8):
+        self.on = on
+        self.project = project
+        self._a: ZSet | None = None
+        self._b: ZSet | None = None
+        self._steps = 0
+        self._checkpoint_every = checkpoint_every
+
+    def step(self, da: ZSet, db: ZSet) -> ZSet:
+        if self._a is None:
+            out = da.join(db, self.on)
+            self._a, self._b = da.consolidate(), db.consolidate()
+        else:
+            out = incremental_join(self._a, da, self._b, db, self.on)
+            self._a = self._a.add(da).consolidate()
+            self._b = self._b.add(db).consolidate()
+        self._steps += 1
+        if self._steps % self._checkpoint_every == 0:
+            self._a = ZSet(self._a.df.localCheckpoint(eager=False))
+            self._b = ZSet(self._b.df.localCheckpoint(eager=False))
+        if self.project is not None:
+            out = out.map(*self.project)
+        return out.consolidate()
+
+
+class IncrementalDistinct:
+    """DBSPIncrementalDistinctOperator: maintain per-row multiplicity;
+    emit +1 when a row's weight crosses 0→positive, -1 on positive→0.
+
+    State is one row per distinct payload with its integrated weight;
+    a step touches only payloads present in the delta (equi-join on
+    the payload columns — bucketed state at scale)."""
+
+    def __init__(self, checkpoint_every: int = 8):
+        self._state: DataFrame | None = None  # payload + __mult
+        self._steps = 0
+        self._checkpoint_every = checkpoint_every
+
+    def step(self, delta: ZSet) -> ZSet:
+        d = delta.consolidate().df.withColumnRenamed(WEIGHT, "__d")
+        payload = [c for c in d.columns if c != "__d"]
+        if self._state is None:
+            merged = d.select(*payload, F.lit(0).cast("long").alias("__old"), F.col("__d"))
+        else:
+            st = self._state.select(
+                *[F.col(c).alias(f"s_{c}") for c in payload], F.col("__mult").alias("__old")
+            )
+            cond = None
+            for c in payload:
+                eq = d[c].eqNullSafe(F.col(f"s_{c}"))
+                cond = eq if cond is None else (cond & eq)
+            j = d.join(st, cond, "full_outer")
+            merged = j.select(
+                *[F.coalesce(d[c], F.col(f"s_{c}")).alias(c) for c in payload],
+                F.coalesce(F.col("__old"), F.lit(0)).alias("__old"),
+                F.coalesce(F.col("__d"), F.lit(0)).alias("__d"),
+            )
+        merged = merged.withColumn("__new", F.col("__old") + F.col("__d")).localCheckpoint(
+            eager=False
+        )
+        out = (
+            merged.where(
+                ((F.col("__old") > 0) & (F.col("__new") <= 0))
+                | ((F.col("__old") <= 0) & (F.col("__new") > 0))
+            )
+            .select(
+                *payload,
+                F.when(F.col("__new") > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long").alias(WEIGHT),
+            )
+        )
+        self._state = merged.where(F.col("__new") != 0).select(
+            *payload, F.col("__new").alias("__mult")
+        )
+        self._steps += 1
+        if self._steps % self._checkpoint_every == 0:
+            self._state = self._state.localCheckpoint(eager=False)
+        return ZSet(out)
