@@ -40,7 +40,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.zset import WEIGHT, ZSet
@@ -317,6 +317,167 @@ def compile_batch(
 
 
 # ---------------------------------------------------------------------------
+# View-shape recognition (the "optimized incremental" compiler pass)
+# ---------------------------------------------------------------------------
+#
+# The reference compiler rewrites each view's circuit into incremental
+# operators where it can (DBSPIncrementalAggregateOperator,
+# DBSPIncrementalJoinOperator, …) and falls back to naive D∘Q∘I where
+# it can't. We do the same on SQL *shape*: a conservative recognizer
+# maps a view body onto one of the plans/incremental.py operators;
+# anything unrecognized stays on the naive path. Misrecognition is
+# impossible by construction — every guard rejects toward naive, and
+# the property tests assert optimized == naive == batch.
+
+_FORBIDDEN_LINEAR = re.compile(
+    r"\b(JOIN|GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|OVER)\b"
+    r"|\(\s*SELECT\b|\bSUM\s*\(|\bCOUNT\s*\(|\bAVG\s*\(|\bMIN\s*\(|\bMAX\s*\(",
+    re.IGNORECASE,
+)
+
+_SELECT_FROM_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>\w+)\s*(?:WHERE\s+(?P<where>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_AGG_SELECT_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>\w+)\s*"
+    r"(?:WHERE\s+(?P<where>.+?))?\s*GROUP\s+BY\s+(?P<keys>[\w\s,]+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_AGG_ITEM_RE = re.compile(
+    r"^(?P<fn>SUM|COUNT|AVG)\s*\(\s*(?P<arg>\*|.+?)\s*\)\s+AS\s+(?P<alias>\w+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_JOIN_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<a>\w+)\s+JOIN\s+(?P<b>\w+)\s+ON\s+"
+    r"(?P<q1>\w+)\.(?P<c1>\w+)\s*=\s*(?P<q2>\w+)\.(?P<c2>\w+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+@dataclass
+class _LinearOp:
+    src: str
+    delta_sql: str  # SQL over the __delta temp view, carrying __weight
+
+
+@dataclass
+class _AggOp:
+    src: str
+    op: "object"  # IncrementalLinearAgg
+    out_cols: list[str]
+
+
+@dataclass
+class _JoinOp:
+    src_a: str
+    src_b: str
+    op: "object"  # IncrementalJoin
+
+
+def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str]):
+    """Return an op descriptor or None (→ naive). `known` = names of
+    tables and earlier views (valid delta sources)."""
+    from ..plans.incremental import AggSpec, IncrementalJoin, IncrementalLinearAgg
+
+    sql = view.sql.strip().rstrip(";")
+
+    m = _AGG_SELECT_RE.match(sql)
+    if m and m.group("src").lower() in known:
+        sel, src = m.group("sel"), m.group("src").lower()
+        where = m.group("where")
+        keys = [k.strip().lower() for k in m.group("keys").split(",") if k.strip()]
+        if where and _FORBIDDEN_LINEAR.search(where):
+            return None
+        specs: list = []
+        out_cols: list[str] = []
+        seen_keys: set[str] = set()
+        for item in _split_top_level_commas(sel):
+            item = item.strip()
+            am = _AGG_ITEM_RE.match(item)
+            if am:
+                fn = am.group("fn").lower()
+                arg = am.group("arg").strip()
+                alias = am.group("alias").lower()
+                if arg != "*" and _FORBIDDEN_LINEAR.search(arg):
+                    return None
+                if fn == "count" and arg == "*":
+                    specs.append(AggSpec(alias, "count"))
+                elif fn == "count":
+                    specs.append(AggSpec(alias, "count", F.expr(arg)))
+                elif fn == "sum":
+                    specs.append(AggSpec(alias, "sum", F.expr(arg)))
+                else:
+                    specs.append(AggSpec(alias, "avg", F.expr(arg)))
+                out_cols.append(alias)
+            elif re.fullmatch(r"\w+", item) and item.lower() in keys:
+                seen_keys.add(item.lower())
+                out_cols.append(item.lower())
+            else:
+                return None  # expressions over keys, aliased keys … → naive
+        if not specs or seen_keys != set(keys):
+            return None
+        return _AggOp(
+            src,
+            IncrementalLinearAgg(keys=keys, specs=specs, cond=F.expr(where) if where else None),
+            out_cols,
+        )
+
+    m = _JOIN_RE.match(sql)
+    if m:
+        a, b = m.group("a").lower(), m.group("b").lower()
+        if a not in tables or b not in tables or a == b:
+            return None  # view sources / self-join → naive
+        cols_a = [c for c, _ in tables[a].columns]
+        cols_b = [c for c, _ in tables[b].columns]
+        q1, c1, q2, c2 = (m.group(g).lower() for g in ("q1", "c1", "q2", "c2"))
+        if {q1, q2} != {a, b}:
+            return None
+        ka, kb = (c1, c2) if q1 == a else (c2, c1)
+        # join columns must be unambiguous across the two inputs
+        if ka == kb or ka in cols_b or kb in cols_a:
+            return None
+        project: list[Column] = []
+        for item in _split_top_level_commas(m.group("sel")):
+            item = item.strip()
+            im = re.fullmatch(
+                r"(?:(?P<q>\w+)\.)?(?P<col>\w+)(?:\s+AS\s+(?P<alias>\w+))?",
+                item,
+                re.IGNORECASE,
+            )
+            if not im:
+                return None
+            col = im.group("col").lower()
+            qual = (im.group("q") or "").lower()
+            alias = (im.group("alias") or col).lower()
+            owner = a if col in cols_a else (b if col in cols_b else None)
+            if owner is None or (col in cols_a and col in cols_b):
+                return None  # unknown or ambiguous column
+            if qual and qual != owner:
+                return None
+            project.append(F.col(col).alias(alias))
+        from ..plans.incremental import IncrementalJoin as _IJ
+
+        return _JoinOp(a, b, _IJ(on=F.col(ka) == F.col(kb), project=project))
+
+    m = _SELECT_FROM_RE.match(sql)
+    if m and m.group("src").lower() in known:
+        sel, src = m.group("sel").strip(), m.group("src").lower()
+        where = m.group("where")
+        if _FORBIDDEN_LINEAR.search(sel) or (where and _FORBIDDEN_LINEAR.search(where)):
+            return None
+        if sel == "*":
+            delta_sql = f"SELECT * FROM __delta__{src}"
+        else:
+            delta_sql = f"SELECT {sel}, {WEIGHT} FROM __delta__{src}"
+        if where:
+            delta_sql += f" WHERE {where}"
+        return _LinearOp(src, delta_sql)
+
+    return None
+
+
+# ---------------------------------------------------------------------------
 # Incremental evaluation (D ∘ Q ∘ I)
 # ---------------------------------------------------------------------------
 
@@ -342,6 +503,7 @@ class IncrementalProgram:
         spark: SparkSession,
         program: SqlProgram | str,
         checkpoint_every: int = 8,
+        optimize: bool = False,
     ):
         self.spark = spark
         self.program = SqlProgram.parse(program) if isinstance(program, str) else program
@@ -352,18 +514,43 @@ class IncrementalProgram:
             name: ZSet.from_df(_empty_table(spark, t))
             for name, t in self.program.tables.items()
         }
-        # Previous snapshot of each view, as a Z-set (starts empty).
-        self._prev_views: dict[str, ZSet] | None = None
+        # Integrated state of each view, as a Z-set (starts empty).
+        self._view_state: dict[str, ZSet] = {}
         self._steps = 0
         self._checkpoint_every = checkpoint_every
+
+        # Optimized pass: map each view to an incremental operator
+        # where the shape allows; None → naive D∘Q∘I fallback.
+        self._ops: dict[str, object | None] = {}
+        known = set(self.program.tables)
+        for view in self.program.views:
+            self._ops[view.name] = (
+                _recognize_view(view, self.program.tables, known) if optimize else None
+            )
+            known.add(view.name)
+        self._has_naive = any(op is None for op in self._ops.values())
+
+    def plan(self) -> dict[str, str]:
+        """Which path each view compiles to — the analogue of the
+        reference's circuit dump (incremental operators vs naive)."""
+        kinds = {_LinearOp: "linear", _AggOp: "aggregate", _JoinOp: "join"}
+        return {
+            name: kinds.get(type(op), "naive") if op is not None else "naive"
+            for name, op in self._ops.items()
+        }
+
+    def _empty_delta(self, name: str) -> ZSet:
+        return ZSet.from_df(_empty_table(self.spark, self.program.tables[name]))
 
     def step(self, deltas: dict[str, ZSet | DataFrame]) -> dict[str, ZSet]:
         """Apply one round of input deltas; returns per-view output
         deltas (consolidated Z-sets; empty Z-set => view unchanged)."""
+        in_deltas: dict[str, ZSet] = {}
         for name, d in deltas.items():
             if name not in self._state:
                 raise KeyError(f"unknown table: {name}")
             z = d if isinstance(d, ZSet) else ZSet.from_df(d)
+            in_deltas[name] = z
             self._state[name] = self._state[name].add(z).consolidate()
         self._steps += 1
         # Periodically checkpoint state lineage so plans don't grow
@@ -373,28 +560,51 @@ class IncrementalProgram:
                 n: ZSet(z.df.localCheckpoint(eager=False)) for n, z in self._state.items()
             }
 
-        for name, z in self._state.items():
-            z.to_multiset_df().createOrReplaceTempView(name)
-        new_views: dict[str, ZSet] = {}
-        for view in self.program.views:
-            snap = self.spark.sql(view.sql)
-            snap.createOrReplaceTempView(view.name)
-            new_views[view.name] = ZSet.from_df(snap).consolidate()
+        if self._has_naive:
+            # naive views read full snapshots of the tables
+            for name, z in self._state.items():
+                z.to_multiset_df().createOrReplaceTempView(name)
 
-        if self._prev_views is None:
-            out = {n: z for n, z in new_views.items()}
-        else:
-            out = {
-                n: new_views[n].subtract(self._prev_views[n]).consolidate()
-                for n in new_views
-            }
-        self._prev_views = {
-            n: ZSet(z.df.localCheckpoint(eager=False)) for n, z in new_views.items()
-        }
+        out: dict[str, ZSet] = {}
+
+        def delta_of(src: str) -> ZSet:
+            if src in self.program.tables:
+                return in_deltas.get(src) or self._empty_delta(src)
+            return out[src]  # earlier view's delta this step
+
+        for view in self.program.views:
+            op = self._ops[view.name]
+            if isinstance(op, _LinearOp):
+                delta_of(op.src).df.createOrReplaceTempView(f"__delta__{op.src}")
+                d = ZSet(self.spark.sql(op.delta_sql)).consolidate()
+            elif isinstance(op, _AggOp):
+                d = op.op.step(delta_of(op.src))
+                d = d.map(*[F.col(c) for c in op.out_cols])
+            elif isinstance(op, _JoinOp):
+                d = op.op.step(delta_of(op.src_a), delta_of(op.src_b))
+            else:  # naive D∘Q∘I: recompute snapshot, diff vs previous
+                snap = ZSet.from_df(self.spark.sql(view.sql)).consolidate()
+                prev = self._view_state.get(view.name)
+                d = snap if prev is None else snap.subtract(prev).consolidate()
+                # store the recomputed snapshot directly (cheaper than
+                # prev + d, and identical by construction)
+                self._view_state[view.name] = ZSet(snap.df.localCheckpoint(eager=False))
+                if self._has_naive:
+                    snap.to_multiset_df().createOrReplaceTempView(view.name)
+                out[view.name] = d
+                continue
+
+            prev = self._view_state.get(view.name)
+            integ = d if prev is None else prev.add(d).consolidate()
+            self._view_state[view.name] = ZSet(integ.df.localCheckpoint(eager=False))
+            if self._has_naive:
+                # downstream naive views may read this view's snapshot
+                integ.to_multiset_df().createOrReplaceTempView(view.name)
+            out[view.name] = d
         return out
 
     def snapshot(self, view: str) -> ZSet:
         """Current integrated value of a view (Z-set)."""
-        if self._prev_views is None:
+        if view not in self._view_state:
             raise ValueError("no steps applied yet")
-        return self._prev_views[view]
+        return self._view_state[view]

@@ -170,3 +170,69 @@ def test_incremental_join_program(spark):
     d3 = inc.step({"l": mk("k int, lv string", [(1, "l1", -1)])})
     assert _zrows(d3["j"]) == {(1, "l1", "r1", -1)}
     assert _zrows(inc.snapshot("j")) == set()
+
+
+OPT_PROGRAM = """
+CREATE TABLE ev(k INTEGER, v INTEGER, cat VARCHAR);
+CREATE TABLE dim(k INTEGER, label VARCHAR);
+CREATE VIEW v_lin AS SELECT k, v * 10 AS v10, cat FROM ev WHERE v >= 0;
+CREATE VIEW v_agg AS SELECT cat, COUNT(*) AS n, SUM(v10) AS sv, AVG(v10) AS av
+                     FROM v_lin GROUP BY cat;
+CREATE VIEW v_join AS SELECT ev.k AS k, v, label FROM ev JOIN dim ON ev.k = dim.k;
+CREATE VIEW v_naive AS SELECT cat, MAX(v) AS mx FROM ev GROUP BY cat;
+"""
+
+
+def test_optimized_plan_report(spark):
+    inc = IncrementalProgram(spark, OPT_PROGRAM, optimize=True)
+    plan = inc.plan()
+    assert plan["v_lin"] == "linear"
+    assert plan["v_agg"] == "aggregate"
+    assert plan["v_naive"] == "naive"  # MAX is not linear
+    # v_join: ev JOIN dim ON ev.k = dim.k -- same column name both
+    # sides is ambiguous for the delta-join projection -> naive
+    assert plan["v_join"] == "naive"
+
+
+def test_optimized_matches_naive_every_step(spark):
+    """Same program, same delta stream: the optimized incremental
+    paths and the naive D∘Q∘I fallback must emit equivalent deltas
+    (the reference's OptimizedIncrementalTests criterion)."""
+    import random
+
+    opt = IncrementalProgram(spark, OPT_PROGRAM, optimize=True, checkpoint_every=2)
+    naive = IncrementalProgram(spark, OPT_PROGRAM, optimize=False, checkpoint_every=2)
+
+    rng = random.Random(11)
+    ev_live, dim_live = [], []
+    for step in range(4):
+        ev_d, dim_d = [], []
+        for _ in range(rng.randint(1, 5)):
+            if ev_live and rng.random() < 0.3:
+                row = ev_live.pop(rng.randrange(len(ev_live)))
+                ev_d.append((*row, -1))
+            else:
+                row = (rng.randrange(4), rng.choice([None, rng.randint(-5, 30)]), rng.choice(["a", "b"]))
+                ev_live.append(row)
+                ev_d.append((*row, 1))
+        if rng.random() < 0.7:
+            row = (rng.randrange(4), f"L{rng.randrange(3)}")
+            dim_live.append(row)
+            dim_d.append((*row, 1))
+        deltas_opt = {
+            "ev": ZSet(spark.createDataFrame(ev_d, "k int, v int, cat string, __weight long")),
+        }
+        if dim_d:
+            deltas_opt["dim"] = ZSet(
+                spark.createDataFrame(dim_d, "k int, label string, __weight long")
+            )
+        deltas_naive = {
+            n: ZSet(z.df) for n, z in deltas_opt.items()
+        }
+        out_o = opt.step(deltas_opt)
+        out_n = naive.step(deltas_naive)
+        for vname in out_o:
+            assert _zrows(out_o[vname]) == _zrows(out_n[vname]), f"{vname} step {step}"
+    # integrated snapshots agree too
+    for vname in ("v_lin", "v_agg", "v_join", "v_naive"):
+        assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
