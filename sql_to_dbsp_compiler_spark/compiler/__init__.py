@@ -1,3 +1,17 @@
-from .program import SqlProgram, TableDef, ViewDef, compile_batch, IncrementalProgram
+from .program import (
+    IncrementalProgram,
+    SqlProgram,
+    TableDef,
+    ViewDef,
+    compile_batch,
+    compile_streaming,
+)
 
-__all__ = ["SqlProgram", "TableDef", "ViewDef", "compile_batch", "IncrementalProgram"]
+__all__ = [
+    "SqlProgram",
+    "TableDef",
+    "ViewDef",
+    "compile_batch",
+    "compile_streaming",
+    "IncrementalProgram",
+]

@@ -316,6 +316,60 @@ def compile_batch(
     return out
 
 
+def compile_streaming(
+    spark: SparkSession,
+    program: SqlProgram | str,
+    stream_sources: dict[str, DataFrame],
+    static_sources: dict[str, DataFrame] | None = None,
+    sf_dir: str | None = None,
+    watermarks: dict[str, tuple[str, str]] | None = None,
+) -> dict[str, DataFrame]:
+    """Compile a program into *continuously maintained* views — the
+    Spark-first realization of what the reference compiles circuits
+    for: every CREATE VIEW over a streaming table becomes a streaming
+    DataFrame whose state Structured Streaming maintains per
+    micro-batch (state store = the circuit's integrated Z-sets).
+
+    ``stream_sources`` binds tables to streaming DataFrames
+    (``spark.readStream...``); remaining tables bind statically
+    (caller DataFrames / program INSERTs / ``sf_dir`` parquet) and
+    participate as the static side of stream-static joins.
+    ``watermarks`` maps table → (event_time_col, delay) and is applied
+    before view evaluation so windowed aggregates / stream-stream
+    joins can bound their state.
+
+    Views evaluate in program order via ``spark.sql`` so chained views
+    compose into one streaming plan per output. Each returned view is
+    unstarted — attach a sink with the output mode its shape requires
+    (append for stateless/watermarked; update/complete for maintained
+    aggregates). Shapes Structured Streaming cannot maintain raise its
+    own AnalysisException at sink attach, mirroring the reference
+    rejecting non-incrementalizable circuits."""
+    if isinstance(program, str):
+        program = SqlProgram.parse(program)
+    static = bind_sources(
+        spark,
+        SqlProgram(
+            tables={n: t for n, t in program.tables.items() if n not in stream_sources},
+            views=[],
+            inserts=[i for i in program.inserts if i.table not in stream_sources],
+        ),
+        static_sources,
+        sf_dir,
+    )
+    for name, df in {**static, **stream_sources}.items():
+        if watermarks and name in watermarks:
+            col, delay = watermarks[name]
+            df = df.withWatermark(col, delay)
+        df.createOrReplaceTempView(name)
+    out: dict[str, DataFrame] = {}
+    for view in program.views:
+        df = spark.sql(view.sql)
+        df.createOrReplaceTempView(view.name)
+        out[view.name] = df
+    return out
+
+
 # ---------------------------------------------------------------------------
 # View-shape recognition (the "optimized incremental" compiler pass)
 # ---------------------------------------------------------------------------

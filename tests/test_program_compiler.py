@@ -236,3 +236,51 @@ def test_optimized_matches_naive_every_step(spark):
     # integrated snapshots agree too
     for vname in ("v_lin", "v_agg", "v_join", "v_naive"):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
+
+
+def test_compile_streaming_matches_batch(spark, tmp_path):
+    """The same program compiled streaming (micro-batched input, state
+    maintained by Structured Streaming) and batch must agree — the
+    DBSP correctness criterion at the program level."""
+    import glob
+    import os
+    import shutil
+
+    from sql_to_dbsp_compiler_spark.compiler import compile_streaming
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+    from sql_to_dbsp_compiler_spark.streaming.incremental import (
+        run_incremental,
+        stream_from_dir,
+    )
+
+    prog = """
+    CREATE TABLE sev(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+                     event_type VARCHAR, value DOUBLE, props VARCHAR);
+    CREATE VIEW sv_purchases AS
+        SELECT event_id, user_id, value FROM sev
+        WHERE event_type = 'purchase' AND value > 50;
+    CREATE VIEW sv_by_user AS
+        SELECT user_id, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(12,2))) AS total
+        FROM sv_purchases GROUP BY user_id;
+    """
+    # DECIMAL accumulation: micro-batch and batch summation orders
+    # differ, doubles would drift in the last ulp
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    stream_dir = str(tmp_path / "files")
+    os.makedirs(stream_dir)
+    for i in range(4):
+        d = str(tmp_path / f"b{i}")
+        e.where(F.col("event_id") % 4 == i).coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.copy(glob.glob(os.path.join(d, "*.parquet"))[0],
+                    os.path.join(stream_dir, f"batch_{i}.parquet"))
+
+    stream = stream_from_dir(spark, stream_dir, e.schema)
+    views = compile_streaming(spark, prog, {"sev": stream})
+    maintained = run_incremental(stream, lambda _: views["sv_by_user"], output_mode="complete")
+
+    batch_views = compile_batch(spark, prog, sources={"sev": e})
+    expect = sorted(map(tuple, batch_views["sv_by_user"].collect()))
+    assert sorted(map(tuple, maintained.collect())) == expect
+    assert len(expect) > 0
