@@ -60,10 +60,13 @@ class TableDef:
 
 @dataclass(frozen=True)
 class ViewDef:
-    """A program output: name + the SELECT body."""
+    """A program output: name + the SELECT body (+ optional explicit
+    output column names, reference: ``CREATE VIEW v (a, b) AS …`` in
+    ComplexQueriesTest.java)."""
 
     name: str
     sql: str
+    columns: tuple[str, ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -90,7 +93,14 @@ class SqlProgram:
                 continue
             m = _CREATE_VIEW_RE.match(stmt)
             if m:
-                prog.views.append(ViewDef(_ident(m.group("name")), m.group("body").strip()))
+                cols = m.group("cols")
+                prog.views.append(
+                    ViewDef(
+                        _ident(m.group("name")),
+                        translate_view_sql(m.group("body").strip()),
+                        tuple(_ident(c) for c in cols.split(",")) if cols else None,
+                    )
+                )
                 continue
             m = _INSERT_RE.match(stmt)
             if m:
@@ -105,13 +115,45 @@ _CREATE_TABLE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_VIEW_RE = re.compile(
-    r"^\s*CREATE\s+(?:MATERIALIZED\s+|LOCAL\s+)?VIEW\s+(?P<name>\"[^\"]+\"|\w+)\s+AS\s+(?P<body>.+)$",
+    r"^\s*CREATE\s+(?:MATERIALIZED\s+|LOCAL\s+)?VIEW\s+(?P<name>\"[^\"]+\"|\w+)\s*"
+    r"(?:\(\s*(?P<cols>[\w\s,\"]+?)\s*\))?\s*AS\s+(?P<body>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<name>\"[^\"]+\"|\w+)\s+VALUES\s+(?P<values>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+# --- Calcite → Spark SQL dialect shim (view bodies) ----------------------
+# The reference's Calcite dialect groups by windowing *functions*
+# (reference NexmarkTest.java: GROUP BY TUMBLE/HOP(ts, INTERVAL …)).
+# Spark SQL spells the same thing `GROUP BY window(ts, '…')` with
+# window.start/window.end fields. Rewrite the Calcite spelling.
+
+_INTERVAL = r"INTERVAL\s+'(\d+(?:\.\d+)?)'\s+(\w+)"
+_TUMBLE_RE = re.compile(r"\bTUMBLE\s*\(\s*([\w.]+)\s*,\s*" + _INTERVAL + r"\s*\)", re.IGNORECASE)
+_HOP_RE = re.compile(
+    r"\bHOP\s*\(\s*([\w.]+)\s*,\s*" + _INTERVAL + r"\s*,\s*" + _INTERVAL + r"\s*\)",
+    re.IGNORECASE,
+)
+_WIN_BOUND_RE = re.compile(
+    r"\b(?:TUMBLE|HOP)_(START|END)\s*\([^()]*\)", re.IGNORECASE
+)
+
+
+def translate_view_sql(sql: str) -> str:
+    """Calcite windowing → Spark SQL: TUMBLE(ts, size) →
+    window(ts, 'size'); HOP(ts, slide, size) → window(ts, 'size',
+    'slide') (Calcite's argument order is slide-then-size);
+    TUMBLE/HOP_START/_END(…) → window.start / window.end."""
+    sql = _TUMBLE_RE.sub(lambda m: f"window({m.group(1)}, '{m.group(2)} {m.group(3)}')", sql)
+    sql = _HOP_RE.sub(
+        lambda m: f"window({m.group(1)}, '{m.group(4)} {m.group(5)}', '{m.group(2)} {m.group(3)}')",
+        sql,
+    )
+    sql = _WIN_BOUND_RE.sub(lambda m: f"window.{m.group(1).lower()}", sql)
+    return sql
 
 
 def _ident(tok: str) -> str:
@@ -311,6 +353,8 @@ def compile_batch(
     out: dict[str, DataFrame] = {}
     for view in program.views:
         df = spark.sql(view.sql)
+        if view.columns is not None:
+            df = df.toDF(*view.columns)
         df.createOrReplaceTempView(view.name)
         out[view.name] = df
     return out
@@ -365,6 +409,8 @@ def compile_streaming(
     out: dict[str, DataFrame] = {}
     for view in program.views:
         df = spark.sql(view.sql)
+        if view.columns is not None:
+            df = df.toDF(*view.columns)
         df.createOrReplaceTempView(view.name)
         out[view.name] = df
     return out
@@ -433,6 +479,9 @@ def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str])
     """Return an op descriptor or None (→ naive). `known` = names of
     tables and earlier views (valid delta sources)."""
     from ..plans.incremental import AggSpec, IncrementalJoin, IncrementalLinearAgg
+
+    if view.columns is not None:
+        return None  # explicit output column list → naive (rename pass)
 
     sql = view.sql.strip().rstrip(";")
 
@@ -637,7 +686,10 @@ class IncrementalProgram:
             elif isinstance(op, _JoinOp):
                 d = op.op.step(delta_of(op.src_a), delta_of(op.src_b))
             else:  # naive D∘Q∘I: recompute snapshot, diff vs previous
-                snap = ZSet.from_df(self.spark.sql(view.sql)).consolidate()
+                snap_df = self.spark.sql(view.sql)
+                if view.columns is not None:
+                    snap_df = snap_df.toDF(*view.columns)
+                snap = ZSet.from_df(snap_df).consolidate()
                 prev = self._view_state.get(view.name)
                 d = snap if prev is None else snap.subtract(prev).consolidate()
                 # store the recomputed snapshot directly (cheaper than

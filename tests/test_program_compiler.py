@@ -284,3 +284,56 @@ def test_compile_streaming_matches_batch(spark, tmp_path):
     expect = sorted(map(tuple, batch_views["sv_by_user"].collect()))
     assert sorted(map(tuple, maintained.collect())) == expect
     assert len(expect) > 0
+
+
+def test_view_column_list(spark):
+    """CREATE VIEW v (a, b) AS … renames outputs positionally
+    (reference ComplexQueriesTest: `create view pipeline_vulnerability
+    (pipeline_id, vulnerability_id) as select …`)."""
+    prog = """
+    CREATE TABLE src(x INTEGER, y INTEGER);
+    INSERT INTO src VALUES (1, 2), (3, 4);
+    CREATE VIEW renamed (a, b) AS SELECT x, y + 1 FROM src;
+    CREATE VIEW downstream AS SELECT a + b AS ab FROM renamed;
+    """
+    views = compile_batch(spark, prog)
+    assert views["renamed"].columns == ["a", "b"]
+    assert {r["ab"] for r in views["downstream"].collect()} == {4, 8}
+
+
+def test_calcite_tumble_hop_translation(spark):
+    """Calcite GROUP BY TUMBLE/HOP windowing (reference
+    NexmarkTest.java q5/q7 SQL) runs via Spark's window() — shim
+    rewrites the spelling, semantics checked against direct F.window."""
+    from sql_to_dbsp_compiler_spark.compiler.program import translate_view_sql
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+    t = translate_view_sql(
+        "SELECT TUMBLE_START(ts, INTERVAL '7' DAY) AS ws, COUNT(*) AS n "
+        "FROM ev GROUP BY TUMBLE(ts, INTERVAL '7' DAY)"
+    )
+    assert "window(ts, '7 DAY')" in t and "window.start" in t
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    prog = """
+    CREATE TABLE wev(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+                     event_type VARCHAR, value DOUBLE, props VARCHAR);
+    CREATE VIEW tumbled AS
+        SELECT TUMBLE_START(ts, INTERVAL '7' DAY) AS ws, COUNT(*) AS n
+        FROM wev GROUP BY TUMBLE(ts, INTERVAL '7' DAY);
+    CREATE VIEW hopped AS
+        SELECT HOP_START(ts, INTERVAL '7' DAY, INTERVAL '14' DAY) AS ws,
+               HOP_END(ts, INTERVAL '7' DAY, INTERVAL '14' DAY) AS we,
+               COUNT(*) AS n
+        FROM wev GROUP BY HOP(ts, INTERVAL '7' DAY, INTERVAL '14' DAY);
+    """
+    views = compile_batch(spark, prog, sources={"wev": e})
+
+    expect_t = e.groupBy(F.window("ts", "7 day")).agg(F.count(F.lit(1)).alias("n")) \
+        .select(F.col("window.start").alias("ws"), "n")
+    assert sorted(map(tuple, views["tumbled"].collect())) == sorted(map(tuple, expect_t.collect()))
+
+    expect_h = e.groupBy(F.window("ts", "14 day", "7 day")).agg(F.count(F.lit(1)).alias("n")) \
+        .select(F.col("window.start").alias("ws"), F.col("window.end").alias("we"), "n")
+    assert sorted(map(tuple, views["hopped"].collect())) == sorted(map(tuple, expect_h.collect()))
+    assert views["hopped"].count() > views["tumbled"].count()  # hop overlaps
