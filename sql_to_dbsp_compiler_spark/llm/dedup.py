@@ -292,3 +292,83 @@ def simhash_candidate_pairs(
     """Candidate pairs sharing any 16-bit SimHash band (docs within
     Hamming distance 3 of each other share >=1 of 4 bands)."""
     return banded_pairs_int64(sig_df, id_col, "simhash", band_bits)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list →
+    ``(id, component)`` with component = min node id in the component.
+
+    Min-label propagation: each node repeatedly takes the minimum
+    label among itself and its neighbors until a fixed point. Each
+    iteration is one shuffle (groupBy node); lineage is truncated
+    per iteration with localCheckpoint so the plan stays flat. Rounds
+    needed ≈ graph diameter — near-dup graphs are dense clumps with
+    tiny diameters, so this converges in a few rounds; for adversarial
+    long-chain graphs swap in the large-star/small-star variant (same
+    per-round shuffle structure, O(log n) rounds).
+
+    This is the step that turns pairwise near-dup evidence into dedup
+    *groups*: keep the doc whose id equals its component, drop the
+    rest."""
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    sym = sym.distinct().localCheckpoint(eager=False)
+
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component")).alias(
+                    "__changed"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Canonical-doc assignment: every doc maps to its component's
+    minimum id (docs with no near-dup edge map to themselves). Output
+    ``(doc_id, canonical_id, is_canonical)`` — the keep/drop decision
+    of a near-dup dedup pipeline."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp, docs[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+    )

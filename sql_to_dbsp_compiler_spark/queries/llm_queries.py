@@ -112,6 +112,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidate_pairs(sigs, "doc_id")
 
 
+@query("dedup_canonical_groups", tags=("llm", "dedup", "rows-only"))
+def dedup_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup pipeline: MinHash signatures → LSH
+    candidate pairs → connected components (min-label propagation,
+    one shuffle per round, checkpointed lineage) → per-doc canonical
+    assignment (keep iff doc_id == component min). Seeded-hash
+    signatures are engine-specific → no SQL oracle; structure
+    asserted in tests/test_dedup.py (union-find oracle, exactly one
+    canonical per group)."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import dedup_groups
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_df(d, "doc_id", "text", 16, 3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=4)
+    return dedup_groups(d, pairs)
+
+
 @query("embedding_lsh_neardup", tags=("llm", "dedup", "similarity", "rows-only"))
 def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via signed-random-projection LSH (candidate

@@ -80,3 +80,60 @@ def test_minhash_signature_stability(spark, sf_dir):
         .collect()
     )
     assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+
+def test_connected_components_matches_union_find(spark):
+    """Label propagation vs a Python union-find oracle on a graph
+    with chains, a cycle, disjoint clumps, and singletons-by-absence."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21), (30, 31), (31, 32), (5, 4)]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == expected
+
+
+def test_dedup_groups_end_to_end(spark, sf_dir):
+    """MinHash pairs → components → canonical assignment: every doc
+    appears exactly once, canonicals are component minima, docs
+    without near-dups are their own canonical."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import (
+        dedup_groups,
+        lsh_candidate_pairs,
+        minhash_signatures_df,
+    )
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_df(docs, "doc_id", "text", 16, 3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=4)
+    groups = dedup_groups(docs, pairs)
+    rows = groups.collect()
+    assert len(rows) == docs.count()
+    assert all(r["canonical_id"] <= r["doc_id"] for r in rows)
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["canonical_id"], []).append(r)
+    for comp, members in by_comp.items():
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert min(m["doc_id"] for m in members) == comp
+    # the pairs actually connect something at this SF
+    assert any(not r["is_canonical"] for r in rows)
