@@ -254,3 +254,61 @@ def ivf_topk(
     return topk_per_group(
         scored, [query_id_col], [F.col("sim").desc(), F.col(id_col)], k
     ).withColumn("rn", F.col("rn").cast("bigint"))
+
+
+def ivf_write_store(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train: str = "head",
+) -> None:
+    """Materialize an IVF index as a *partitioned parquet store*:
+    vectors written under ``centroid_id=K/`` directories plus a tiny
+    ``_centroids`` table. This is the 100 TB layout: probing nprobe of
+    nlist centroids prunes the scan to nprobe/nlist of the files —
+    partition pruning does the index lookup, no service needed."""
+    if train == "kmeans":
+        centroids, assigned = ivf_train_kmeans(corpus, nlist, id_col=id_col, vec_col=vec_col)
+    else:
+        centroids, assigned = ivf_assign(corpus, nlist, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(f"{path}/vectors")
+    centroids.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_query_store(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query a partitioned IVF store: route queries to their nprobe
+    nearest centroids (broadcast of the tiny centroid table), prune
+    the vector scan to the union of probed centroid partitions (a
+    literal IN filter → partition pruning, verifiable via
+    ``inputFiles()``), then per-query exact rerank within probed
+    buckets only."""
+    centroids = spark.read.parquet(f"{path}/_centroids")
+    q = queries.select(F.col(query_id_col), as_double_array(F.col(vec_col)).alias("qvec"))
+    probes = topk_per_group(
+        q.crossJoin(F.broadcast(centroids)).select(
+            query_id_col, "qvec", "centroid_id", cosine(F.col("qvec"), F.col("cvec")).alias("csim")
+        ),
+        [query_id_col],
+        [F.col("csim").desc(), F.col("centroid_id")],
+        nprobe,
+    ).select(query_id_col, "qvec", "centroid_id")
+    # literal probe set (tiny: ≤ |queries|·nprobe ids) → partition pruning
+    probe_ids = sorted({r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()})
+    vectors = spark.read.parquet(f"{path}/vectors").where(F.col("centroid_id").isin(probe_ids))
+    scored = probes.join(vectors, "centroid_id").select(
+        query_id_col, F.col(id_col), cosine(F.col("qvec"), F.col("vec")).alias("sim")
+    )
+    return topk_per_group(
+        scored, [query_id_col], [F.col("sim").desc(), F.col(id_col)], k
+    ).withColumn("rn", F.col("rn").cast("bigint"))

@@ -91,3 +91,28 @@ def test_srp_signature_deterministic(spark, sf_dir):
     a = {(r.vec_id, r.srp_sig) for r in srp_signatures(emb).collect()}
     b = {(r.vec_id, r.srp_sig) for r in srp_signatures(emb.repartition(7)).collect()}
     assert a == b
+
+
+def test_ivf_partitioned_store_prunes_and_matches(spark, sf_dir, tmp_path):
+    """The partitioned IVF store returns the same results as the
+    in-memory IVF path AND provably scans only the probed centroid
+    partitions (inputFiles ⊂ store files)."""
+    from sql_to_dbsp_compiler_spark.llm.similarity import ivf_query_store, ivf_write_store
+
+    corpus, queries = _split(spark, sf_dir)
+    store = str(tmp_path / "ivf_store")
+    ivf_write_store(corpus, store, nlist=8)
+
+    got = ivf_query_store(spark, store, queries, k=5, nprobe=2)
+    mem = ivf_topk(corpus, queries, k=5, nlist=8, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, mem.collect()))
+
+    all_parts = {f.rsplit("/", 2)[-2] for f in spark.read.parquet(f"{store}/vectors").inputFiles()}
+    assert len(all_parts) == 8
+    # partition pruning is visible in the scan node: the literal probe
+    # set becomes PartitionFilters (inputFiles() is pre-pushdown, so
+    # inspect the physical plan instead)
+    plan = spark._jvm.PythonSQLUtils.explainString(got._jdf.queryExecution(), "formatted")
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "centroid_id" in m[0], plan
+    assert "PartitionFilters: []" not in m[0]
