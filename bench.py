@@ -28,11 +28,14 @@ BENCH_QUERIES = [
     "asof_join",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_canonical_groups",
     "embedding_neardup",
+    "embedding_lsh_neardup",
     "ann_bruteforce_topk",
     "text_quality",
     "tumbling_window_agg",
     "zset_incremental_view",
+    "program_multiview_chain",
 ]
 
 

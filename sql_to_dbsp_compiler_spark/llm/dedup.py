@@ -90,8 +90,15 @@ def minhash_signatures_df(
     persist barriers."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    sh_df = df.repartition(par, F.col(id_col)).select(
-        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("__h")
+    # Order matters twice here: repartition FIRST so the per-doc
+    # shingling runs on all cores even from a single-file input; then
+    # persist the hash array as a barrier so CollapseProject can't
+    # inline shingle_hashes into each of the num_hashes min
+    # expressions (which would re-shingle every row num_hashes times).
+    sh_df = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("__h"))
+        .persist()
     )
 
     def variant(i: int):
@@ -111,7 +118,7 @@ def minhash_signatures_df(
 
 
 def _pairs_within_buckets(
-    banded, bucket_cols: list[str], id_col: str, max_bucket: int
+    banded, bucket_cols: list[str], id_col: str, max_bucket: int, dedup: bool = True
 ):
     """Join-free candidate pairing: ONE shuffle groups rows into
     buckets; pairs are enumerated inside the (capped) bucket array.
@@ -138,7 +145,11 @@ def _pairs_within_buckets(
             )
         ).alias("p")
     )
-    return pairs.select("p.id_a", "p.id_b").distinct()
+    out = pairs.select("p.id_a", "p.id_b")
+    # dedup=False defers cross-band duplicate elimination to the
+    # caller (cheaper AFTER a selective verify stage than shuffling
+    # the full candidate set here).
+    return out.distinct() if dedup else out
 
 
 def lsh_candidate_pairs(
@@ -260,6 +271,7 @@ def banded_pairs_int64(
     sig_col: str,
     band_bits: int,
     max_bucket: int = 1000,
+    dedup: bool = True,
 ) -> DataFrame:
     """Band a packed 64-bit signature into ``64 // band_bits`` slices;
     rows sharing any slice become candidate pairs (join-free bucket
@@ -283,7 +295,7 @@ def banded_pairs_int64(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_val")
-    return _pairs_within_buckets(banded, ["band_id", "band_val"], id_col, max_bucket)
+    return _pairs_within_buckets(banded, ["band_id", "band_val"], id_col, max_bucket, dedup)
 
 
 def simhash_candidate_pairs(

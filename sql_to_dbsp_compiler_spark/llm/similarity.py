@@ -198,8 +198,19 @@ def srp_neardup_pairs(
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
         .persist()
     )
+    # dedup=False: a pair colliding in several bands is verified that
+    # many times, but deduping the full raw candidate set would cost a
+    # dedicated shuffle, while deduping the (selective) verified
+    # survivors is ~free. The verify joins are id equi-joins: AQE
+    # broadcasts the vector side while it fits and shuffles on the id
+    # once it doesn't.
     cands = banded_pairs_int64(
-        srp_signatures(e, id_col=id_col, vec_col="v"), id_col, "srp_sig", band_bits, max_bucket
+        srp_signatures(e, id_col=id_col, vec_col="v"),
+        id_col,
+        "srp_sig",
+        band_bits,
+        max_bucket,
+        dedup=False,
     )
     a = e.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -213,6 +224,7 @@ def srp_neardup_pairs(
         .join(b, "id_b")
         .where(sim >= threshold)
         .select("id_a", "id_b", sim.alias("sim"))
+        .distinct()
     )
 
 

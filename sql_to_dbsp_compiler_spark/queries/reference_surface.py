@@ -140,3 +140,58 @@ def datetime_floor_ceil(spark: SparkSession, sf_dir: str) -> DataFrame:
     fd, cd = fc("day", "INTERVAL 1 DAY")
     fm, cm = fc("month", "INTERVAL 1 MONTH")
     return t.select("o_orderkey", fd, cd, fm, cm)
+
+
+@query(
+    "unnest_ordinality",
+    oracle="""
+    SELECT o_orderkey,
+           unnest(string_split(o_orderpriority, '-')) AS part,
+           generate_subscripts(string_split(o_orderpriority, '-'), 1) AS ord
+    FROM orders WHERE o_orderkey < 500
+    """,
+    tags=("relational", "flatmap"),
+)
+def unnest_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST ... WITH ORDINALITY (reference doc/sql/array.rst;
+    ArrayTests.java:131): posexplode emits the 0-based position —
+    +1 gives SQL's 1-based ordinality. DuckDB oracle spells it
+    unnest + generate_subscripts."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.posexplode(F.split(F.col("o_orderpriority"), "-")).alias("pos", "part"),
+    ).select(
+        "o_orderkey", "part", (F.col("pos") + 1).cast("bigint").alias("ord")
+    )
+
+
+@query(
+    "time_of_day_ops",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%H:%M:%S') AS hms,
+           CAST(hour(ts) * 3600 + minute(ts) * 60 + CAST(floor(second(ts)) AS INT)
+                AS BIGINT) AS sec_of_day,
+           hour(ts) >= 12 AS pm
+    FROM events WHERE event_id < 500
+    """,
+    tags=("functions", "datetime", "time"),
+)
+def time_of_day_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-of-day surface (reference DBSPTypeTime / TimeTests):
+    Spark has no TIME type, so TIME values are represented as
+    seconds-since-midnight (orderable, arithmetic-friendly) plus an
+    HH:MM:SS rendering — the operations the reference's TIME type
+    supports (extract, compare, format) all expressed over it."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    ts = F.col("ts")
+    sec_of_day = (
+        F.hour(ts) * 3600 + F.minute(ts) * 60 + F.floor(F.second(ts)).cast("int")
+    ).cast("bigint")
+    return e.select(
+        "event_id",
+        F.date_format(ts, "HH:mm:ss").alias("hms"),
+        sec_of_day.alias("sec_of_day"),
+        (F.hour(ts) >= 12).alias("pm"),
+    )
