@@ -686,3 +686,32 @@ def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_linestatus").cast("bigint").alias("g_status"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "semi_join_multicol",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM lineitem k
+                  WHERE k.l_quantity >= 49 AND k.l_discount > 0.09
+                    AND k.l_returnflag = l.l_returnflag
+                    AND k.l_linestatus = l.l_linestatus)
+      AND l.l_orderkey < 3000
+    """,
+    tags=("join", "semi"),
+)
+def semi_join_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-value IN subquery — multi-column semi join
+    (Calcite supports (a,b) IN (SELECT …); DBSP compiles it to an
+    indexed semi join on the composite key). Spark: leftsemi join on
+    both columns — one shuffle on the composite key, distinct-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.where((F.col("l_quantity") >= 49) & (F.col("l_discount") > 0.09)).select(
+        "l_returnflag", "l_linestatus"
+    )
+    return (
+        li.where(F.col("l_orderkey") < 3000)
+        .join(keys, ["l_returnflag", "l_linestatus"], "leftsemi")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )

@@ -223,3 +223,26 @@ def test_streaming_windowed_max_matches_batch(spark, event_batches_dir, events_s
         .select(F.col("win.start").alias("window_start"), "max_value")
     )
     assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_session_window_matches_batch(spark, event_batches_dir, events_schema):
+    """Session windows (5-day gap) maintained in the state store over
+    micro-batched input == batch session_window aggregation."""
+    stream = stream_from_dir(spark, event_batches_dir, events_schema)
+
+    def view(df):
+        return (
+            df.groupBy(F.session_window("ts", "5 days"), F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("session_window.start").alias("ws"),
+                F.col("session_window.end").alias("we"),
+                "user_id",
+                "n",
+            )
+        )
+
+    result = run_incremental(stream, view, output_mode="complete")
+    batch = view(spark.read.parquet(event_batches_dir))
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+    assert result.count() > 0
