@@ -715,3 +715,28 @@ def semi_join_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(keys, ["l_returnflag", "l_linestatus"], "leftsemi")
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+@query(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("aggregate",),
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind ROLLUP/CUBE —
+    Calcite expands all three to the same Aggregate; Spark's Expand
+    node computes every set in ONE pass over the input, map-side
+    partials included)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)

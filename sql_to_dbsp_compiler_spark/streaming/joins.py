@@ -26,7 +26,13 @@ def stream_stream_join(
     right_watermark: str = "1 hour",
     left_ts: str = "ts",
     right_ts: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
+    """Watermark-bounded stream-stream join. For outer joins the
+    NULL-padded rows for unmatched buffered rows are emitted once the
+    watermark passes their join-time bound (state stays bounded both
+    ways — the incremental-join guarantee DBSP provides via integrated
+    Z-set state, realized here by the state store)."""
     return left.withWatermark(left_ts, left_watermark).join(
-        right.withWatermark(right_ts, right_watermark), on
+        right.withWatermark(right_ts, right_watermark), on, how
     )

@@ -246,3 +246,70 @@ def test_streaming_session_window_matches_batch(spark, event_batches_dir, events
     batch = view(spark.read.parquet(event_batches_dir))
     assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
     assert result.count() > 0
+
+
+def test_stream_stream_left_outer_join(spark, events_schema, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched purchases emit
+    NULL-padded rows once the watermark passes their time bound.
+    Sentinels (one per side, far future) push both branch watermarks
+    past every real event so availableNow flushes the full result."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from sql_to_dbsp_compiler_spark.streaming.joins import stream_stream_join
+
+    base, out = str(tmp_path / "b"), str(tmp_path / "files")
+    os.makedirs(out)
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    cuts = ["2024-01-11", "2024-01-21"]
+    parts = [
+        e.where(F.col("ts") < cuts[0]),
+        e.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        e.where(F.col("ts") >= cuts[1]),
+    ]
+    sentinels = spark.createDataFrame(
+        [
+            (10**9, datetime.datetime(2024, 6, 1), -1, "purchase", 0.0, "{}"),
+            (10**9 + 1, datetime.datetime(2024, 6, 1), -2, "click", 0.0, "{}"),
+        ],
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).select(*[f.name for f in e.schema.fields])
+    for i, b in enumerate(parts + [sentinels]):
+        d = os.path.join(base, f"b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.copy(glob.glob(os.path.join(d, "*.parquet"))[0], os.path.join(out, f"batch_{i}.parquet"))
+
+    def sides(df):
+        p = df.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+        )
+        c = df.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+        )
+        return p, c
+
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTE"))
+    )
+    sp, sc = sides(stream_from_dir(spark, out, events_schema))
+    q = (
+        stream_stream_join(sp, sc, cond, "2 days", "2 days", "p_ts", "c_ts", how="left_outer")
+        .writeStream.format("memory")
+        .queryName("ss_left")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination()
+    result = spark.table("ss_left").where(F.col("p_id") < 10**9)
+
+    bp, bc = sides(spark.read.parquet(out))
+    batch = bp.join(bc, cond, "left_outer").where(F.col("p_id") < 10**9)
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+    # the outer part is non-trivial: some purchases really are unmatched
+    assert batch.where(F.col("c_id").isNull()).count() > 0
