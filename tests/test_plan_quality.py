@@ -53,3 +53,40 @@ def test_no_cartesian_in_tpch_joins(spark, sf_dir):
 def test_scalar_subquery_is_broadcast_not_collected(spark, sf_dir):
     plan = _plan(spark, sf_dir, "scalar_subquery")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_program_chain_fuses_and_broadcasts(spark, sf_dir):
+    """compile_batch's chained views become ONE Catalyst plan: the
+    status filter reaches the orders scan as a pushed filter and the
+    customer join broadcasts — no per-view materialization."""
+    plan = _plan(spark, sf_dir, "program_multiview_chain")
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan
+    assert "BroadcastHashJoin" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_comment" not in read, "column pruning must cross view boundaries"
+
+
+def test_grouping_sets_single_expand_pass(spark, sf_dir):
+    """GROUPING SETS computes every set in one Expand pass with
+    map-side partial aggregation — not one scan per set."""
+    import re
+
+    plan = _plan(spark, sf_dir, "grouping_sets_agg")
+    assert plan.count("Expand") >= 1
+    # formatted explain shows each node in the tree AND in the detail
+    # section — one physical scan appears as exactly one "(n) Scan"
+    scan_nodes = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_nodes) == 1, plan
+    assert "partial_" in plan
+
+
+def test_semi_join_multicol_no_distinct_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "semi_join_multicol")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unnest_ordinality_stays_codegen(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "unnest_ordinality")
+    assert "Generate" in plan  # posexplode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

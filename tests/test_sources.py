@@ -47,3 +47,20 @@ def test_partitioned_parquet_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     statuses = [d for d in os.listdir(path) if d.startswith("o_orderstatus=")]
     assert len(statuses) >= 2
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink + source roundtrip preserves values; filters push
+    into the ORC scan like parquet."""
+    from sql_to_dbsp_compiler_spark.sources.files import read_orc, write_orc
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(n, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+
+    filtered = back.where(F.col("n_regionkey") == 2).select("n_name")
+    plan = spark._jvm.PythonSQLUtils.explainString(filtered._jdf.queryExecution(), "formatted")
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
