@@ -445,7 +445,7 @@ _AGG_SELECT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _AGG_ITEM_RE = re.compile(
-    r"^(?P<fn>SUM|COUNT|AVG)\s*\(\s*(?P<arg>\*|.+?)\s*\)\s+AS\s+(?P<alias>\w+)$",
+    r"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<arg>\*|.+?)\s*\)\s+AS\s+(?P<alias>\w+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _JOIN_RE = re.compile(
@@ -492,7 +492,7 @@ def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str])
         keys = [k.strip().lower() for k in m.group("keys").split(",") if k.strip()]
         if where and _FORBIDDEN_LINEAR.search(where):
             return None
-        specs: list = []
+        items: list[tuple[str, str, str]] = []  # (fn, arg, alias)
         out_cols: list[str] = []
         seen_keys: set[str] = set()
         for item in _split_top_level_commas(sel):
@@ -504,25 +504,41 @@ def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str])
                 alias = am.group("alias").lower()
                 if arg != "*" and _FORBIDDEN_LINEAR.search(arg):
                     return None
-                if fn == "count" and arg == "*":
-                    specs.append(AggSpec(alias, "count"))
-                elif fn == "count":
-                    specs.append(AggSpec(alias, "count", F.expr(arg)))
-                elif fn == "sum":
-                    specs.append(AggSpec(alias, "sum", F.expr(arg)))
-                else:
-                    specs.append(AggSpec(alias, "avg", F.expr(arg)))
+                items.append((fn, arg, alias))
                 out_cols.append(alias)
             elif re.fullmatch(r"\w+", item) and item.lower() in keys:
                 seen_keys.add(item.lower())
                 out_cols.append(item.lower())
             else:
                 return None  # expressions over keys, aliased keys … → naive
-        if not specs or seen_keys != set(keys):
+        if not items or seen_keys != set(keys):
             return None
+        cond = F.expr(where) if where else None
+
+        if any(fn in ("min", "max") for fn, _, _ in items):
+            # non-linear aggregates: affected-group recompute keeps
+            # per-step cost bounded by the touched groups
+            from ..plans.incremental import IncrementalGroupRecomputeAgg
+
+            aggs = [
+                (F.count(F.lit(1)) if (fn == "count" and arg == "*") else F.expr(f"{fn}({arg})")).alias(alias)
+                for fn, arg, alias in items
+            ]
+            return _AggOp(src, IncrementalGroupRecomputeAgg(keys=keys, aggs=aggs, cond=cond), out_cols)
+
+        specs: list = []
+        for fn, arg, alias in items:
+            if fn == "count" and arg == "*":
+                specs.append(AggSpec(alias, "count"))
+            elif fn == "count":
+                specs.append(AggSpec(alias, "count", F.expr(arg)))
+            elif fn == "sum":
+                specs.append(AggSpec(alias, "sum", F.expr(arg)))
+            else:
+                specs.append(AggSpec(alias, "avg", F.expr(arg)))
         return _AggOp(
             src,
-            IncrementalLinearAgg(keys=keys, specs=specs, cond=F.expr(where) if where else None),
+            IncrementalLinearAgg(keys=keys, specs=specs, cond=cond),
             out_cols,
         )
 
@@ -636,11 +652,20 @@ class IncrementalProgram:
     def plan(self) -> dict[str, str]:
         """Which path each view compiles to — the analogue of the
         reference's circuit dump (incremental operators vs naive)."""
-        kinds = {_LinearOp: "linear", _AggOp: "aggregate", _JoinOp: "join"}
-        return {
-            name: kinds.get(type(op), "naive") if op is not None else "naive"
-            for name, op in self._ops.items()
-        }
+        from ..plans.incremental import IncrementalGroupRecomputeAgg
+
+        def kind(op) -> str:
+            if isinstance(op, _LinearOp):
+                return "linear"
+            if isinstance(op, _AggOp):
+                if isinstance(op.op, IncrementalGroupRecomputeAgg):
+                    return "aggregate-recompute"
+                return "aggregate"
+            if isinstance(op, _JoinOp):
+                return "join"
+            return "naive"
+
+        return {name: kind(op) for name, op in self._ops.items()}
 
     def _empty_delta(self, name: str) -> ZSet:
         return ZSet.from_df(_empty_table(self.spark, self.program.tables[name]))

@@ -305,3 +305,65 @@ class IncrementalDistinct:
         if self._steps % self._checkpoint_every == 0:
             self._state = self._state.localCheckpoint(eager=False)
         return ZSet(out)
+
+
+class IncrementalGroupRecomputeAgg:
+    """Non-linear grouped aggregates (MIN/MAX/arbitrary) maintained by
+    *affected-group recompute* — the reference's strategy for
+    aggregates without a subtraction rule (DBSPAggregateOperator over
+    an indexed Z-set): keep the integrated input per group; on a
+    delta, recompute ONLY the groups the delta touches and emit
+    retract/insert rows against the previous aggregate state.
+
+    Per-step cost ∝ |delta| + Σ size(touched groups) — independent of
+    the number of untouched groups. At scale both states are bucketed
+    on the keys, so the touched-group filter is a bucket-pruned
+    equi-join, never a full scan."""
+
+    def __init__(
+        self,
+        keys: list[str],
+        aggs: list[Column],  # aggregate expressions WITH aliases
+        cond: Column | None = None,
+        checkpoint_every: int = 8,
+    ):
+        self.keys = keys
+        self.aggs = aggs
+        self.cond = cond
+        self._input: ZSet | None = None  # integrated input state
+        self._out: DataFrame | None = None  # previous aggregate rows
+        self._steps = 0
+        self._checkpoint_every = checkpoint_every
+
+    def _agg_over(self, multiset: DataFrame) -> DataFrame:
+        return multiset.groupBy(*self.keys).agg(*self.aggs)
+
+    def step(self, delta: ZSet) -> ZSet:
+        z = delta if self.cond is None else delta.filter(self.cond)
+        self._input = z if self._input is None else self._input.add(z).consolidate()
+
+        touched = z.df.select(*self.keys).distinct()
+        # bucket-pruned state read: only touched groups leave the join
+        state_touched = self._input.df.join(touched, self.keys, "leftsemi")
+        new_rows = self._agg_over(
+            ZSet(state_touched).to_multiset_df()
+        ).localCheckpoint(eager=False)
+
+        if self._out is None:
+            out_delta = ZSet.from_df(new_rows)
+            self._out = new_rows
+        else:
+            old_rows = self._out.join(touched, self.keys, "leftsemi")
+            out_delta = ZSet.from_df(new_rows).subtract(ZSet.from_df(old_rows)).consolidate()
+            self._out = self._out.join(touched, self.keys, "left_anti").unionByName(new_rows)
+
+        self._steps += 1
+        if self._steps % self._checkpoint_every == 0:
+            self._input = ZSet(self._input.df.localCheckpoint(eager=False))
+            self._out = self._out.localCheckpoint(eager=False)
+        return out_delta
+
+    def snapshot(self) -> DataFrame:
+        if self._out is None:
+            raise ValueError("no steps applied")
+        return self._out

@@ -167,3 +167,45 @@ def test_incremental_distinct(spark):
     assert _rows(ZSet(d2.df)) == set()  # multiplicity 2→1: still present
     d3 = op.step(_zset(spark, s, [(1, "x", -1), (3, "z", 1)]))
     assert _rows(ZSet(d3.df)) == {(1, "x", -1), (3, "z", 1)}
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_incremental_group_recompute_minmax(spark, seed):
+    """MIN/MAX maintained by affected-group recompute: every step's
+    integrated output equals the batch aggregate, including deletes
+    of current extrema (the case no subtraction rule can handle)."""
+    from sql_to_dbsp_compiler_spark.plans.incremental import IncrementalGroupRecomputeAgg
+
+    op = IncrementalGroupRecomputeAgg(
+        keys=["k"],
+        aggs=[
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+        checkpoint_every=2,
+    )
+    acc = None
+    for delta, live in _random_steps(seed, 6, 3):
+        d = _zset(spark, "k int, v int, tag string", delta)
+        acc = _integrate(acc, op.step(d))
+        snap = spark.createDataFrame(live, "k int, v int, tag string")
+        expect = snap.groupBy("k").agg(
+            F.min("v").alias("mn"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n")
+        )
+        assert _rows(acc) == _rows(ZSet.from_df(expect)), f"diverged (seed={seed})"
+    assert _rows(ZSet.from_df(op.snapshot())) == _rows(acc)
+
+
+def test_group_recompute_delete_of_max(spark):
+    """Deleting the maximum forces recompute from remaining rows."""
+    from sql_to_dbsp_compiler_spark.plans.incremental import IncrementalGroupRecomputeAgg
+
+    op = IncrementalGroupRecomputeAgg(keys=["k"], aggs=[F.max("v").alias("mx")])
+    s = "k int, v int"
+    d1 = op.step(_zset(spark, s, [(1, 5, 1), (1, 9, 1), (2, 3, 1)]))
+    assert _rows(ZSet(d1.df)) == {(1, 9, 1), (2, 3, 1)}
+    d2 = op.step(_zset(spark, s, [(1, 9, -1)]))
+    assert _rows(ZSet(d2.df)) == {(1, 9, -1), (1, 5, 1)}
+    d3 = op.step(_zset(spark, s, [(2, 3, -1)]))  # group disappears
+    assert _rows(ZSet(d3.df)) == {(2, 3, -1)}

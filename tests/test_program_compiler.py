@@ -188,7 +188,9 @@ def test_optimized_plan_report(spark):
     plan = inc.plan()
     assert plan["v_lin"] == "linear"
     assert plan["v_agg"] == "aggregate"
-    assert plan["v_naive"] == "naive"  # MAX is not linear
+    # MAX has no subtraction rule → affected-group recompute (still
+    # incremental: cost bounded by touched groups, not view size)
+    assert plan["v_naive"] == "aggregate-recompute"
     # v_join: ev JOIN dim ON ev.k = dim.k -- same column name both
     # sides is ambiguous for the delta-join projection -> naive
     assert plan["v_join"] == "naive"
