@@ -367,3 +367,61 @@ class IncrementalGroupRecomputeAgg:
         if self._out is None:
             raise ValueError("no steps applied")
         return self._out
+
+
+class IncrementalTopK:
+    """Per-group TopK maintained incrementally (reference:
+    DBSPIndexedTopKOperator / window-based TopK circuits): keep the
+    integrated input; on a delta, recompute the TopK of only the
+    touched groups (ROW_NUMBER over the group's rows) and emit
+    retract/insert against the stored TopK rows. Rank changes inside
+    a group surface as paired retract+insert of the shifted rows."""
+
+    def __init__(
+        self,
+        keys: list[str],
+        order: list[Column],
+        k: int,
+        rank_alias: str = "rn",
+        checkpoint_every: int = 8,
+    ):
+        from pyspark.sql.window import Window
+
+        self.keys = keys
+        self.order = order
+        self.k = k
+        self.rank_alias = rank_alias
+        self._win = Window.partitionBy(*keys).orderBy(*order)
+        self._input: ZSet | None = None
+        self._out: DataFrame | None = None
+        self._steps = 0
+        self._checkpoint_every = checkpoint_every
+
+    def step(self, delta: ZSet) -> ZSet:
+        self._input = delta if self._input is None else self._input.add(delta).consolidate()
+        touched = delta.df.select(*self.keys).distinct()
+        state_touched = self._input.df.join(touched, self.keys, "leftsemi")
+        new_rows = (
+            ZSet(state_touched)
+            .to_multiset_df()
+            .withColumn(self.rank_alias, F.row_number().over(self._win).cast("bigint"))
+            .where(F.col(self.rank_alias) <= self.k)
+            .localCheckpoint(eager=False)
+        )
+        if self._out is None:
+            out_delta = ZSet.from_df(new_rows)
+            self._out = new_rows
+        else:
+            old_rows = self._out.join(touched, self.keys, "leftsemi")
+            out_delta = ZSet.from_df(new_rows).subtract(ZSet.from_df(old_rows)).consolidate()
+            self._out = self._out.join(touched, self.keys, "left_anti").unionByName(new_rows)
+        self._steps += 1
+        if self._steps % self._checkpoint_every == 0:
+            self._input = ZSet(self._input.df.localCheckpoint(eager=False))
+            self._out = self._out.localCheckpoint(eager=False)
+        return out_delta
+
+    def snapshot(self) -> DataFrame:
+        if self._out is None:
+            raise ValueError("no steps applied")
+        return self._out

@@ -209,3 +209,37 @@ def test_group_recompute_delete_of_max(spark):
     assert _rows(ZSet(d2.df)) == {(1, 9, -1), (1, 5, 1)}
     d3 = op.step(_zset(spark, s, [(2, 3, -1)]))  # group disappears
     assert _rows(ZSet(d3.df)) == {(2, 3, -1)}
+
+
+def test_incremental_topk_every_step(spark):
+    """Per-group Top-2 under inserts and deletes of top elements:
+    integrated deltas == batch ROW_NUMBER topk at every step."""
+    from pyspark.sql.window import Window
+
+    from sql_to_dbsp_compiler_spark.plans.incremental import IncrementalTopK
+
+    op = IncrementalTopK(
+        keys=["k"], order=[F.col("v").desc(), F.col("tag")], k=2, checkpoint_every=2
+    )
+    rng = random.Random(23)
+    live: list[tuple] = []
+    acc = None
+    for _ in range(6):
+        delta = []
+        for _ in range(rng.randint(1, 5)):
+            if live and rng.random() < 0.35:
+                row = live.pop(rng.randrange(len(live)))
+                delta.append((*row, -1))
+            else:
+                row = (rng.randrange(3), rng.randint(0, 50), f"t{rng.randrange(40)}")
+                live.append(row)
+                delta.append((*row, 1))
+        acc = _integrate(acc, op.step(_zset(spark, "k int, v int, tag string", delta)))
+        snap = spark.createDataFrame(live, "k int, v int, tag string")
+        win = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("tag"))
+        expect = (
+            snap.withColumn("rn", F.row_number().over(win).cast("bigint"))
+            .where(F.col("rn") <= 2)
+        )
+        assert _rows(acc) == _rows(ZSet.from_df(expect))
+    assert _rows(ZSet.from_df(op.snapshot())) == _rows(acc)
