@@ -339,3 +339,65 @@ def test_calcite_tumble_hop_translation(spark):
         .select(F.col("window.start").alias("ws"), F.col("window.end").alias("we"), "n")
     assert sorted(map(tuple, views["hopped"].collect())) == sorted(map(tuple, expect_h.collect()))
     assert views["hopped"].count() > views["tumbled"].count()  # hop overlaps
+
+
+def test_compile_streaming_tumble_with_watermark(spark, tmp_path):
+    """Reference-style windowed SQL (GROUP BY TUMBLE) compiled to a
+    watermarked streaming view: append-mode emission after watermark
+    passage equals batch recompute (sentinel flushes the last window)."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from sql_to_dbsp_compiler_spark.compiler import compile_streaming
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+    from sql_to_dbsp_compiler_spark.streaming.incremental import stream_from_dir
+
+    prog = """
+    CREATE TABLE wev(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+                     event_type VARCHAR, value DOUBLE, props VARCHAR);
+    CREATE VIEW weekly AS
+        SELECT TUMBLE_START(ts, INTERVAL '7' DAY) AS ws, COUNT(*) AS n
+        FROM wev GROUP BY TUMBLE(ts, INTERVAL '7' DAY);
+    """
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    base, out = str(tmp_path / "b"), str(tmp_path / "files")
+    os.makedirs(out)
+    cuts = ["2024-01-11", "2024-01-21"]
+    parts = [
+        e.where(F.col("ts") < cuts[0]),
+        e.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        e.where(F.col("ts") >= cuts[1]),
+    ]
+    sentinel = spark.createDataFrame(
+        [(10**9, datetime.datetime(2024, 6, 1), -1, "purchase", 0.0, "{}")],
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).select(*[f.name for f in e.schema.fields])
+    for i, b in enumerate(parts + [sentinel]):
+        d = os.path.join(base, f"b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.copy(glob.glob(os.path.join(d, "*.parquet"))[0], os.path.join(out, f"batch_{i}.parquet"))
+
+    stream = stream_from_dir(spark, out, e.schema)
+    views = compile_streaming(
+        spark, prog, {"wev": stream}, watermarks={"wev": ("ts", "2 days")}
+    )
+    q = (
+        views["weekly"]
+        .writeStream.format("memory")
+        .queryName("weekly_tumble")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination()
+    cutoff = datetime.datetime(2024, 5, 1)
+    result = spark.table("weekly_tumble").where(F.col("ws") < cutoff)
+
+    batch_views = compile_batch(spark, prog, sources={"wev": e})
+    expect = batch_views["weekly"].where(F.col("ws") < cutoff)
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, expect.collect()))
+    assert result.count() > 0
