@@ -453,6 +453,55 @@ _JOIN_RE = re.compile(
     r"(?P<q1>\w+)\.(?P<c1>\w+)\s*=\s*(?P<q2>\w+)\.(?P<c2>\w+)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_OUTER_JOIN_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<a>\w+)\s+(?P<how>LEFT|RIGHT|FULL)\s+"
+    r"(?:OUTER\s+)?JOIN\s+(?P<b>\w+)\s+ON\s+"
+    r"(?P<q1>\w+)\.(?P<c1>\w+)\s*=\s*(?P<q2>\w+)\.(?P<c2>\w+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DISTINCT_RE = re.compile(
+    r"^\s*SELECT\s+DISTINCT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>\w+)\s*"
+    r"(?:WHERE\s+(?P<where>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) AS rn
+#                FROM src) [alias] WHERE rn <= K
+# — the reference's per-group TopK spelling (DBSPIndexedTopKOperator).
+_TOPK_RE = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s*\(\s*SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*"
+    r"PARTITION\s+BY\s+(?P<keys>[\w\s,]+?)\s+ORDER\s+BY\s+(?P<order>[\w\s,]+?)\s*\)\s+"
+    r"AS\s+(?P<rn>\w+)\s+FROM\s+(?P<src>\w+)\s*\)\s*(?:AS\s+\w+|\w+)?\s*"
+    r"WHERE\s+(?P<rn2>\w+)\s*<=\s*(?P<k>\d+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_join_projection(
+    sel: str, a: str, b: str, cols_a: list[str], cols_b: list[str]
+) -> list[Column] | None:
+    """Parse a join select-list of plain (optionally qualified /
+    aliased) columns into unambiguous Column projections; None when
+    any item is an expression, unknown, or ambiguous across inputs."""
+    project: list[Column] = []
+    for item in _split_top_level_commas(sel):
+        item = item.strip()
+        im = re.fullmatch(
+            r"(?:(?P<q>\w+)\.)?(?P<col>\w+)(?:\s+AS\s+(?P<alias>\w+))?",
+            item,
+            re.IGNORECASE,
+        )
+        if not im:
+            return None
+        col = im.group("col").lower()
+        qual = (im.group("q") or "").lower()
+        alias = (im.group("alias") or col).lower()
+        owner = a if col in cols_a else (b if col in cols_b else None)
+        if owner is None or (col in cols_a and col in cols_b):
+            return None  # unknown or ambiguous column
+        if qual and qual != owner:
+            return None
+        project.append(F.col(col).alias(alias))
+    return project
 
 
 @dataclass
@@ -473,6 +522,26 @@ class _JoinOp:
     src_a: str
     src_b: str
     op: "object"  # IncrementalJoin
+
+
+@dataclass
+class _OuterJoinOp:
+    src_a: str
+    src_b: str
+    op: "object"  # IncrementalOuterJoin
+
+
+@dataclass
+class _DistinctOp:
+    src: str
+    delta_sql: str  # linear pre-projection over __delta, carries __weight
+    op: "object"  # IncrementalDistinct
+
+
+@dataclass
+class _TopKOp:
+    src: str
+    op: "object"  # IncrementalTopK
 
 
 def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str]):
@@ -542,8 +611,46 @@ def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str])
             out_cols,
         )
 
-    m = _JOIN_RE.match(sql)
+    m = _TOPK_RE.match(sql)
+    if m and m.group("src").lower() in known and m.group("rn").lower() == m.group("rn2").lower():
+        from ..plans.incremental import IncrementalTopK
+
+        keys = [k.strip().lower() for k in m.group("keys").split(",") if k.strip()]
+        order: list[Column] = []
+        for o in m.group("order").split(","):
+            om = re.fullmatch(r"(?P<col>\w+)(?:\s+(?P<dir>ASC|DESC))?", o.strip(), re.IGNORECASE)
+            if not om:
+                return None
+            c = F.col(om.group("col").lower())
+            order.append(c.desc() if (om.group("dir") or "").upper() == "DESC" else c.asc())
+        if not keys or not order:
+            return None
+        return _TopKOp(
+            m.group("src").lower(),
+            IncrementalTopK(
+                keys=keys, order=order, k=int(m.group("k")), rank_alias=m.group("rn").lower()
+            ),
+        )
+
+    m = _DISTINCT_RE.match(sql)
+    if m and m.group("src").lower() in known:
+        sel, src = m.group("sel").strip(), m.group("src").lower()
+        where = m.group("where")
+        if _FORBIDDEN_LINEAR.search(sel) or (where and _FORBIDDEN_LINEAR.search(where)):
+            return None
+        from ..plans.incremental import IncrementalDistinct
+
+        if sel == "*":
+            delta_sql = f"SELECT * FROM __delta__{src}"
+        else:
+            delta_sql = f"SELECT {sel}, {WEIGHT} FROM __delta__{src}"
+        if where:
+            delta_sql += f" WHERE {where}"
+        return _DistinctOp(src, delta_sql, IncrementalDistinct())
+
+    m = _OUTER_JOIN_RE.match(sql) or _JOIN_RE.match(sql)
     if m:
+        how = (m.groupdict().get("how") or "inner").lower()
         a, b = m.group("a").lower(), m.group("b").lower()
         if a not in tables or b not in tables or a == b:
             return None  # view sources / self-join → naive
@@ -556,28 +663,18 @@ def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str])
         # join columns must be unambiguous across the two inputs
         if ka == kb or ka in cols_b or kb in cols_a:
             return None
-        project: list[Column] = []
-        for item in _split_top_level_commas(m.group("sel")):
-            item = item.strip()
-            im = re.fullmatch(
-                r"(?:(?P<q>\w+)\.)?(?P<col>\w+)(?:\s+AS\s+(?P<alias>\w+))?",
-                item,
-                re.IGNORECASE,
-            )
-            if not im:
-                return None
-            col = im.group("col").lower()
-            qual = (im.group("q") or "").lower()
-            alias = (im.group("alias") or col).lower()
-            owner = a if col in cols_a else (b if col in cols_b else None)
-            if owner is None or (col in cols_a and col in cols_b):
-                return None  # unknown or ambiguous column
-            if qual and qual != owner:
-                return None
-            project.append(F.col(col).alias(alias))
-        from ..plans.incremental import IncrementalJoin as _IJ
+        project = _parse_join_projection(m.group("sel"), a, b, cols_a, cols_b)
+        if project is None:
+            return None
+        if how == "inner":
+            from ..plans.incremental import IncrementalJoin as _IJ
 
-        return _JoinOp(a, b, _IJ(on=F.col(ka) == F.col(kb), project=project))
+            return _JoinOp(a, b, _IJ(on=F.col(ka) == F.col(kb), project=project))
+        from ..plans.incremental import IncrementalOuterJoin
+
+        return _OuterJoinOp(
+            a, b, IncrementalOuterJoin(key_a=ka, key_b=kb, project=project, how=how)
+        )
 
     m = _SELECT_FROM_RE.match(sql)
     if m and m.group("src").lower() in known:
@@ -663,6 +760,12 @@ class IncrementalProgram:
                 return "aggregate"
             if isinstance(op, _JoinOp):
                 return "join"
+            if isinstance(op, _OuterJoinOp):
+                return f"{op.op.how}-outer-join"
+            if isinstance(op, _DistinctOp):
+                return "distinct"
+            if isinstance(op, _TopKOp):
+                return "topk"
             return "naive"
 
         return {name: kind(op) for name, op in self._ops.items()}
@@ -710,6 +813,13 @@ class IncrementalProgram:
                 d = d.map(*[F.col(c) for c in op.out_cols])
             elif isinstance(op, _JoinOp):
                 d = op.op.step(delta_of(op.src_a), delta_of(op.src_b))
+            elif isinstance(op, _OuterJoinOp):
+                d = op.op.step(delta_of(op.src_a), delta_of(op.src_b))
+            elif isinstance(op, _DistinctOp):
+                delta_of(op.src).df.createOrReplaceTempView(f"__delta__{op.src}")
+                d = op.op.step(ZSet(self.spark.sql(op.delta_sql)).consolidate())
+            elif isinstance(op, _TopKOp):
+                d = op.op.step(delta_of(op.src))
             else:  # naive D∘Q∘I: recompute snapshot, diff vs previous
                 snap_df = self.spark.sql(view.sql)
                 if view.columns is not None:

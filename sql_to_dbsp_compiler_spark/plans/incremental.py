@@ -369,6 +369,101 @@ class IncrementalGroupRecomputeAgg:
         return self._out
 
 
+class IncrementalOuterJoin:
+    """LEFT/RIGHT/FULL OUTER equi-join maintained by *touched-key
+    recompute* (reference: outer joins lower to join + antijoin-derived
+    null-padding circuits, DBSPStreamJoinOperator plus the
+    LeftJoin/RightJoin rewrites in CalciteToDBSPCompiler.java; we
+    maintain the composed result directly). Outer joins are not
+    bilinear — a single right-side insert can retract a null-extended
+    left row — so the delta rule of :class:`IncrementalJoin` does not
+    apply. Instead: keep both integrated inputs; on a step, the
+    touched keys are the join-key values present in either delta;
+    recompute the outer join restricted to touched keys and diff
+    against the stored output rows for those keys.
+
+    Per-step cost ∝ |delta| + Σ size(touched key groups). At scale both
+    input states and the output are bucketed on the join key, so every
+    touched-key restriction is a bucket-pruned leftsemi join and the
+    recompute join shuffles nothing that AQE can't broadcast.
+
+    Inputs are multisets (all weights ≥ 0 after consolidation), the
+    reference's outer-join precondition too — its outer-join circuits
+    sit downstream of distinct/input streams."""
+
+    def __init__(
+        self,
+        key_a: str,
+        key_b: str,
+        project: list[Column],
+        how: str = "left",
+        checkpoint_every: int = 8,
+    ):
+        if how not in ("left", "right", "full"):
+            raise ValueError(f"how must be left/right/full: {how!r}")
+        self.key_a, self.key_b = key_a, key_b
+        self.project = project
+        self.how = how
+        self._a: ZSet | None = None
+        self._b: ZSet | None = None
+        self._out: DataFrame | None = None  # projected rows + __jk
+        self._steps = 0
+        self._checkpoint_every = checkpoint_every
+
+    def step(self, da: ZSet, db: ZSet) -> ZSet:
+        self._a = da.consolidate() if self._a is None else self._a.add(da).consolidate()
+        self._b = db.consolidate() if self._b is None else self._b.add(db).consolidate()
+        touched = (
+            da.df.select(F.col(self.key_a).alias("__k"))
+            .union(db.df.select(F.col(self.key_b).alias("__k")))
+            .distinct()
+        )
+        # eqNullSafe: NULL join keys never *match* (plain equality in
+        # the join below) but a NULL-keyed left insert still changes
+        # the null-extended output, so it must reach the recompute.
+        a_t = self._a.df.join(
+            touched, F.col(self.key_a).eqNullSafe(F.col("__k")), "leftsemi"
+        )
+        b_t = self._b.df.join(
+            touched, F.col(self.key_b).eqNullSafe(F.col("__k")), "leftsemi"
+        )
+        am = ZSet(a_t).to_multiset_df()
+        bm = ZSet(b_t).to_multiset_df()
+        joined = am.join(bm, am[self.key_a] == bm[self.key_b], self.how)
+        jk = (
+            F.col(self.key_a)
+            if self.how == "left"
+            else F.col(self.key_b)
+            if self.how == "right"
+            else F.coalesce(F.col(self.key_a), F.col(self.key_b))
+        )
+        new_rows = joined.select(*self.project, jk.alias("__jk")).localCheckpoint(eager=False)
+
+        if self._out is None:
+            delta = ZSet.from_df(new_rows)
+            self._out = new_rows
+        else:
+            old_rows = self._out.join(
+                touched, F.col("__jk").eqNullSafe(F.col("__k")), "leftsemi"
+            )
+            delta = ZSet.from_df(new_rows).subtract(ZSet.from_df(old_rows))
+            self._out = self._out.join(
+                touched, F.col("__jk").eqNullSafe(F.col("__k")), "left_anti"
+            ).unionByName(new_rows)
+        self._steps += 1
+        if self._steps % self._checkpoint_every == 0:
+            self._a = ZSet(self._a.df.localCheckpoint(eager=False))
+            self._b = ZSet(self._b.df.localCheckpoint(eager=False))
+            self._out = self._out.localCheckpoint(eager=False)
+        payload = [c for c in delta.df.columns if c not in ("__jk", WEIGHT)]
+        return delta.map(*[F.col(c) for c in payload]).consolidate()
+
+    def snapshot(self) -> DataFrame:
+        if self._out is None:
+            raise ValueError("no steps applied")
+        return self._out.drop("__jk")
+
+
 class IncrementalTopK:
     """Per-group TopK maintained incrementally (reference:
     DBSPIndexedTopKOperator / window-based TopK circuits): keep the
@@ -400,7 +495,11 @@ class IncrementalTopK:
     def step(self, delta: ZSet) -> ZSet:
         self._input = delta if self._input is None else self._input.add(delta).consolidate()
         touched = delta.df.select(*self.keys).distinct()
-        state_touched = self._input.df.join(touched, self.keys, "leftsemi")
+        # NB name-list joins move the key columns first — reselect the
+        # input order so emitted deltas keep the payload column order.
+        state_touched = self._input.df.join(touched, self.keys, "leftsemi").select(
+            *self._input.df.columns
+        )
         new_rows = (
             ZSet(state_touched)
             .to_multiset_df()

@@ -401,3 +401,72 @@ def test_compile_streaming_tumble_with_watermark(spark, tmp_path):
     expect = batch_views["weekly"].where(F.col("ws") < cutoff)
     assert sorted(map(tuple, result.collect())) == sorted(map(tuple, expect.collect()))
     assert result.count() > 0
+
+
+OPT_PROGRAM2 = """
+CREATE TABLE ev(k INTEGER, v INTEGER, cat VARCHAR);
+CREATE TABLE dim(kk INTEGER, label VARCHAR);
+CREATE VIEW v_dist AS SELECT DISTINCT cat, v FROM ev WHERE v IS NOT NULL;
+CREATE VIEW v_lj AS SELECT k, v, label FROM ev LEFT JOIN dim ON ev.k = dim.kk;
+CREATE VIEW v_fj AS SELECT k, v, label FROM ev FULL OUTER JOIN dim ON ev.k = dim.kk;
+CREATE VIEW v_topk AS SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cat ORDER BY v DESC) AS rn FROM ev
+) WHERE rn <= 2;
+"""
+
+
+def test_optimized_plan_report_new_shapes(spark):
+    inc = IncrementalProgram(spark, OPT_PROGRAM2, optimize=True)
+    plan = inc.plan()
+    assert plan["v_dist"] == "distinct"
+    assert plan["v_lj"] == "left-outer-join"
+    assert plan["v_fj"] == "full-outer-join"
+    assert plan["v_topk"] == "topk"
+
+
+def test_optimized_new_shapes_match_naive(spark):
+    """DISTINCT / outer-join / TopK recognized views emit the same
+    deltas as naive D∘Q∘I under a random insert+delete stream
+    (multiset inputs: deletes only remove live rows). Order values
+    are unique per (cat) group so ROW_NUMBER ties cannot differ
+    between the two evaluation strategies."""
+    import random
+
+    opt = IncrementalProgram(spark, OPT_PROGRAM2, optimize=True, checkpoint_every=2)
+    naive = IncrementalProgram(spark, OPT_PROGRAM2, optimize=False, checkpoint_every=2)
+
+    rng = random.Random(7)
+    ev_live, dim_live, next_v = [], [], [100]
+    for step in range(4):
+        ev_d, dim_d = [], []
+        for _ in range(rng.randint(1, 4)):
+            if ev_live and rng.random() < 0.35:
+                row = ev_live.pop(rng.randrange(len(ev_live)))
+                ev_d.append((*row, -1))
+            else:
+                next_v[0] += 1  # unique order key → deterministic TopK
+                row = (rng.randrange(3), rng.choice([None, next_v[0]]), rng.choice(["a", "b"]))
+                ev_live.append(row)
+                ev_d.append((*row, 1))
+        if rng.random() < 0.6:
+            if dim_live and rng.random() < 0.3:
+                row = dim_live.pop(rng.randrange(len(dim_live)))
+                dim_d.append((*row, -1))
+            else:
+                row = (rng.randrange(3), f"L{rng.randrange(2)}")
+                dim_live.append(row)
+                dim_d.append((*row, 1))
+        deltas_opt = {
+            "ev": ZSet(spark.createDataFrame(ev_d, "k int, v int, cat string, __weight long")),
+        }
+        if dim_d:
+            deltas_opt["dim"] = ZSet(
+                spark.createDataFrame(dim_d, "kk int, label string, __weight long")
+            )
+        deltas_naive = {n: ZSet(z.df) for n, z in deltas_opt.items()}
+        out_o = opt.step(deltas_opt)
+        out_n = naive.step(deltas_naive)
+        for vname in out_o:
+            assert _zrows(out_o[vname]) == _zrows(out_n[vname]), f"{vname} step {step}"
+    for vname in ("v_dist", "v_lj", "v_fj", "v_topk"):
+        assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
