@@ -298,6 +298,45 @@ def banded_pairs_int64(
     return _pairs_within_buckets(banded, ["band_id", "band_val"], id_col, max_bucket, dedup)
 
 
+def banded_pairs_words(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    band_bits: int,
+    max_bucket: int = 1000,
+    dedup: bool = True,
+) -> DataFrame:
+    """:func:`banded_pairs_int64` for multi-word signatures
+    (``array<long>``, 64 bits per word — the 128/256-bit SRP
+    signatures): each word contributes ``64 // band_bits`` bands with
+    globally distinct band ids. Same join-free bucket pairing, one
+    linear shuffle on (band_id, band_val) regardless of width."""
+    if 64 % band_bits != 0:
+        raise ValueError(f"band_bits must divide 64: {band_bits}")
+    nb = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig_df.select(
+        id_col,
+        F.posexplode(F.col(sig_col)).alias("__word_i", "__word"),
+    ).select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("__word_i") * nb + F.lit(b)).alias("band_id"),
+                        F.shiftrightunsigned(F.col("__word"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(nb)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_val")
+    return _pairs_within_buckets(banded, ["band_id", "band_val"], id_col, max_bucket, dedup)
+
+
 def simhash_candidate_pairs(
     sig_df: DataFrame, id_col: str = "doc_id", band_bits: int = 16
 ) -> DataFrame:

@@ -144,29 +144,50 @@ def srp_signatures(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 0x5EED,
+    bits: int = 64,
 ) -> DataFrame:
-    """Signed-random-projection (cosine) LSH signature: 64 pseudo-
-    random hyperplanes; bit i = sign(v · h_i), packed into one long.
-    P[bit match] = 1 - angle(a,b)/π, so banding the signature gives a
-    cosine-similarity candidate filter (Charikar's SimHash for real
-    vectors — same family the reference's text SimHash belongs to).
+    """Signed-random-projection (cosine) LSH signature: ``bits``
+    pseudo-random hyperplanes; bit i = sign(v · h_i), packed into
+    64-bit words — one long for bits=64 (column ``srp_sig``), an
+    array<long> otherwise (high-threshold regimes want 128/256-bit
+    signatures: more bands at the same band width, or wider bands at
+    the same band count). P[bit match] = 1 - angle(a,b)/π, so banding
+    the signature gives a cosine-similarity candidate filter
+    (Charikar's SimHash for real vectors — same family the
+    reference's text SimHash belongs to).
 
-    One Arrow-batched pandas UDF does the (batch × dim) @ (dim × 64)
+    One Arrow-batched pandas UDF does the (batch × dim) @ (dim × bits)
     matmul in numpy — vectorized, no per-row Python. Hyperplanes are
-    regenerated per batch from the fixed seed (cheap: 64×dim doubles)
-    so the signature is deterministic across partitions/runs."""
+    regenerated per batch from the fixed seed (cheap: bits×dim
+    doubles) so the signature is deterministic across partitions/runs."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("long")
-    def srp(v: pd.Series) -> pd.Series:
-        if v.empty:
-            return pd.Series([], dtype="int64")
-        X = np.asarray(v.tolist(), dtype=np.float64)
-        H = np.random.default_rng(seed).standard_normal((X.shape[1], 64))
-        bits = (X @ H) > 0.0
-        weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
-        packed = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
-        return pd.Series(packed.view(np.int64))
+    if bits % 64 != 0 or bits <= 0:
+        raise ValueError(f"bits must be a positive multiple of 64: {bits}")
+    nwords = bits // 64
+    weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+
+    def pack(X: np.ndarray) -> np.ndarray:
+        H = np.random.default_rng(seed).standard_normal((X.shape[1], bits))
+        b = (X @ H) > 0.0  # (n, bits)
+        words = b.reshape(X.shape[0], nwords, 64).astype(np.uint64) * weights
+        return words.sum(axis=2, dtype=np.uint64).view(np.int64)  # (n, nwords)
+
+    if nwords == 1:
+
+        @pandas_udf("long")
+        def srp(v: pd.Series) -> pd.Series:
+            if v.empty:
+                return pd.Series([], dtype="int64")
+            return pd.Series(pack(np.asarray(v.tolist(), dtype=np.float64))[:, 0])
+
+    else:
+
+        @pandas_udf("array<long>")
+        def srp(v: pd.Series) -> pd.Series:
+            if v.empty:
+                return pd.Series([], dtype="object")
+            return pd.Series(list(pack(np.asarray(v.tolist(), dtype=np.float64))))
 
     return emb.select(F.col(id_col), srp(as_double_array(F.col(vec_col))).alias("srp_sig"))
 
@@ -178,18 +199,22 @@ def srp_neardup_pairs(
     vec_col: str = "embedding",
     band_bits: int = 4,
     max_bucket: int = 2000,
+    bits: int = 64,
 ) -> DataFrame:
     """Embedding near-dup via SRP-LSH: signature → banded candidate
     pairs → exact cosine verify (precision 1 by construction; recall
     set by band geometry). Band-width tuning: recall per pair at
-    cosine s is 1-(1-p^band_bits)^(64/band_bits) with p = 1-acos(s)/π;
-    narrow bands (4 bits) catch moderate similarity (s≈0.45, recall
-    ≈0.95) but give only 2^4 buckets per band — right for corpora
-    where bucket size (n/2^band_bits) stays in the thousands. At
-    larger n, raise band_bits (and the signature width with it) so
-    buckets stay bounded; the exact-verify join is an equi-join on
-    candidate ids either way, so cost scales with candidates, not n²."""
-    from sql_to_dbsp_compiler_spark.llm.dedup import banded_pairs_int64
+    cosine s is 1-(1-p^band_bits)^(bits/band_bits) with
+    p = 1-acos(s)/π; narrow bands (4 bits) catch moderate similarity
+    (s≈0.45, recall ≈0.95 at 64 bits) but give only 2^4 buckets per
+    band — right for corpora where bucket size (n/2^band_bits) stays
+    in the thousands. At larger n, raise band_bits AND the signature
+    width ``bits`` (128/256) so buckets stay bounded without losing
+    bands: e.g. bits=256, band_bits=16 gives 16 bands of 65536
+    buckets — the high-threshold regime. The exact-verify join is an
+    equi-join on candidate ids either way, so cost scales with
+    candidates, not n²."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import banded_pairs_int64, banded_pairs_words
 
     par = emb.sparkSession.sparkContext.defaultParallelism
     e = (
@@ -204,14 +229,9 @@ def srp_neardup_pairs(
     # survivors is ~free. The verify joins are id equi-joins: AQE
     # broadcasts the vector side while it fits and shuffles on the id
     # once it doesn't.
-    cands = banded_pairs_int64(
-        srp_signatures(e, id_col=id_col, vec_col="v"),
-        id_col,
-        "srp_sig",
-        band_bits,
-        max_bucket,
-        dedup=False,
-    )
+    sig = srp_signatures(e, id_col=id_col, vec_col="v", bits=bits)
+    band_fn = banded_pairs_int64 if bits == 64 else banded_pairs_words
+    cands = band_fn(sig, id_col, "srp_sig", band_bits, max_bucket, dedup=False)
     a = e.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )

@@ -116,3 +116,81 @@ def test_ivf_partitioned_store_prunes_and_matches(spark, sf_dir, tmp_path):
     m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert m and "centroid_id" in m[0], plan
     assert "PartitionFilters: []" not in m[0]
+
+
+def test_srp_wide_signature_shape_and_determinism(spark, sf_dir):
+    """128/256-bit SRP signatures: array<long> of the right width,
+    deterministic across partitionings, and the low word of a wider
+    signature is NOT the 64-bit signature (independent hyperplanes)."""
+    from sql_to_dbsp_compiler_spark.llm.similarity import srp_signatures
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = {(r.vec_id, tuple(r.srp_sig)) for r in srp_signatures(emb, bits=128).collect()}
+    w2 = {
+        (r.vec_id, tuple(r.srp_sig))
+        for r in srp_signatures(emb.repartition(5), bits=128).collect()
+    }
+    assert w == w2
+    assert all(len(sig) == 2 for _, sig in w)
+    assert all(len(r.srp_sig) == 4 for r in srp_signatures(emb.limit(8), bits=256).collect())
+
+
+def test_srp_wide_neardup_precision_and_recall(spark, sf_correct_dir):
+    """128-bit signatures at the same 4-bit band width double the
+    band count (32 bands), so recall at the planted similarity level
+    dominates the 64-bit configuration (theory: 0.998 vs 0.956 per
+    pair at s=0.45). Precision stays 1 — every candidate is
+    cosine-verified."""
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        cosine_neardup_pairs,
+        srp_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_correct_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b) for r in cosine_neardup_pairs(emb, threshold=0.45).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in srp_neardup_pairs(emb, threshold=0.45, bits=128, band_bits=4).collect()
+    }
+    assert exact, "no planted near-dup pairs at this SF — vacuous test"
+    assert got <= exact, f"false positives: {got - exact}"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"wide-SRP recall {recall:.2f} below 0.8 ({len(exact)} true pairs)"
+
+
+def test_srp_wide_bands_high_threshold_regime(spark):
+    """The 256-bit / 16-bit-band configuration (16 bands × 65536
+    buckets — the bounded-bucket setting for large corpora) finds
+    planted high-similarity pairs (s≈0.95, per-pair recall theory
+    0.96) that 16-bit bands over a single 64-bit word (4 bands,
+    recall 0.55) would mostly miss."""
+    import numpy as np
+
+    from sql_to_dbsp_compiler_spark.llm.similarity import srp_neardup_pairs
+
+    rng = np.random.default_rng(42)
+    dim, npairs, nnoise = 32, 30, 200
+    rows = []
+    for i in range(npairs):  # planted: v and v + small noise
+        v = rng.standard_normal(dim)
+        w = v + 0.25 * rng.standard_normal(dim)
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in w]))
+    for j in range(nnoise):  # background: independent vectors
+        rows.append((1000 + j, [float(x) for x in rng.standard_normal(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in srp_neardup_pairs(
+            emb, threshold=0.9, bits=256, band_bits=16
+        ).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(npairs)}
+    true_pairs = planted  # noise vectors at dim=32 don't reach cos 0.9
+    assert got <= true_pairs | planted, f"false positives: {got - planted}"
+    hit = len(got & planted)
+    # not every planted pair survives the 0.9 cosine threshold; of
+    # those that do, banding theory says ~96% collide in ≥1 band
+    assert hit >= int(0.6 * npairs), f"only {hit}/{npairs} planted pairs found"
