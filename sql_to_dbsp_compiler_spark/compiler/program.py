@@ -441,24 +441,67 @@ _SELECT_FROM_RE = re.compile(
 )
 _AGG_SELECT_RE = re.compile(
     r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>\w+)\s*"
-    r"(?:WHERE\s+(?P<where>.+?))?\s*GROUP\s+BY\s+(?P<keys>[\w\s,]+?)\s*$",
+    r"(?:WHERE\s+(?P<where>.+?))?\s*GROUP\s+BY\s+(?P<keys>[\w\s,]+?)\s*"
+    r"(?:HAVING\s+(?P<having>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# words allowed in a HAVING condition besides the view's own output
+# columns (operators/literals — anything else → naive fallback)
+_HAVING_KEYWORDS = {
+    "and", "or", "not", "null", "is", "true", "false",
+    "between", "in", "like", "case", "when", "then", "else", "end",
+}
+
+
+def _having_refs_only(cond: str, out_cols: list[str]) -> bool:
+    """True iff every identifier in the condition is an output column
+    (HAVING is then a row-wise filter on the aggregate's output, which
+    commutes with delta emission — retract/insert rows filter the
+    same way the snapshot rows do)."""
+    no_strings = re.sub(r"'(?:[^']|'')*'", "", cond)
+    idents = {t.lower() for t in re.findall(r"[A-Za-z_]\w*", no_strings)}
+    return idents <= (set(out_cols) | _HAVING_KEYWORDS)
 _AGG_ITEM_RE = re.compile(
     r"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<arg>\*|.+?)\s*\)\s+AS\s+(?P<alias>\w+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _JOIN_RE = re.compile(
     r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<a>\w+)\s+JOIN\s+(?P<b>\w+)\s+ON\s+"
-    r"(?P<q1>\w+)\.(?P<c1>\w+)\s*=\s*(?P<q2>\w+)\.(?P<c2>\w+)\s*$",
+    r"(?P<on>.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _OUTER_JOIN_RE = re.compile(
     r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<a>\w+)\s+(?P<how>LEFT|RIGHT|FULL)\s+"
-    r"(?:OUTER\s+)?JOIN\s+(?P<b>\w+)\s+ON\s+"
-    r"(?P<q1>\w+)\.(?P<c1>\w+)\s*=\s*(?P<q2>\w+)\.(?P<c2>\w+)\s*$",
+    r"(?:OUTER\s+)?JOIN\s+(?P<b>\w+)\s+ON\s+(?P<on>.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_EQ_CONJUNCT_RE = re.compile(
+    r"^\s*(?P<q1>\w+)\.(?P<c1>\w+)\s*=\s*(?P<q2>\w+)\.(?P<c2>\w+)\s*$"
+)
+
+
+def _parse_equi_keys(
+    on: str, a: str, b: str, cols_a: list[str], cols_b: list[str]
+) -> tuple[list[str], list[str]] | None:
+    """Parse ``x.k1 = y.k1 AND …`` into oriented (keys_a, keys_b);
+    None for anything beyond a conjunction of cross-side equalities
+    with columns unambiguous across the two inputs."""
+    keys_a: list[str] = []
+    keys_b: list[str] = []
+    for conj in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+        m = _EQ_CONJUNCT_RE.match(conj.lower())
+        if not m:
+            return None
+        q1, c1, q2, c2 = m.group("q1"), m.group("c1"), m.group("q2"), m.group("c2")
+        if {q1, q2} != {a, b}:
+            return None
+        ka, kb = (c1, c2) if q1 == a else (c2, c1)
+        # join columns must be unambiguous across the two inputs
+        if ka == kb or ka in cols_b or kb in cols_a or ka not in cols_a or kb not in cols_b:
+            return None
+        keys_a.append(ka)
+        keys_b.append(kb)
+    return (keys_a, keys_b) if keys_a else None
 _DISTINCT_RE = re.compile(
     r"^\s*SELECT\s+DISTINCT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>\w+)\s*"
     r"(?:WHERE\s+(?P<where>.+?))?\s*$",
@@ -504,17 +547,34 @@ def _parse_join_projection(
     return project
 
 
+def _apply_linear(df: DataFrame, sel: "list[str] | None", where: "str | None") -> DataFrame:
+    """Apply a recognized linear view body to a delta DataFrame
+    (weight column carried through)."""
+    if where:
+        df = df.where(where)
+    if sel is not None:
+        df = df.selectExpr(*sel, WEIGHT)
+    return df
+
+
 @dataclass
 class _LinearOp:
+    """Linear view: the delta is the select/filter of the delta.
+    Compiled to DataFrame ops (where + selectExpr), NOT a temp-view
+    SQL query — catalog-free, so deltas from cloned sessions
+    (foreachBatch micro-batches) work unchanged."""
+
     src: str
-    delta_sql: str  # SQL over the __delta temp view, carrying __weight
+    sel: "list[str] | None"  # selectExpr items (weight appended); None = *
+    where: "str | None"
 
 
 @dataclass
 class _AggOp:
     src: str
-    op: "object"  # IncrementalLinearAgg
+    op: "object"  # IncrementalLinearAgg / IncrementalGroupRecomputeAgg
     out_cols: list[str]
+    having: "Column | None" = None
 
 
 @dataclass
@@ -534,7 +594,8 @@ class _OuterJoinOp:
 @dataclass
 class _DistinctOp:
     src: str
-    delta_sql: str  # linear pre-projection over __delta, carries __weight
+    sel: "list[str] | None"  # linear pre-projection; None = *
+    where: "str | None"
     op: "object"  # IncrementalDistinct
 
 
@@ -582,6 +643,13 @@ def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str])
                 return None  # expressions over keys, aliased keys … → naive
         if not items or seen_keys != set(keys):
             return None
+        having_sql = m.group("having")
+        if having_sql is not None:
+            if _FORBIDDEN_LINEAR.search(having_sql) or not _having_refs_only(
+                having_sql, out_cols
+            ):
+                return None
+        having = F.expr(having_sql) if having_sql else None
         cond = F.expr(where) if where else None
 
         if any(fn in ("min", "max") for fn, _, _ in items):
@@ -593,7 +661,12 @@ def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str])
                 (F.count(F.lit(1)) if (fn == "count" and arg == "*") else F.expr(f"{fn}({arg})")).alias(alias)
                 for fn, arg, alias in items
             ]
-            return _AggOp(src, IncrementalGroupRecomputeAgg(keys=keys, aggs=aggs, cond=cond), out_cols)
+            return _AggOp(
+                src,
+                IncrementalGroupRecomputeAgg(keys=keys, aggs=aggs, cond=cond),
+                out_cols,
+                having,
+            )
 
         specs: list = []
         for fn, arg, alias in items:
@@ -609,6 +682,7 @@ def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str])
             src,
             IncrementalLinearAgg(keys=keys, specs=specs, cond=cond),
             out_cols,
+            having,
         )
 
     m = _TOPK_RE.match(sql)
@@ -640,13 +714,8 @@ def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str])
             return None
         from ..plans.incremental import IncrementalDistinct
 
-        if sel == "*":
-            delta_sql = f"SELECT * FROM __delta__{src}"
-        else:
-            delta_sql = f"SELECT {sel}, {WEIGHT} FROM __delta__{src}"
-        if where:
-            delta_sql += f" WHERE {where}"
-        return _DistinctOp(src, delta_sql, IncrementalDistinct())
+        sel_items = None if sel == "*" else [s.strip() for s in _split_top_level_commas(sel)]
+        return _DistinctOp(src, sel_items, where, IncrementalDistinct())
 
     m = _OUTER_JOIN_RE.match(sql) or _JOIN_RE.match(sql)
     if m:
@@ -656,24 +725,25 @@ def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str])
             return None  # view sources / self-join → naive
         cols_a = [c for c, _ in tables[a].columns]
         cols_b = [c for c, _ in tables[b].columns]
-        q1, c1, q2, c2 = (m.group(g).lower() for g in ("q1", "c1", "q2", "c2"))
-        if {q1, q2} != {a, b}:
+        keys = _parse_equi_keys(m.group("on"), a, b, cols_a, cols_b)
+        if keys is None:
             return None
-        ka, kb = (c1, c2) if q1 == a else (c2, c1)
-        # join columns must be unambiguous across the two inputs
-        if ka == kb or ka in cols_b or kb in cols_a:
-            return None
+        keys_a, keys_b = keys
         project = _parse_join_projection(m.group("sel"), a, b, cols_a, cols_b)
         if project is None:
             return None
         if how == "inner":
             from ..plans.incremental import IncrementalJoin as _IJ
 
-            return _JoinOp(a, b, _IJ(on=F.col(ka) == F.col(kb), project=project))
+            on_col = None
+            for ka, kb in zip(keys_a, keys_b):
+                eq = F.col(ka) == F.col(kb)
+                on_col = eq if on_col is None else (on_col & eq)
+            return _JoinOp(a, b, _IJ(on=on_col, project=project))
         from ..plans.incremental import IncrementalOuterJoin
 
         return _OuterJoinOp(
-            a, b, IncrementalOuterJoin(key_a=ka, key_b=kb, project=project, how=how)
+            a, b, IncrementalOuterJoin(key_a=keys_a, key_b=keys_b, project=project, how=how)
         )
 
     m = _SELECT_FROM_RE.match(sql)
@@ -682,13 +752,8 @@ def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str])
         where = m.group("where")
         if _FORBIDDEN_LINEAR.search(sel) or (where and _FORBIDDEN_LINEAR.search(where)):
             return None
-        if sel == "*":
-            delta_sql = f"SELECT * FROM __delta__{src}"
-        else:
-            delta_sql = f"SELECT {sel}, {WEIGHT} FROM __delta__{src}"
-        if where:
-            delta_sql += f" WHERE {where}"
-        return _LinearOp(src, delta_sql)
+        sel_items = None if sel == "*" else [s.strip() for s in _split_top_level_commas(sel)]
+        return _LinearOp(src, sel_items, where)
 
     return None
 
@@ -806,18 +871,20 @@ class IncrementalProgram:
         for view in self.program.views:
             op = self._ops[view.name]
             if isinstance(op, _LinearOp):
-                delta_of(op.src).df.createOrReplaceTempView(f"__delta__{op.src}")
-                d = ZSet(self.spark.sql(op.delta_sql)).consolidate()
+                d = ZSet(_apply_linear(delta_of(op.src).df, op.sel, op.where)).consolidate()
             elif isinstance(op, _AggOp):
                 d = op.op.step(delta_of(op.src))
                 d = d.map(*[F.col(c) for c in op.out_cols])
+                if op.having is not None:
+                    d = d.filter(op.having)
             elif isinstance(op, _JoinOp):
                 d = op.op.step(delta_of(op.src_a), delta_of(op.src_b))
             elif isinstance(op, _OuterJoinOp):
                 d = op.op.step(delta_of(op.src_a), delta_of(op.src_b))
             elif isinstance(op, _DistinctOp):
-                delta_of(op.src).df.createOrReplaceTempView(f"__delta__{op.src}")
-                d = op.op.step(ZSet(self.spark.sql(op.delta_sql)).consolidate())
+                d = op.op.step(
+                    ZSet(_apply_linear(delta_of(op.src).df, op.sel, op.where)).consolidate()
+                )
             elif isinstance(op, _TopKOp):
                 d = op.op.step(delta_of(op.src))
             else:  # naive D∘Q∘I: recompute snapshot, diff vs previous

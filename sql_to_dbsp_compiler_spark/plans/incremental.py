@@ -393,75 +393,91 @@ class IncrementalOuterJoin:
 
     def __init__(
         self,
-        key_a: str,
-        key_b: str,
+        key_a: str | list[str],
+        key_b: str | list[str],
         project: list[Column],
         how: str = "left",
         checkpoint_every: int = 8,
     ):
         if how not in ("left", "right", "full"):
             raise ValueError(f"how must be left/right/full: {how!r}")
-        self.key_a, self.key_b = key_a, key_b
+        self.keys_a = [key_a] if isinstance(key_a, str) else list(key_a)
+        self.keys_b = [key_b] if isinstance(key_b, str) else list(key_b)
+        if len(self.keys_a) != len(self.keys_b) or not self.keys_a:
+            raise ValueError("key lists must be same non-zero length")
         self.project = project
         self.how = how
         self._a: ZSet | None = None
         self._b: ZSet | None = None
-        self._out: DataFrame | None = None  # projected rows + __jk
+        self._out: DataFrame | None = None  # projected rows + __jk{i}
         self._steps = 0
         self._checkpoint_every = checkpoint_every
+        self._jks = [f"__jk{i}" for i in range(len(self.keys_a))]
+
+    def _semi(self, df: DataFrame, keys: list[str], touched: DataFrame) -> DataFrame:
+        cond = None
+        for k, t in zip(keys, touched.columns):
+            eq = df[k].eqNullSafe(touched[t])
+            cond = eq if cond is None else (cond & eq)
+        return df.join(touched, cond, "leftsemi")
 
     def step(self, da: ZSet, db: ZSet) -> ZSet:
         self._a = da.consolidate() if self._a is None else self._a.add(da).consolidate()
         self._b = db.consolidate() if self._b is None else self._b.add(db).consolidate()
         touched = (
-            da.df.select(F.col(self.key_a).alias("__k"))
-            .union(db.df.select(F.col(self.key_b).alias("__k")))
+            da.df.select(*[F.col(k).alias(j) for k, j in zip(self.keys_a, self._jks)])
+            .union(
+                db.df.select(*[F.col(k).alias(j) for k, j in zip(self.keys_b, self._jks)])
+            )
             .distinct()
         )
         # eqNullSafe: NULL join keys never *match* (plain equality in
         # the join below) but a NULL-keyed left insert still changes
         # the null-extended output, so it must reach the recompute.
-        a_t = self._a.df.join(
-            touched, F.col(self.key_a).eqNullSafe(F.col("__k")), "leftsemi"
-        )
-        b_t = self._b.df.join(
-            touched, F.col(self.key_b).eqNullSafe(F.col("__k")), "leftsemi"
-        )
+        a_t = self._semi(self._a.df, self.keys_a, touched)
+        b_t = self._semi(self._b.df, self.keys_b, touched)
         am = ZSet(a_t).to_multiset_df()
         bm = ZSet(b_t).to_multiset_df()
-        joined = am.join(bm, am[self.key_a] == bm[self.key_b], self.how)
-        jk = (
-            F.col(self.key_a)
-            if self.how == "left"
-            else F.col(self.key_b)
-            if self.how == "right"
-            else F.coalesce(F.col(self.key_a), F.col(self.key_b))
-        )
-        new_rows = joined.select(*self.project, jk.alias("__jk")).localCheckpoint(eager=False)
+        on = None
+        for ka, kb in zip(self.keys_a, self.keys_b):
+            eq = am[ka] == bm[kb]
+            on = eq if on is None else (on & eq)
+        joined = am.join(bm, on, self.how)
+        jks = [
+            (
+                F.col(ka)
+                if self.how == "left"
+                else F.col(kb)
+                if self.how == "right"
+                else F.coalesce(F.col(ka), F.col(kb))
+            ).alias(j)
+            for ka, kb, j in zip(self.keys_a, self.keys_b, self._jks)
+        ]
+        new_rows = joined.select(*self.project, *jks).localCheckpoint(eager=False)
 
         if self._out is None:
             delta = ZSet.from_df(new_rows)
             self._out = new_rows
         else:
-            old_rows = self._out.join(
-                touched, F.col("__jk").eqNullSafe(F.col("__k")), "leftsemi"
-            )
+            old_rows = self._semi(self._out, self._jks, touched)
             delta = ZSet.from_df(new_rows).subtract(ZSet.from_df(old_rows))
-            self._out = self._out.join(
-                touched, F.col("__jk").eqNullSafe(F.col("__k")), "left_anti"
-            ).unionByName(new_rows)
+            anti_cond = None
+            for j, t in zip(self._jks, touched.columns):
+                eq = self._out[j].eqNullSafe(touched[t])
+                anti_cond = eq if anti_cond is None else (anti_cond & eq)
+            self._out = self._out.join(touched, anti_cond, "left_anti").unionByName(new_rows)
         self._steps += 1
         if self._steps % self._checkpoint_every == 0:
             self._a = ZSet(self._a.df.localCheckpoint(eager=False))
             self._b = ZSet(self._b.df.localCheckpoint(eager=False))
             self._out = self._out.localCheckpoint(eager=False)
-        payload = [c for c in delta.df.columns if c not in ("__jk", WEIGHT)]
+        payload = [c for c in delta.df.columns if c not in self._jks and c != WEIGHT]
         return delta.map(*[F.col(c) for c in payload]).consolidate()
 
     def snapshot(self) -> DataFrame:
         if self._out is None:
             raise ValueError("no steps applied")
-        return self._out.drop("__jk")
+        return self._out.drop(*self._jks)
 
 
 class IncrementalTopK:

@@ -28,6 +28,58 @@ def stream_from_dir(
     )
 
 
+def run_program_on_stream(
+    spark: SparkSession,
+    program,
+    stream_table: str,
+    stream_df: DataFrame,
+    static_sources: dict[str, DataFrame] | None = None,
+    sf_dir: str | None = None,
+    optimize: bool = True,
+):
+    """Drive an :class:`~..compiler.IncrementalProgram` from a
+    Structured Streaming source: every micro-batch of ``stream_df``
+    becomes an insert Z-set delta for ``stream_table`` (the
+    reference's circuit fed by its input stream adapters). Static
+    tables are applied once as the first step's deltas. Returns the
+    IncrementalProgram after all available input is consumed —
+    ``snapshot(view)`` then equals the batch evaluation over
+    everything streamed, and with ``optimize=True`` each micro-batch
+    pays only the recognized operators' |delta|-bounded cost.
+
+    This bridges the two IVM paths: Structured Streaming supplies
+    ordered, replayable micro-batches; the program's Z-set operators
+    maintain view state with explicit retract/insert deltas that
+    Structured Streaming's own sinks don't expose."""
+    from ..compiler.program import IncrementalProgram, SqlProgram, bind_sources
+    from ..plans.zset import ZSet
+
+    prog = SqlProgram.parse(program) if isinstance(program, str) else program
+    inc = IncrementalProgram(spark, prog, optimize=optimize)
+    static_prog = SqlProgram(
+        tables={n: t for n, t in prog.tables.items() if n != stream_table},
+        views=[],
+        inserts=[i for i in prog.inserts if i.table != stream_table],
+    )
+    static = bind_sources(spark, static_prog, static_sources, sf_dir)
+    nonempty = {n: ZSet.from_df(df) for n, df in static.items()}
+    if nonempty:
+        inc.step(nonempty)
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        # eager checkpoint: state keeps referencing these rows long
+        # after the micro-batch plan is gone. NB foreachBatch hands us
+        # a DataFrame on a cloned session with an isolated temp-view
+        # catalog — the optimized operators are catalog-free
+        # (DataFrame ops only), and naive-path state unions keep the
+        # program session's catalog, so this delta needs no rebinding.
+        inc.step({stream_table: ZSet.from_df(batch_df.localCheckpoint())})
+
+    q = stream_df.writeStream.foreachBatch(feed).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return inc
+
+
 def run_incremental(
     stream_df: DataFrame,
     view: Callable[[DataFrame], DataFrame],

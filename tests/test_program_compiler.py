@@ -405,13 +405,19 @@ def test_compile_streaming_tumble_with_watermark(spark, tmp_path):
 
 OPT_PROGRAM2 = """
 CREATE TABLE ev(k INTEGER, v INTEGER, cat VARCHAR);
-CREATE TABLE dim(kk INTEGER, label VARCHAR);
+CREATE TABLE dim(kk INTEGER, cat2 VARCHAR, label VARCHAR);
 CREATE VIEW v_dist AS SELECT DISTINCT cat, v FROM ev WHERE v IS NOT NULL;
 CREATE VIEW v_lj AS SELECT k, v, label FROM ev LEFT JOIN dim ON ev.k = dim.kk;
 CREATE VIEW v_fj AS SELECT k, v, label FROM ev FULL OUTER JOIN dim ON ev.k = dim.kk;
 CREATE VIEW v_topk AS SELECT * FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY cat ORDER BY v DESC) AS rn FROM ev
 ) WHERE rn <= 2;
+CREATE VIEW v_mk AS SELECT k, v, label
+    FROM ev JOIN dim ON ev.k = dim.kk AND ev.cat = dim.cat2;
+CREATE VIEW v_mlj AS SELECT k, v, label
+    FROM ev LEFT JOIN dim ON ev.k = dim.kk AND ev.cat = dim.cat2;
+CREATE VIEW v_hav AS SELECT cat, COUNT(*) AS n, SUM(v) AS sv
+    FROM ev GROUP BY cat HAVING n > 2;
 """
 
 
@@ -422,6 +428,9 @@ def test_optimized_plan_report_new_shapes(spark):
     assert plan["v_lj"] == "left-outer-join"
     assert plan["v_fj"] == "full-outer-join"
     assert plan["v_topk"] == "topk"
+    assert plan["v_mk"] == "join"
+    assert plan["v_mlj"] == "left-outer-join"
+    assert plan["v_hav"] == "aggregate"
 
 
 def test_optimized_new_shapes_match_naive(spark):
@@ -453,7 +462,7 @@ def test_optimized_new_shapes_match_naive(spark):
                 row = dim_live.pop(rng.randrange(len(dim_live)))
                 dim_d.append((*row, -1))
             else:
-                row = (rng.randrange(3), f"L{rng.randrange(2)}")
+                row = (rng.randrange(3), rng.choice(["a", "b"]), f"L{rng.randrange(2)}")
                 dim_live.append(row)
                 dim_d.append((*row, 1))
         deltas_opt = {
@@ -461,12 +470,74 @@ def test_optimized_new_shapes_match_naive(spark):
         }
         if dim_d:
             deltas_opt["dim"] = ZSet(
-                spark.createDataFrame(dim_d, "kk int, label string, __weight long")
+                spark.createDataFrame(dim_d, "kk int, cat2 string, label string, __weight long")
             )
         deltas_naive = {n: ZSet(z.df) for n, z in deltas_opt.items()}
         out_o = opt.step(deltas_opt)
         out_n = naive.step(deltas_naive)
         for vname in out_o:
             assert _zrows(out_o[vname]) == _zrows(out_n[vname]), f"{vname} step {step}"
-    for vname in ("v_dist", "v_lj", "v_fj", "v_topk"):
+    for vname in ("v_dist", "v_lj", "v_fj", "v_topk", "v_mk", "v_mlj", "v_hav"):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
+
+
+def test_program_driven_by_stream(spark, tmp_path):
+    """run_program_on_stream: micro-batches become input Z-set deltas
+    of an optimized IncrementalProgram; after consuming all available
+    input, every view snapshot equals the batch evaluation over the
+    full streamed data (the reference's circuit-fed-by-stream-adapter
+    topology, with a static dimension join side)."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from sql_to_dbsp_compiler_spark.streaming.incremental import (
+        run_program_on_stream,
+        stream_from_dir,
+    )
+
+    prog = """
+    CREATE TABLE ev(k INTEGER, v INTEGER, cat VARCHAR);
+    CREATE TABLE dim(kk INTEGER, label VARCHAR);
+    CREATE VIEW v_agg AS SELECT cat, COUNT(*) AS n, SUM(v) AS sv FROM ev GROUP BY cat;
+    CREATE VIEW v_join AS SELECT v, cat, label FROM ev JOIN dim ON ev.k = dim.kk;
+    CREATE VIEW v_dist AS SELECT DISTINCT cat FROM ev;
+    """
+    rows = [(i % 4, i * 10, "ab"[i % 2]) for i in range(20)]
+    full = spark.createDataFrame(rows, "k int, v int, cat string")
+    import glob
+    import shutil
+
+    base = str(tmp_path / "stream")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(4):  # 4 files → 4 micro-batches
+        spark.createDataFrame(rows[i * 5 : (i + 1) * 5], "k int, v int, cat string") \
+            .coalesce(1).write.mode("overwrite").parquet(os.path.join(base, f"b{i}"))
+        shutil.copy(
+            glob.glob(os.path.join(base, f"b{i}", "*.parquet"))[0],
+            os.path.join(flat, f"batch_{i}.parquet"),
+        )
+    base = flat
+    schema = StructType.fromDDL("k int, v int, cat string")
+    dim = spark.createDataFrame([(0, "zero"), (1, "one"), (2, "two")], "kk int, label string")
+
+    inc = run_program_on_stream(
+        spark,
+        prog,
+        "ev",
+        stream_from_dir(spark, base, schema),
+        static_sources={"dim": dim},
+    )
+    assert inc.plan() == {"v_agg": "aggregate", "v_join": "join", "v_dist": "distinct"}
+
+    full.createOrReplaceTempView("ev")
+    dim.createOrReplaceTempView("dim")
+    for vname, sql in [
+        ("v_agg", "SELECT cat, COUNT(*) AS n, SUM(v) AS sv FROM ev GROUP BY cat"),
+        ("v_join", "SELECT v, cat, label FROM ev JOIN dim ON ev.k = dim.kk"),
+        ("v_dist", "SELECT DISTINCT cat FROM ev"),
+    ]:
+        expect = {(*r, 1) for r in spark.sql(sql).collect()}
+        got = _zrows(inc.snapshot(vname))
+        assert got == expect, vname
