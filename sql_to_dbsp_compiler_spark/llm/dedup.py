@@ -298,6 +298,58 @@ def banded_pairs_int64(
     return _pairs_within_buckets(banded, ["band_id", "band_val"], id_col, max_bucket, dedup)
 
 
+def hamming_filtered_bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    sig_col: str,
+    max_hamming: int,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Join-free bucket pairing WITH an in-bucket Hamming prefilter:
+    rows carry their full multi-word signature into the bucket; pair
+    enumeration computes popcount(xor) per candidate inside the same
+    codegen'd expression and emits only pairs within ``max_hamming``.
+    Random-collision candidates (the bulk, at narrow band widths) are
+    discarded before ANY pair row is materialized or shuffled — the
+    shuffle stays linear in the banded rows and the output is just the
+    survivors."""
+    buckets = (
+        banded.groupBy(*bucket_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(sig_col).alias("s")))
+            ).alias("xs")
+        )
+        .where((F.size("xs") >= 2) & (F.size("xs") <= max_bucket))
+    )
+
+    def hamming(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("xs"),
+                    lambda x, i: F.transform(
+                        F.filter(
+                            F.slice(F.col("xs"), i + 2, F.greatest(F.size("xs") - i - 1, F.lit(1))),
+                            lambda y: hamming(x["s"], y["s"]) <= max_hamming,
+                        ),
+                        lambda y: F.struct(x["i"].alias("id_a"), y["i"].alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b")
+
+
 def banded_pairs_words(
     sig_df: DataFrame,
     id_col: str,

@@ -213,8 +213,17 @@ def srp_neardup_pairs(
     bands: e.g. bits=256, band_bits=16 gives 16 bands of 65536
     buckets — the high-threshold regime. The exact-verify join is an
     equi-join on candidate ids either way, so cost scales with
-    candidates, not n²."""
-    from sql_to_dbsp_compiler_spark.llm.dedup import banded_pairs_int64, banded_pairs_words
+    candidates, not n². Between banding and the exact verify sits a
+    **Hamming prefilter**: matched-bit fraction of a ≥256-bit
+    signature estimates 1-θ/π with sd √(p(1-p)/W) ≈ 0.03, so a
+    3σ-slack cutoff discards the (at small band_bits, dominant)
+    random-collision candidates with popcounts over a few longs —
+    ~0.1% recall cost — before any vector leaves the shuffle. The
+    cascade is banding (recall) → Hamming (cheap precision) → exact
+    cosine (precision 1)."""
+    import math
+
+    from sql_to_dbsp_compiler_spark.llm.dedup import hamming_filtered_bucket_pairs
 
     par = emb.sparkSession.sparkContext.defaultParallelism
     e = (
@@ -223,15 +232,50 @@ def srp_neardup_pairs(
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
         .persist()
     )
-    # dedup=False: a pair colliding in several bands is verified that
-    # many times, but deduping the full raw candidate set would cost a
-    # dedicated shuffle, while deduping the (selective) verified
-    # survivors is ~free. The verify joins are id equi-joins: AQE
-    # broadcasts the vector side while it fits and shuffles on the id
-    # once it doesn't.
-    sig = srp_signatures(e, id_col=id_col, vec_col="v", bits=bits)
-    band_fn = banded_pairs_int64 if bits == 64 else banded_pairs_words
-    cands = band_fn(sig, id_col, "srp_sig", band_bits, max_bucket, dedup=False)
+    # One wide signature serves both stages: the first `bits` worth of
+    # words feed the LSH banding; ALL words ride into the buckets for
+    # the Hamming estimate. 3σ slack keeps the prefilter's recall cost
+    # ~0.1% at any threshold.
+    wide_bits = max(bits, 256)
+    if 64 % band_bits != 0:
+        raise ValueError(f"band_bits must divide 64: {band_bits}")
+    nbands = bits // band_bits
+    per_word = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    p_thr = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    cutoff = p_thr - 3.0 * math.sqrt(p_thr * (1.0 - p_thr) / wide_bits)
+    max_hamming = int(math.floor((1.0 - cutoff) * wide_bits))
+
+    sig = srp_signatures(e, id_col=id_col, vec_col="v", bits=wide_bits)
+    banded = sig.select(
+        id_col,
+        "srp_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(
+                            F.element_at("srp_sig", b // per_word + 1),
+                            (b % per_word) * band_bits,
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_val", "srp_sig")
+    # In-bucket Hamming prefilter: random-collision candidates (the
+    # bulk at narrow band widths) die inside the bucket row — nothing
+    # quadratic is shuffled. A pair colliding in several bands is
+    # emitted that many times; deduping the (selective) survivors
+    # after the exact verify is ~free, and the verify joins are id
+    # equi-joins AQE can broadcast.
+    survivors = hamming_filtered_bucket_pairs(
+        banded, ["band_id", "band_val"], id_col, "srp_sig", max_hamming, max_bucket
+    )
     a = e.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
@@ -240,7 +284,7 @@ def srp_neardup_pairs(
     )
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        cands.join(a, "id_a")
+        survivors.join(a, "id_a")
         .join(b, "id_b")
         .where(sim >= threshold)
         .select("id_a", "id_b", sim.alias("sim"))
