@@ -521,11 +521,13 @@ _TOPK_RE = re.compile(
 
 def _parse_join_projection(
     sel: str, a: str, b: str, cols_a: list[str], cols_b: list[str]
-) -> list[Column] | None:
+) -> "tuple[list[Column], list[str]] | None":
     """Parse a join select-list of plain (optionally qualified /
-    aliased) columns into unambiguous Column projections; None when
-    any item is an expression, unknown, or ambiguous across inputs."""
+    aliased) columns into unambiguous Column projections (+ their
+    output names); None when any item is an expression, unknown, or
+    ambiguous across inputs."""
     project: list[Column] = []
+    aliases: list[str] = []
     for item in _split_top_level_commas(sel):
         item = item.strip()
         im = re.fullmatch(
@@ -544,7 +546,8 @@ def _parse_join_projection(
         if qual and qual != owner:
             return None
         project.append(F.col(col).alias(alias))
-    return project
+        aliases.append(alias)
+    return project, aliases
 
 
 def _apply_linear(df: DataFrame, sel: "list[str] | None", where: "str | None") -> DataFrame:
@@ -582,6 +585,7 @@ class _JoinOp:
     src_a: str
     src_b: str
     op: "object"  # IncrementalJoin
+    aliases: "list[str] | None" = None  # output column names
 
 
 @dataclass
@@ -589,6 +593,7 @@ class _OuterJoinOp:
     src_a: str
     src_b: str
     op: "object"  # IncrementalOuterJoin
+    aliases: "list[str] | None" = None
 
 
 @dataclass
@@ -605,9 +610,14 @@ class _TopKOp:
     op: "object"  # IncrementalTopK
 
 
-def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str]):
+def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str]):
     """Return an op descriptor or None (→ naive). `known` = names of
-    tables and earlier views (valid delta sources)."""
+    tables and earlier views (valid delta sources); `cols_of` = output
+    columns of every source whose schema is statically known (tables
+    always; earlier views when their recognized shape or explicit
+    column list tells us) — joins need it for disambiguation, which is
+    what lets recognized views feed recognized joins (whole-circuit
+    composition, the reference's chained incremental operators)."""
     from ..plans.incremental import AggSpec, IncrementalJoin, IncrementalLinearAgg
 
     if view.columns is not None:
@@ -721,17 +731,17 @@ def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str])
     if m:
         how = (m.groupdict().get("how") or "inner").lower()
         a, b = m.group("a").lower(), m.group("b").lower()
-        if a not in tables or b not in tables or a == b:
-            return None  # view sources / self-join → naive
-        cols_a = [c for c, _ in tables[a].columns]
-        cols_b = [c for c, _ in tables[b].columns]
+        if a not in cols_of or b not in cols_of or a == b:
+            return None  # unknown-schema sources / self-join → naive
+        cols_a, cols_b = cols_of[a], cols_of[b]
         keys = _parse_equi_keys(m.group("on"), a, b, cols_a, cols_b)
         if keys is None:
             return None
         keys_a, keys_b = keys
-        project = _parse_join_projection(m.group("sel"), a, b, cols_a, cols_b)
-        if project is None:
+        parsed = _parse_join_projection(m.group("sel"), a, b, cols_a, cols_b)
+        if parsed is None:
             return None
+        project, aliases = parsed
         if how == "inner":
             from ..plans.incremental import IncrementalJoin as _IJ
 
@@ -739,11 +749,14 @@ def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str])
             for ka, kb in zip(keys_a, keys_b):
                 eq = F.col(ka) == F.col(kb)
                 on_col = eq if on_col is None else (on_col & eq)
-            return _JoinOp(a, b, _IJ(on=on_col, project=project))
+            return _JoinOp(a, b, _IJ(on=on_col, project=project), aliases)
         from ..plans.incremental import IncrementalOuterJoin
 
         return _OuterJoinOp(
-            a, b, IncrementalOuterJoin(key_a=keys_a, key_b=keys_b, project=project, how=how)
+            a,
+            b,
+            IncrementalOuterJoin(key_a=keys_a, key_b=keys_b, project=project, how=how),
+            aliases,
         )
 
     m = _SELECT_FROM_RE.match(sql)
@@ -755,6 +768,37 @@ def _recognize_view(view: ViewDef, tables: dict[str, TableDef], known: set[str])
         sel_items = None if sel == "*" else [s.strip() for s in _split_top_level_commas(sel)]
         return _LinearOp(src, sel_items, where)
 
+    return None
+
+
+def _out_cols_of(
+    view: ViewDef, op, cols_of: dict[str, list[str]]
+) -> "list[str] | None":
+    """Statically-known output columns of a view, or None when the
+    shape doesn't pin them down (naive views without an explicit
+    column list, linear selects with unaliased expressions)."""
+    if view.columns is not None:
+        return [c.lower() for c in view.columns]
+    if isinstance(op, (_LinearOp, _DistinctOp)):
+        if op.sel is None:
+            return list(cols_of[op.src]) if op.src in cols_of else None
+        cols = []
+        for item in op.sel:
+            m = re.search(r"\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
+            if m:
+                cols.append(m.group(1).lower())
+            elif re.fullmatch(r"\w+", item.strip()):
+                cols.append(item.strip().lower())
+            else:
+                return None
+        return cols
+    if isinstance(op, _AggOp):
+        return list(op.out_cols)
+    if isinstance(op, (_JoinOp, _OuterJoinOp)):
+        return list(op.aliases) if op.aliases is not None else None
+    if isinstance(op, _TopKOp):
+        src_cols = cols_of.get(op.src)
+        return src_cols + [op.op.rank_alias] if src_cols else None
     return None
 
 
@@ -802,13 +846,18 @@ class IncrementalProgram:
 
         # Optimized pass: map each view to an incremental operator
         # where the shape allows; None → naive D∘Q∘I fallback.
+        # cols_of tracks statically-known output schemas so recognized
+        # views can feed later recognized joins.
         self._ops: dict[str, object | None] = {}
         known = set(self.program.tables)
+        cols_of = {n: [c for c, _ in t.columns] for n, t in self.program.tables.items()}
         for view in self.program.views:
-            self._ops[view.name] = (
-                _recognize_view(view, self.program.tables, known) if optimize else None
-            )
+            op = _recognize_view(view, cols_of, known) if optimize else None
+            self._ops[view.name] = op
             known.add(view.name)
+            oc = _out_cols_of(view, op, cols_of)
+            if oc is not None:
+                cols_of[view.name] = oc
         self._has_naive = any(op is None for op in self._ops.values())
 
     def plan(self) -> dict[str, str]:

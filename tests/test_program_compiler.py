@@ -541,3 +541,53 @@ def test_program_driven_by_stream(spark, tmp_path):
         expect = {(*r, 1) for r in spark.sql(sql).collect()}
         got = _zrows(inc.snapshot(vname))
         assert got == expect, vname
+
+
+CHAIN_PROGRAM = """
+CREATE TABLE ev(k INTEGER, v INTEGER, cat VARCHAR);
+CREATE TABLE dim(kk INTEGER, label VARCHAR);
+CREATE VIEW v_pos AS SELECT k, v * 2 AS v2, cat FROM ev WHERE v > 0;
+CREATE VIEW v_join AS SELECT v2, cat, label FROM v_pos JOIN dim ON v_pos.k = dim.kk;
+CREATE VIEW v_agg AS SELECT label, COUNT(*) AS n, SUM(v2) AS sv FROM v_join GROUP BY label;
+"""
+
+
+def test_recognizer_composes_through_views(spark):
+    """A recognized view can feed a later recognized join/aggregate —
+    the whole three-view circuit compiles to incremental operators
+    (reference: chained DBSPIncremental* operators in one circuit),
+    and the composed deltas match naive D∘Q∘I at every step."""
+    import random
+
+    opt = IncrementalProgram(spark, CHAIN_PROGRAM, optimize=True, checkpoint_every=2)
+    assert opt.plan() == {"v_pos": "linear", "v_join": "join", "v_agg": "aggregate"}
+    naive = IncrementalProgram(spark, CHAIN_PROGRAM, optimize=False, checkpoint_every=2)
+
+    rng = random.Random(13)
+    ev_live = []
+    for step in range(3):
+        ev_d, dim_d = [], []
+        for _ in range(rng.randint(1, 4)):
+            if ev_live and rng.random() < 0.3:
+                row = ev_live.pop(rng.randrange(len(ev_live)))
+                ev_d.append((*row, -1))
+            else:
+                row = (rng.randrange(3), rng.randint(-5, 20), rng.choice(["a", "b"]))
+                ev_live.append(row)
+                ev_d.append((*row, 1))
+        if rng.random() < 0.7:
+            dim_d.append((rng.randrange(3), f"L{rng.randrange(2)}", 1))
+        deltas_opt = {
+            "ev": ZSet(spark.createDataFrame(ev_d, "k int, v int, cat string, __weight long")),
+        }
+        if dim_d:
+            deltas_opt["dim"] = ZSet(
+                spark.createDataFrame(dim_d, "kk int, label string, __weight long")
+            )
+        deltas_naive = {n: ZSet(z.df) for n, z in deltas_opt.items()}
+        out_o = opt.step(deltas_opt)
+        out_n = naive.step(deltas_naive)
+        for vname in out_o:
+            assert _zrows(out_o[vname]) == _zrows(out_n[vname]), f"{vname} step {step}"
+    for vname in ("v_pos", "v_join", "v_agg"):
+        assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
