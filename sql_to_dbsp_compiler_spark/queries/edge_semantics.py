@@ -186,3 +186,40 @@ def distinct_on_groupwise_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("first_date"),
         )
     )
+
+
+@query(
+    "division_by_zero_null",
+    oracle="""
+    SELECT v.a, v.b,
+           CASE WHEN v.b = 0 THEN NULL
+                ELSE CAST(TRUNC(CAST(v.a AS DOUBLE) / v.b) AS BIGINT) END AS div_null,
+           CASE WHEN v.b = 0 THEN NULL ELSE v.a % v.b END AS mod_null,
+           CASE WHEN v.b = 0 OR v.a = 0 THEN NULL
+                ELSE CAST(TRUNC(2.0 / TRUNC(CAST(v.a AS DOUBLE) / v.b)) AS BIGINT)
+           END AS nested_div
+    FROM (VALUES (1, 0), (7, 2), (-7, 0), (-7, 2), (0, 0), (0, 3)) AS v(a, b)
+    """,
+    tags=("edge", "numeric"),
+)
+def division_by_zero_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's TOTAL division: a zero divisor yields NULL, not
+    a runtime error, and NULL propagates through enclosing arithmetic
+    (reference EndToEndTests divZeroTest / nestedDivTest /
+    customDivisionTest: SELECT 1/0 -> NULL row). Our session runs ANSI
+    mode (where `/` raises), so reference division is spelled with
+    functions/numeric_fns.division; the nested case 2/(a/b) goes NULL
+    when the inner division is NULL (b=0) or zero (a=0)."""
+    from sql_to_dbsp_compiler_spark.functions.numeric_fns import division, total_mod
+
+    df = spark.createDataFrame(
+        [(1, 0), (7, 2), (-7, 0), (-7, 2), (0, 0), (0, 3)], schema="a int, b int"
+    )
+    inner = division(F.col("a"), F.col("b"))
+    return df.select(
+        "a",
+        "b",
+        inner.alias("div_null"),
+        total_mod(F.col("a"), F.col("b")).alias("mod_null"),
+        division(F.lit(2).cast("int"), inner).alias("nested_div"),
+    )
