@@ -58,15 +58,20 @@ def geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_sub('second', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS sec_since,
            CAST(date_sub('minute', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS min_since,
            CAST(date_sub('hour',   TIMESTAMP '2024-01-01', ts) AS BIGINT) AS hr_since,
-           CAST(date_sub('day',    TIMESTAMP '2024-01-01', ts) AS BIGINT) AS day_since
+           CAST(date_sub('day',    TIMESTAMP '2024-01-01', ts) AS BIGINT) AS day_since,
+           CAST(date_sub('week',   TIMESTAMP '2024-01-01', ts) AS BIGINT) AS wk_since,
+           CAST(date_sub('month',  TIMESTAMP '2024-01-01', ts) AS BIGINT) AS mo_since,
+           CAST(date_sub('year',   TIMESTAMP '2024-01-01', ts) AS BIGINT) AS yr_since
     FROM events WHERE event_id <= 500
     """,
     tags=("functions", "datetime"),
 )
 def timestampdiff_units(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TIMESTAMPDIFF for fixed-width units = complete elapsed units
-    (reference doc/sql/datetime.rst; DuckDB's date_sub has the same
-    complete-units semantics, unlike date_diff's boundary crossings)."""
+    """TIMESTAMPDIFF = complete elapsed units, for fixed-width AND
+    calendar units (reference doc/sql/datetime.rst; OtherTests.java:570
+    pins MONTH: 2021-02-28 12:00 → 2021-03-28 11:59:59 is 0 months.
+    DuckDB's date_sub has the same complete-units semantics, unlike
+    date_diff's boundary crossings — verified for month/year too)."""
     e = load_table(spark, sf_dir, "events").where(F.col("event_id") <= 500)
     t0 = "TIMESTAMP '2024-01-01'"
     return e.select(
@@ -75,6 +80,9 @@ def timestampdiff_units(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"timestampdiff(MINUTE, {t0}, ts)").cast("bigint").alias("min_since"),
         F.expr(f"timestampdiff(HOUR, {t0}, ts)").cast("bigint").alias("hr_since"),
         F.expr(f"timestampdiff(DAY, {t0}, ts)").cast("bigint").alias("day_since"),
+        F.expr(f"timestampdiff(WEEK, {t0}, ts)").cast("bigint").alias("wk_since"),
+        F.expr(f"timestampdiff(MONTH, {t0}, ts)").cast("bigint").alias("mo_since"),
+        F.expr(f"timestampdiff(YEAR, {t0}, ts)").cast("bigint").alias("yr_since"),
     )
 
 
