@@ -90,3 +90,23 @@ def test_unnest_ordinality_stays_codegen(spark, sf_dir):
     plan = _plan(spark, sf_dir, "unnest_ordinality")
     assert "Generate" in plan  # posexplode
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_srp_lsh_filters_candidates_inside_bucket(spark, sf_dir):
+    """The SRP near-dup cascade must (a) popcount-filter candidate
+    pairs INSIDE the bucket row (bit_count visible in the pair
+    enumeration project, upstream of any join with vectors) and
+    (b) keep every join an equi-join — no cartesian, no sort-merge
+    join of the raw candidate set against vectors before the Hamming
+    filter has run."""
+    plan = _plan(spark, sf_dir, "embedding_lsh_neardup")
+    assert "bit_count" in plan, "Hamming prefilter missing from the plan"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the filtered pair enumeration happens in a Project/Generate over
+    # the bucket aggregate — i.e. bit_count appears BEFORE the first
+    # vector join in the plan text (plans print top-down from sink;
+    # scan from the bottom: bucket agg -> generate(with bit_count) ->
+    # joins). Cheap structural check: the Generate node's detail
+    # mentions bit_count.
+    gen_sections = [s for s in plan.split("\n\n") if "Generate" in s]
+    assert any("bit_count" in s for s in gen_sections), "filter not fused into pair enumeration"
