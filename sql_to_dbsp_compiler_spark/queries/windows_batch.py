@@ -162,3 +162,48 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w).cast("double")
         ).alias("moving_avg3"),
     )
+
+
+@query(
+    "fraud_features_windows",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CASE WHEN COUNT(*) OVER w1h > 0
+                THEN CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w1h AS DOUBLE)
+                          / COUNT(*) OVER w1h AS DOUBLE) END AS avg_1h,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w1h AS DOUBLE) AS sum_1h,
+           CAST(COUNT(*) OVER w24 AS BIGINT) AS cnt_24h
+    FROM events WHERE user_id <= 30
+    WINDOW
+      w1h AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+              RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING),
+      w24 AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+              RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+    """,
+    tags=("window", "complex"),
+)
+def fraud_features_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's fraud-detection feature view
+    (ComplexQueriesTest.java demographicsTest/fraudDetectionTest /
+    smallTaxiTest): per-key sliding TIME-RANGE frames over epoch
+    seconds that EXCLUDE the current row (`RANGE BETWEEN 3600
+    PRECEDING AND 1 PRECEDING` — "activity before this transaction"),
+    plus DAYOFWEEK feature extraction. Peers (same epoch second) enter
+    frames together so the result is tie-stable; averages accumulate
+    in DECIMAL and guard the empty-frame case (first event per user
+    has COUNT 0 — NULL average, not a division error)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 30)
+    epoch = F.unix_timestamp("ts")
+    w1h = Window.partitionBy("user_id").orderBy(epoch).rangeBetween(-3600, -1)
+    w24 = Window.partitionBy("user_id").orderBy(epoch).rangeBetween(-86400, -1)
+    s1 = F.sum(dec2("value")).over(w1h)
+    c1 = F.count(F.lit(1)).over(w1h)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.when(c1 > 0, (s1.cast("double") / c1).cast("double")).alias("avg_1h"),
+        s1.cast("double").alias("sum_1h"),
+        F.count(F.lit(1)).over(w24).cast("bigint").alias("cnt_24h"),
+    )
