@@ -453,6 +453,105 @@ _HAVING_KEYWORDS = {
 }
 
 
+# GROUP BY with a window(ts, '…') grouping expression (the TUMBLE/HOP
+# dialect shim rewrites Calcite spellings into this form first).
+_WIN_AGG_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>\w+)\s*"
+    r"(?:WHERE\s+(?P<where>.+?))?\s*GROUP\s+BY\s+(?P<keys>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WINDOW_KEY_RE = re.compile(
+    r"^window\s*\(\s*(?P<col>\w+)\s*,\s*'(?P<iv>[^']+)'(?:\s*,\s*'(?P<slide>[^']+)')?\s*\)$",
+    re.IGNORECASE,
+)
+_WINDOW_FIELD_RE = re.compile(
+    r"^window\.(?P<field>start|end)\s+AS\s+(?P<alias>\w+)$", re.IGNORECASE
+)
+
+
+def _parse_window_agg(m: "re.Match"):
+    """Recognize ``SELECT window.start AS …, keys, aggs FROM src
+    [WHERE …] GROUP BY window(ts, '…')[, keys]`` → a _WinAggOp; None
+    for anything else (→ naive)."""
+    from ..plans.incremental import (
+        AggSpec,
+        IncrementalGroupRecomputeAgg,
+        IncrementalLinearAgg,
+    )
+
+    src = m.group("src").lower()
+    keys_raw = [k.strip() for k in _split_top_level_commas(m.group("keys"))]
+    win_sql = None
+    plain_keys: list[str] = []
+    for k in keys_raw:
+        km = _WINDOW_KEY_RE.match(k)
+        if km:
+            # sliding (HOP) windows replicate each row into several
+            # windows — the derived-column rewrite only holds for
+            # tumbling windows; HOP stays naive
+            if win_sql is not None or km.group("slide"):
+                return None
+            win_sql = k
+        elif re.fullmatch(r"\w+", k):
+            plain_keys.append(k.lower())
+        else:
+            return None
+    if win_sql is None:
+        return None
+    where = m.group("where")
+    if where and _FORBIDDEN_LINEAR.search(where):
+        return None
+
+    items: list[tuple[str, str, str]] = []
+    out_exprs: list[Column] = []
+    for item in _split_top_level_commas(m.group("sel")):
+        item = item.strip()
+        am = _AGG_ITEM_RE.match(item)
+        wm = _WINDOW_FIELD_RE.match(item)
+        if am:
+            fn = am.group("fn").lower()
+            arg = am.group("arg").strip()
+            alias = am.group("alias").lower()
+            if arg != "*" and _FORBIDDEN_LINEAR.search(arg):
+                return None
+            items.append((fn, arg, alias))
+            out_exprs.append(F.col(alias))
+        elif wm:
+            out_exprs.append(
+                F.col(f"__win.{wm.group('field').lower()}").alias(wm.group("alias").lower())
+            )
+        elif re.fullmatch(r"\w+", item) and item.lower() in plain_keys:
+            out_exprs.append(F.col(item.lower()))
+        else:
+            return None
+    if not items:
+        return None
+    cond = F.expr(where) if where else None
+    keys = ["__win", *plain_keys]
+
+    if any(fn in ("min", "max") for fn, _, _ in items):
+        aggs = [
+            (F.count(F.lit(1)) if (fn == "count" and arg == "*") else F.expr(f"{fn}({arg})")).alias(alias)
+            for fn, arg, alias in items
+        ]
+        return _WinAggOp(
+            src, win_sql, IncrementalGroupRecomputeAgg(keys=keys, aggs=aggs, cond=cond), out_exprs
+        )
+    specs: list = []
+    for fn, arg, alias in items:
+        if fn == "count" and arg == "*":
+            specs.append(AggSpec(alias, "count"))
+        elif fn == "count":
+            specs.append(AggSpec(alias, "count", F.expr(arg)))
+        elif fn == "sum":
+            specs.append(AggSpec(alias, "sum", F.expr(arg)))
+        else:
+            specs.append(AggSpec(alias, "avg", F.expr(arg)))
+    return _WinAggOp(
+        src, win_sql, IncrementalLinearAgg(keys=keys, specs=specs, cond=cond), out_exprs
+    )
+
+
 def _having_refs_only(cond: str, out_cols: list[str]) -> bool:
     """True iff every identifier in the condition is an output column
     (HAVING is then a row-wise filter on the aggregate's output, which
@@ -610,6 +709,21 @@ class _TopKOp:
     op: "object"  # IncrementalTopK
 
 
+@dataclass
+class _WinAggOp:
+    """Tumbling/hopping window aggregate (reference
+    DBSPWindowAggregateOperator): the window() grouping expression is
+    computed as a derived struct key on the delta, then maintained by
+    the same linear-agg / group-recompute machinery as any GROUP BY —
+    per-step cost ∝ |delta| + touched (window, key) groups, never a
+    rescan of history."""
+
+    src: str
+    win_sql: str  # e.g. "window(ts, '1 hour')"
+    op: "object"  # IncrementalLinearAgg / IncrementalGroupRecomputeAgg
+    out_exprs: "list[Column]"
+
+
 def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str]):
     """Return an op descriptor or None (→ naive). `known` = names of
     tables and earlier views (valid delta sources); `cols_of` = output
@@ -694,6 +808,12 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
             out_cols,
             having,
         )
+
+    m = _WIN_AGG_RE.match(sql)
+    if m and m.group("src").lower() in known:
+        parsed = _parse_window_agg(m)
+        if parsed is not None:
+            return parsed
 
     m = _TOPK_RE.match(sql)
     if m and m.group("src").lower() in known and m.group("rn").lower() == m.group("rn2").lower():
@@ -880,6 +1000,10 @@ class IncrementalProgram:
                 return "distinct"
             if isinstance(op, _TopKOp):
                 return "topk"
+            if isinstance(op, _WinAggOp):
+                if isinstance(op.op, IncrementalGroupRecomputeAgg):
+                    return "window-aggregate-recompute"
+                return "window-aggregate"
             return "naive"
 
         return {name: kind(op) for name, op in self._ops.items()}
@@ -936,6 +1060,10 @@ class IncrementalProgram:
                 )
             elif isinstance(op, _TopKOp):
                 d = op.op.step(delta_of(op.src))
+            elif isinstance(op, _WinAggOp):
+                dd = delta_of(op.src).df.withColumn("__win", F.expr(op.win_sql))
+                d = op.op.step(ZSet(dd))
+                d = d.map(*op.out_exprs)
             else:  # naive D∘Q∘I: recompute snapshot, diff vs previous
                 snap_df = self.spark.sql(view.sql)
                 if view.columns is not None:

@@ -591,3 +591,58 @@ def test_recognizer_composes_through_views(spark):
             assert _zrows(out_o[vname]) == _zrows(out_n[vname]), f"{vname} step {step}"
     for vname in ("v_pos", "v_join", "v_agg"):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
+
+
+def test_tumble_view_maintained_incrementally(spark):
+    """A Calcite TUMBLE group-by compiles to an optimized incremental
+    window aggregate (reference DBSPWindowAggregateOperator): the
+    window struct becomes a derived grouping key, per-step deltas
+    match naive D∘Q∘I under inserts AND deletes, and MIN goes through
+    the group-recompute variant."""
+    prog = """
+    CREATE TABLE ev(ts TIMESTAMP, k INTEGER, v INTEGER);
+    CREATE VIEW v_win AS SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws, k,
+                                COUNT(*) AS n, SUM(v) AS sv
+                         FROM ev GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), k;
+    CREATE VIEW v_winmin AS SELECT window.start AS ws, MIN(v) AS mv
+                            FROM ev GROUP BY window(ts, '1 hour');
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=2)
+    assert opt.plan() == {
+        "v_win": "window-aggregate",
+        "v_winmin": "window-aggregate-recompute",
+    }
+    naive = IncrementalProgram(spark, prog, optimize=False, checkpoint_every=2)
+
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(5)
+    live = []
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    for step in range(3):
+        d = []
+        for _ in range(rng.randint(1, 5)):
+            if live and rng.random() < 0.3:
+                row = live.pop(rng.randrange(len(live)))
+                d.append((*row, -1))
+            else:
+                row = (
+                    base + timedelta(minutes=rng.randrange(0, 360)),
+                    rng.randrange(2),
+                    rng.randint(0, 50),
+                )
+                live.append(row)
+                d.append((*row, 1))
+        deltas_opt = {
+            "ev": ZSet(
+                spark.createDataFrame(d, "ts timestamp, k int, v int, __weight long")
+            )
+        }
+        deltas_naive = {n: ZSet(z.df) for n, z in deltas_opt.items()}
+        out_o = opt.step(deltas_opt)
+        out_n = naive.step(deltas_naive)
+        for vname in out_o:
+            assert _zrows(out_o[vname]) == _zrows(out_n[vname]), f"{vname} step {step}"
+    for vname in ("v_win", "v_winmin"):
+        assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
