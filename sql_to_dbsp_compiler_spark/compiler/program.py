@@ -710,6 +710,66 @@ class _TopKOp:
 
 
 @dataclass
+class _UnionAllOp:
+    """UNION ALL of linear selects (DBSPSumOperator): Z-set addition
+    commutes with D, so the output delta is the sum of the per-branch
+    linear deltas — stateless. UNION DISTINCT composes the sum with
+    IncrementalDistinct (multiplicity zero-crossing)."""
+
+    parts: "list[tuple[str, list[str] | None, str | None]]"  # (src, sel, where)
+    names0: "list[str]"  # first branch's output names (positional union)
+    distinct_op: "object | None" = None
+
+
+def _split_union(sql: str) -> "tuple[list[str], list[str]]":
+    """Split on top-level UNION [ALL|DISTINCT]; returns (parts, seps)
+    with seps[i] in {'all', 'distinct'} between parts[i] and
+    parts[i+1]. Paren depth guards against subquery UNIONs."""
+    parts: list[str] = []
+    seps: list[str] = []
+    depth, last = 0, 0
+    for t in re.finditer(r"[()]|\bUNION(?:\s+(?:ALL|DISTINCT))?\b", sql, re.IGNORECASE):
+        tok = t.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            parts.append(sql[last : t.start()])
+            seps.append("all" if re.search(r"\bALL\b", tok, re.IGNORECASE) else "distinct")
+            last = t.end()
+    parts.append(sql[last:])
+    return parts, seps
+
+
+def _linear_part(p: str, known: set[str], cols_of: dict[str, list[str]]):
+    """Parse one union branch as a linear select; returns
+    (src, sel_items|None, where|None, out_names|None) or None."""
+    pm = _SELECT_FROM_RE.match(p.strip())
+    if not pm or pm.group("src").lower() not in known:
+        return None
+    sel, src = pm.group("sel").strip(), pm.group("src").lower()
+    where = pm.group("where")
+    if _FORBIDDEN_LINEAR.search(sel) or (where and _FORBIDDEN_LINEAR.search(where)):
+        return None
+    if sel == "*":
+        names = list(cols_of[src]) if src in cols_of else None
+        return (src, None, where, names)
+    items = [s.strip() for s in _split_top_level_commas(sel)]
+    names: "list[str] | None" = []
+    for item in items:
+        am = re.search(r"\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
+        if am:
+            names.append(am.group(1).lower())
+        elif re.fullmatch(r"\w+", item):
+            names.append(item.lower())
+        else:
+            names = None
+            break
+    return (src, items, where, names)
+
+
+@dataclass
 class _WinAggOp:
     """Tumbling/hopping window aggregate (reference
     DBSPWindowAggregateOperator): the window() grouping expression is
@@ -738,6 +798,34 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
         return None  # explicit output column list → naive (rename pass)
 
     sql = view.sql.strip().rstrip(";")
+
+    union_parts, union_seps = _split_union(sql)
+    if len(union_parts) > 1:
+        # uniform separator only; mixed UNION/UNION ALL stays naive
+        if all(s == "all" for s in union_seps):
+            distinct = None
+        elif all(s == "distinct" for s in union_seps):
+            from ..plans.incremental import IncrementalDistinct
+
+            distinct = IncrementalDistinct()
+        else:
+            return None
+        parsed_parts = []
+        names0 = None
+        for i, p in enumerate(union_parts):
+            lp = _linear_part(p, known, cols_of)
+            if lp is None:
+                return None
+            src, sel, where, names = lp
+            arity = len(sel) if sel is not None else (len(names) if names is not None else None)
+            if i == 0:
+                if names is None:
+                    return None  # first branch names the output columns
+                names0 = names
+            elif arity is None or arity != len(names0):
+                return None  # unknown or mismatched branch arity
+            parsed_parts.append((src, sel, where))
+        return _UnionAllOp(parsed_parts, names0, distinct)
 
     m = _AGG_SELECT_RE.match(sql)
     if m and m.group("src").lower() in known:
@@ -919,6 +1007,8 @@ def _out_cols_of(
     if isinstance(op, _TopKOp):
         src_cols = cols_of.get(op.src)
         return src_cols + [op.op.rank_alias] if src_cols else None
+    if isinstance(op, _UnionAllOp):
+        return list(op.names0)
     return None
 
 
@@ -1004,6 +1094,8 @@ class IncrementalProgram:
                 if isinstance(op.op, IncrementalGroupRecomputeAgg):
                     return "window-aggregate-recompute"
                 return "window-aggregate"
+            if isinstance(op, _UnionAllOp):
+                return "union-all" if op.distinct_op is None else "union-distinct"
             return "naive"
 
         return {name: kind(op) for name, op in self._ops.items()}
@@ -1064,6 +1156,16 @@ class IncrementalProgram:
                 dd = delta_of(op.src).df.withColumn("__win", F.expr(op.win_sql))
                 d = op.op.step(ZSet(dd))
                 d = d.map(*op.out_exprs)
+            elif isinstance(op, _UnionAllOp):
+                z = None
+                for src, sel, where in op.parts:
+                    pd_ = _apply_linear(delta_of(src).df, sel, where)
+                    payload = [c for c in pd_.columns if c != WEIGHT]
+                    pd_ = pd_.select(*payload, WEIGHT).toDF(*op.names0, WEIGHT)
+                    z = ZSet(pd_) if z is None else z.add(ZSet(pd_))
+                d = z.consolidate()
+                if op.distinct_op is not None:
+                    d = op.distinct_op.step(d)
             else:  # naive D∘Q∘I: recompute snapshot, diff vs previous
                 snap_df = self.spark.sql(view.sql)
                 if view.columns is not None:

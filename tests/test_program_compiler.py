@@ -646,3 +646,50 @@ def test_tumble_view_maintained_incrementally(spark):
             assert _zrows(out_o[vname]) == _zrows(out_n[vname]), f"{vname} step {step}"
     for vname in ("v_win", "v_winmin"):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
+
+
+def test_union_views_maintained_incrementally(spark):
+    """UNION ALL compiles to stateless Z-set addition (DBSPSumOperator)
+    and UNION (distinct) to sum + IncrementalDistinct; both match
+    naive D∘Q∘I under inserts and deletes, including positional column
+    matching (second branch has different column names)."""
+    prog = """
+    CREATE TABLE a(x INTEGER, s VARCHAR);
+    CREATE TABLE b(y INTEGER, t VARCHAR);
+    CREATE VIEW v_all AS SELECT x, s FROM a WHERE x > 0 UNION ALL SELECT y, t FROM b;
+    CREATE VIEW v_dist AS SELECT x, s FROM a UNION SELECT y, t FROM b;
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=2)
+    assert opt.plan() == {"v_all": "union-all", "v_dist": "union-distinct"}
+    naive = IncrementalProgram(spark, prog, optimize=False, checkpoint_every=2)
+
+    import random
+
+    rng = random.Random(3)
+    a_live, b_live = [], []
+    for step in range(3):
+        a_d, b_d = [], []
+        for _ in range(rng.randint(1, 4)):
+            if a_live and rng.random() < 0.3:
+                row = a_live.pop(rng.randrange(len(a_live)))
+                a_d.append((*row, -1))
+            else:
+                row = (rng.randint(-2, 5), rng.choice(["p", "q"]))
+                a_live.append(row)
+                a_d.append((*row, 1))
+        if rng.random() < 0.8:
+            row = (rng.randint(-2, 5), rng.choice(["p", "q"]))
+            b_live.append(row)
+            b_d.append((*row, 1))
+        deltas_opt = {
+            "a": ZSet(spark.createDataFrame(a_d, "x int, s string, __weight long")),
+        }
+        if b_d:
+            deltas_opt["b"] = ZSet(spark.createDataFrame(b_d, "y int, t string, __weight long"))
+        deltas_naive = {n: ZSet(z.df) for n, z in deltas_opt.items()}
+        out_o = opt.step(deltas_opt)
+        out_n = naive.step(deltas_naive)
+        for vname in out_o:
+            assert _zrows(out_o[vname]) == _zrows(out_n[vname]), f"{vname} step {step}"
+    for vname in ("v_all", "v_dist"):
+        assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
