@@ -770,6 +770,24 @@ def _linear_part(p: str, known: set[str], cols_of: dict[str, list[str]]):
 
 
 @dataclass
+class _GlobalAggOp:
+    """Global (GROUP-BY-less) linear aggregate. SQL semantics: ALWAYS
+    exactly one output row — COUNT 0 / NULL sums over empty input
+    (reference EndToEndTests constAggregateExpression / zero tests).
+    Maintained as a linear agg keyed by a constant, with a
+    default-row fallback (computed once, by aggregating the empty
+    source — exact Spark types) when integrated state goes empty."""
+
+    src: str
+    items: "list[tuple[str, str, str]]"  # (fn, arg, alias)
+    where: "str | None"
+    op: "object"  # IncrementalLinearAgg keyed by __g
+    out_cols: "list[str]"
+    default_df: "DataFrame | None" = None  # filled by IncrementalProgram
+    prev: "DataFrame | None" = None
+
+
+@dataclass
 class _WinAggOp:
     """Tumbling/hopping window aggregate (reference
     DBSPWindowAggregateOperator): the window() grouping expression is
@@ -971,9 +989,45 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
     if m and m.group("src").lower() in known:
         sel, src = m.group("sel").strip(), m.group("src").lower()
         where = m.group("where")
-        if _FORBIDDEN_LINEAR.search(sel) or (where and _FORBIDDEN_LINEAR.search(where)):
+        if where and _FORBIDDEN_LINEAR.search(where):
             return None
-        sel_items = None if sel == "*" else [s.strip() for s in _split_top_level_commas(sel)]
+        items = [s.strip() for s in _split_top_level_commas(sel)]
+        agg_items = [_AGG_ITEM_RE.match(i) for i in items]
+        if all(agg_items):
+            # global aggregate: every select item is an aggregate
+            from ..plans.incremental import AggSpec, IncrementalLinearAgg
+
+            parsed: list[tuple[str, str, str]] = []
+            for am in agg_items:
+                fn = am.group("fn").lower()
+                arg = am.group("arg").strip()
+                if fn in ("min", "max"):
+                    return None  # global MIN/MAX needs a full rescan on delete → naive
+                if arg != "*" and _FORBIDDEN_LINEAR.search(arg):
+                    return None
+                parsed.append((fn, arg, am.group("alias").lower()))
+            specs = []
+            for fn, arg, alias in parsed:
+                if fn == "count" and arg == "*":
+                    specs.append(AggSpec(alias, "count"))
+                elif fn == "count":
+                    specs.append(AggSpec(alias, "count", F.expr(arg)))
+                elif fn == "sum":
+                    specs.append(AggSpec(alias, "sum", F.expr(arg)))
+                else:
+                    specs.append(AggSpec(alias, "avg", F.expr(arg)))
+            return _GlobalAggOp(
+                src,
+                parsed,
+                where,
+                IncrementalLinearAgg(
+                    keys=["__g"], specs=specs, cond=F.expr(where) if where else None
+                ),
+                [alias for _, _, alias in parsed],
+            )
+        if _FORBIDDEN_LINEAR.search(sel):
+            return None
+        sel_items = None if sel == "*" else items
         return _LinearOp(src, sel_items, where)
 
     return None
@@ -1009,6 +1063,8 @@ def _out_cols_of(
         return src_cols + [op.op.rank_alias] if src_cols else None
     if isinstance(op, _UnionAllOp):
         return list(op.names0)
+    if isinstance(op, _GlobalAggOp):
+        return list(op.out_cols)
     return None
 
 
@@ -1063,6 +1119,27 @@ class IncrementalProgram:
         cols_of = {n: [c for c, _ in t.columns] for n, t in self.program.tables.items()}
         for view in self.program.views:
             op = _recognize_view(view, cols_of, known) if optimize else None
+            if isinstance(op, _GlobalAggOp):
+                # the empty-input default row needs the source's exact
+                # schema — table sources only; view sources → naive
+                if op.src not in self.program.tables:
+                    op = None
+                else:
+                    empty = _empty_table(spark, self.program.tables[op.src])
+                    if op.where:
+                        empty = empty.where(op.where)
+                    op.default_df = empty.agg(
+                        *[
+                            (
+                                F.count(F.lit(1)) if (fn == "count" and arg == "*")
+                                else F.expr(f"{fn}({arg})")
+                            ).cast("long" if fn == "count" else None)
+                            .alias(alias)
+                            if fn == "count"
+                            else F.expr(f"{fn}({arg})").alias(alias)
+                            for fn, arg, alias in op.items
+                        ]
+                    ).localCheckpoint(eager=False)
             self._ops[view.name] = op
             known.add(view.name)
             oc = _out_cols_of(view, op, cols_of)
@@ -1096,6 +1173,8 @@ class IncrementalProgram:
                 return "window-aggregate"
             if isinstance(op, _UnionAllOp):
                 return "union-all" if op.distinct_op is None else "union-distinct"
+            if isinstance(op, _GlobalAggOp):
+                return "aggregate-global"
             return "naive"
 
         return {name: kind(op) for name, op in self._ops.items()}
@@ -1166,6 +1245,19 @@ class IncrementalProgram:
                 d = z.consolidate()
                 if op.distinct_op is not None:
                     d = op.distinct_op.step(d)
+            elif isinstance(op, _GlobalAggOp):
+                dd = delta_of(op.src).df.withColumn("__g", F.lit(0))
+                op.op.step(ZSet(dd))
+                snap = op.op.snapshot().select(*op.out_cols)
+                cur = (snap if snap.limit(1).count() > 0 else op.default_df).localCheckpoint(
+                    eager=False
+                )
+                d = (
+                    ZSet.from_df(cur)
+                    if op.prev is None
+                    else ZSet.from_df(cur).subtract(ZSet.from_df(op.prev)).consolidate()
+                )
+                op.prev = cur
             else:  # naive D∘Q∘I: recompute snapshot, diff vs previous
                 snap_df = self.spark.sql(view.sql)
                 if view.columns is not None:

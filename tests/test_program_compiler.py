@@ -693,3 +693,40 @@ def test_union_views_maintained_incrementally(spark):
             assert _zrows(out_o[vname]) == _zrows(out_n[vname]), f"{vname} step {step}"
     for vname in ("v_all", "v_dist"):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
+
+
+def test_global_aggregate_maintained_incrementally(spark):
+    """GROUP-BY-less aggregates keep SQL's one-row-always semantics
+    incrementally: the empty-input step emits the COUNT=0/NULL-sum
+    default row, inserts retract it, and deleting every row brings it
+    back — matching naive D∘Q∘I at each step (reference
+    EndToEndTests zero/constAggregate tests)."""
+    prog = """
+    CREATE TABLE t(v INTEGER, w INTEGER);
+    CREATE TABLE u(x INTEGER);
+    CREATE VIEW v_g AS SELECT COUNT(*) AS n, SUM(v) AS sv, AVG(w) AS aw FROM t;
+    CREATE VIEW v_gw AS SELECT COUNT(*) AS n2, SUM(v) AS sv2 FROM t WHERE v > 10;
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=2)
+    assert opt.plan() == {"v_g": "aggregate-global", "v_gw": "aggregate-global"}
+    naive = IncrementalProgram(spark, prog, optimize=False, checkpoint_every=2)
+
+    steps = [
+        {"u": [(1, 1)]},  # t untouched: both views emit their default row
+        {"t": [(5, 2, 1), (20, 4, 1)]},
+        {"t": [(30, 6, 1), (5, 2, -1)]},
+        {"t": [(20, 4, -1), (30, 6, -1)]},  # t empty again → defaults return
+    ]
+    for i, sd in enumerate(steps):
+        deltas_opt = {}
+        if "t" in sd:
+            deltas_opt["t"] = ZSet(spark.createDataFrame(sd["t"], "v int, w int, __weight long"))
+        if "u" in sd:
+            deltas_opt["u"] = ZSet(spark.createDataFrame(sd["u"], "x int, __weight long"))
+        deltas_naive = {n: ZSet(z.df) for n, z in deltas_opt.items()}
+        out_o = opt.step(deltas_opt)
+        out_n = naive.step(deltas_naive)
+        for vname in out_o:
+            assert _zrows(out_o[vname]) == _zrows(out_n[vname]), f"{vname} step {i}"
+    for vname in ("v_g", "v_gw"):
+        assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
