@@ -3,6 +3,7 @@
 from sql_to_dbsp_compiler_spark.queries.registry import REGISTRY, Query, query
 
 from sql_to_dbsp_compiler_spark.queries import (  # noqa: E402,F401
+    comparisons,
     edge_semantics,
     functions_sql,
     functions_sql2,
