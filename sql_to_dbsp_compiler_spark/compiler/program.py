@@ -742,6 +742,41 @@ def _split_union(sql: str) -> "tuple[list[str], list[str]]":
     return parts, seps
 
 
+@dataclass
+class _SetOpOp:
+    """EXCEPT [ALL] / INTERSECT [ALL] of two linear selects
+    (DBSPSubtractOperator ∘ DBSPDistinctOperator in the reference;
+    maintained here by one multiplicity-state IncrementalSetOp)."""
+
+    part_a: "tuple[str, list[str] | None, str | None]"  # (src, sel, where)
+    part_b: "tuple[str, list[str] | None, str | None]"
+    names0: "list[str]"
+    op: "object"  # IncrementalSetOp
+
+
+def _split_setop(sql: str) -> "tuple[list[str], list[str]]":
+    """Split on top-level EXCEPT [ALL] / INTERSECT [ALL]; returns
+    (parts, seps) with seps[i] an IncrementalSetOp kind string."""
+    parts: list[str] = []
+    seps: list[str] = []
+    depth, last = 0, 0
+    for t in re.finditer(r"[()]|\b(EXCEPT|INTERSECT)(\s+(ALL|DISTINCT))?\b", sql, re.IGNORECASE):
+        tok = t.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            parts.append(sql[last : t.start()])
+            kind = t.group(1).lower()
+            if re.search(r"\bALL\b", tok, re.IGNORECASE):
+                kind += "_all"
+            seps.append(kind)
+            last = t.end()
+    parts.append(sql[last:])
+    return parts, seps
+
+
 def _linear_part(p: str, known: set[str], cols_of: dict[str, list[str]]):
     """Parse one union branch as a linear select; returns
     (src, sel_items|None, where|None, out_names|None) or None."""
@@ -844,6 +879,30 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
                 return None  # unknown or mismatched branch arity
             parsed_parts.append((src, sel, where))
         return _UnionAllOp(parsed_parts, names0, distinct)
+
+    setop_parts, setop_seps = _split_setop(sql)
+    if len(setop_parts) == 2:
+        from ..plans.incremental import IncrementalSetOp
+
+        kind = setop_seps[0]  # except | except_all | intersect | intersect_all
+        lp_a = _linear_part(setop_parts[0], known, cols_of)
+        lp_b = _linear_part(setop_parts[1], known, cols_of)
+        if lp_a is not None and lp_b is not None:
+            src_a, sel_a, where_a, names_a = lp_a
+            src_b, sel_b, where_b, names_b = lp_b
+            arity_b = len(sel_b) if sel_b is not None else (
+                len(names_b) if names_b is not None else None
+            )
+            if names_a is not None and arity_b == len(names_a):
+                return _SetOpOp(
+                    (src_a, sel_a, where_a),
+                    (src_b, sel_b, where_b),
+                    names_a,
+                    IncrementalSetOp(kind),
+                )
+        return None
+    if len(setop_parts) > 2:
+        return None  # chained set ops stay naive
 
     m = _AGG_SELECT_RE.match(sql)
     if m and m.group("src").lower() in known:
@@ -1063,6 +1122,8 @@ def _out_cols_of(
         return src_cols + [op.op.rank_alias] if src_cols else None
     if isinstance(op, _UnionAllOp):
         return list(op.names0)
+    if isinstance(op, _SetOpOp):
+        return list(op.names0)
     if isinstance(op, _GlobalAggOp):
         return list(op.out_cols)
     return None
@@ -1173,6 +1234,8 @@ class IncrementalProgram:
                 return "window-aggregate"
             if isinstance(op, _UnionAllOp):
                 return "union-all" if op.distinct_op is None else "union-distinct"
+            if isinstance(op, _SetOpOp):
+                return op.op.kind.replace("_", "-")
             if isinstance(op, _GlobalAggOp):
                 return "aggregate-global"
             return "naive"
@@ -1245,6 +1308,14 @@ class IncrementalProgram:
                 d = z.consolidate()
                 if op.distinct_op is not None:
                     d = op.distinct_op.step(d)
+            elif isinstance(op, _SetOpOp):
+                src_a, sel_a, where_a = op.part_a
+                src_b, sel_b, where_b = op.part_b
+                da_df = _apply_linear(delta_of(src_a).df, sel_a, where_a)
+                pa = [c for c in da_df.columns if c != WEIGHT]
+                da = ZSet(da_df.select(*pa, WEIGHT).toDF(*op.names0, WEIGHT))
+                db = ZSet(_apply_linear(delta_of(src_b).df, sel_b, where_b))
+                d = op.op.step(da, db)
             elif isinstance(op, _GlobalAggOp):
                 dd = delta_of(op.src).df.withColumn("__g", F.lit(0))
                 op.op.step(ZSet(dd))

@@ -307,6 +307,108 @@ class IncrementalDistinct:
         return ZSet(out)
 
 
+class IncrementalSetOp:
+    """EXCEPT / EXCEPT ALL / INTERSECT / INTERSECT ALL maintained with
+    per-step cost ∝ |delta| (reference DBSPSubtractOperator composed
+    with DBSPDistinctOperator — sqlCompiler lowers EXCEPT to
+    subtract∘distinct and INTERSECT to a self-join of distincts; here
+    both collapse into one multiplicity-state operator).
+
+    State: one row per distinct payload with integrated input
+    multiplicities (``__ma``, ``__mb``). The output multiplicity is a
+    pure function of (ma, mb):
+
+    - ``except``:        1 if ma>0 and mb<=0 else 0
+    - ``except_all``:    max(0, ma - mb)
+    - ``intersect``:     1 if ma>0 and mb>0 else 0
+    - ``intersect_all``: max(0, min(ma, mb))
+
+    A step touches only payloads present in either delta (equi-join on
+    payload columns — bucketed state at scale) and emits the change in
+    output multiplicity as the output delta."""
+
+    KINDS = ("except", "except_all", "intersect", "intersect_all")
+
+    def __init__(self, kind: str, checkpoint_every: int = 8):
+        if kind not in self.KINDS:
+            raise ValueError(f"kind must be one of {self.KINDS}")
+        self.kind = kind
+        self._state: DataFrame | None = None  # payload + __ma + __mb
+        self._steps = 0
+        self._checkpoint_every = checkpoint_every
+
+    def _out_mult(self, ma: Column, mb: Column) -> Column:
+        if self.kind == "except":
+            return F.when((ma > 0) & (mb <= 0), F.lit(1)).otherwise(F.lit(0))
+        if self.kind == "except_all":
+            return F.greatest(ma - mb, F.lit(0))
+        if self.kind == "intersect":
+            return F.when((ma > 0) & (mb > 0), F.lit(1)).otherwise(F.lit(0))
+        return F.greatest(F.least(ma, mb), F.lit(0))  # intersect_all
+
+    def step(self, da: ZSet, db: ZSet) -> ZSet:
+        zero = F.lit(0).cast("long")
+        a = da.consolidate().df.withColumnRenamed(WEIGHT, "__da")
+        payload = [c for c in a.columns if c != "__da"]
+        b_payload = [c for c in db.df.columns if c != WEIGHT]
+        b = (
+            db.consolidate()
+            .df.select(*b_payload, WEIGHT)
+            .toDF(*payload, "__db")  # positional set-op column matching
+        )
+        d = (
+            a.select(*payload, F.col("__da"), zero.alias("__db"))
+            .unionByName(b.select(*payload, zero.alias("__da"), F.col("__db")))
+            .groupBy(*payload)
+            .agg(F.sum("__da").alias("__da"), F.sum("__db").alias("__db"))
+        )
+        if self._state is None:
+            merged = d.select(
+                *payload,
+                zero.alias("__oa"),
+                zero.alias("__ob"),
+                F.col("__da"),
+                F.col("__db"),
+            )
+        else:
+            st = self._state.select(
+                *[F.col(c).alias(f"s_{c}") for c in payload],
+                F.col("__ma").alias("__oa"),
+                F.col("__mb").alias("__ob"),
+            )
+            cond = None
+            for c in payload:
+                eq = d[c].eqNullSafe(F.col(f"s_{c}"))
+                cond = eq if cond is None else (cond & eq)
+            j = d.join(st, cond, "full_outer")
+            merged = j.select(
+                *[F.coalesce(d[c], F.col(f"s_{c}")).alias(c) for c in payload],
+                F.coalesce(F.col("__oa"), zero).alias("__oa"),
+                F.coalesce(F.col("__ob"), zero).alias("__ob"),
+                F.coalesce(F.col("__da"), zero).alias("__da"),
+                F.coalesce(F.col("__db"), zero).alias("__db"),
+            )
+        merged = (
+            merged.withColumn("__na", F.col("__oa") + F.col("__da"))
+            .withColumn("__nb", F.col("__ob") + F.col("__db"))
+            .localCheckpoint(eager=False)
+        )
+        old_out = self._out_mult(F.col("__oa"), F.col("__ob"))
+        new_out = self._out_mult(F.col("__na"), F.col("__nb"))
+        out = (
+            merged.withColumn(WEIGHT, (new_out - old_out).cast("long"))
+            .where(F.col(WEIGHT) != 0)
+            .select(*payload, WEIGHT)
+        )
+        self._state = merged.where((F.col("__na") != 0) | (F.col("__nb") != 0)).select(
+            *payload, F.col("__na").alias("__ma"), F.col("__nb").alias("__mb")
+        )
+        self._steps += 1
+        if self._steps % self._checkpoint_every == 0:
+            self._state = self._state.localCheckpoint(eager=False)
+        return ZSet(out)
+
+
 class IncrementalGroupRecomputeAgg:
     """Non-linear grouped aggregates (MIN/MAX/arbitrary) maintained by
     *affected-group recompute* — the reference's strategy for
