@@ -606,6 +606,13 @@ _DISTINCT_RE = re.compile(
     r"(?:WHERE\s+(?P<where>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# SELECT * FROM src ORDER BY o [ASC|DESC], ... LIMIT k — the global
+# topK view shape (DBSPIndexedTopKOperator with a unit key).
+_GLOBAL_TOPK_RE = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+(?P<src>\w+)\s+ORDER\s+BY\s+(?P<order>[\w\s,]+?)\s+"
+    r"LIMIT\s+(?P<k>\d+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 # SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) AS rn
 #                FROM src) [alias] WHERE rn <= K
 # — the reference's per-group TopK spelling (DBSPIndexedTopKOperator).
@@ -647,6 +654,105 @@ def _parse_join_projection(
         project.append(F.col(col).alias(alias))
         aliases.append(alias)
     return project, aliases
+
+
+def _parse_multi_projection(
+    sel: str, cols_map: "dict[str, list[str]]"
+) -> "tuple[list[Column], list[str]] | None":
+    """Generalize :func:`_parse_join_projection` to n sources: each
+    select item must be a plain (optionally qualified / aliased)
+    column owned by exactly one source."""
+    owners: dict[str, str] = {}
+    ambiguous: set[str] = set()
+    for src, cols in cols_map.items():
+        for c in cols:
+            if c in owners:
+                ambiguous.add(c)
+            owners[c] = src
+    project: list[Column] = []
+    aliases: list[str] = []
+    for item in _split_top_level_commas(sel):
+        item = item.strip()
+        im = re.fullmatch(
+            r"(?:(?P<q>\w+)\.)?(?P<col>\w+)(?:\s+AS\s+(?P<alias>\w+))?",
+            item,
+            re.IGNORECASE,
+        )
+        if not im:
+            return None
+        col = im.group("col").lower()
+        qual = (im.group("q") or "").lower()
+        alias = (im.group("alias") or col).lower()
+        if col not in owners or col in ambiguous:
+            return None
+        if qual and qual != owners[col]:
+            return None
+        project.append(F.col(col).alias(alias))
+        aliases.append(alias)
+    return project, aliases
+
+
+def _parse_join_chain(
+    sql: str, cols_of: dict[str, list[str]]
+) -> "_MultiJoinOp | None":
+    """Recognize ``SELECT … FROM a JOIN b ON … JOIN c ON … [WHERE …]``
+    with ≥3 sources, all inner equi-joins, all column names globally
+    unambiguous. Two-source joins keep their dedicated path."""
+    from ..plans.incremental import IncrementalJoin
+
+    m = re.match(r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<rest>.+)$", sql, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    sel, rest = m.group("sel"), m.group("rest")
+    if re.search(r"\b(LEFT|RIGHT|FULL|OUTER|CROSS)\b", rest, re.IGNORECASE):
+        return None
+    wm = re.split(r"\bWHERE\b", rest, maxsplit=1, flags=re.IGNORECASE)
+    from_clause = wm[0]
+    where = wm[1].strip() if len(wm) > 1 else None
+    parts = re.split(r"\bJOIN\b", from_clause, flags=re.IGNORECASE)
+    if len(parts) < 3:  # fewer than 3 sources
+        return None
+    srcs = [parts[0].strip().lower()]
+    ons: list[str] = []
+    for p in parts[1:]:
+        pm = re.match(r"^\s*(?P<t>\w+)\s+ON\s+(?P<on>.+)$", p, re.IGNORECASE | re.DOTALL)
+        if not pm:
+            return None
+        srcs.append(pm.group("t").lower())
+        ons.append(pm.group("on").strip())
+    if len(set(srcs)) != len(srcs) or any(s not in cols_of for s in srcs):
+        return None
+    # global column-name uniqueness: cascaded frames carry no qualifiers
+    all_cols = [c for s in srcs for c in cols_of[s]]
+    if len(set(all_cols)) != len(all_cols):
+        return None
+    col_owner = {c: s for s in srcs for c in cols_of[s]}
+    ops = []
+    for i, on in enumerate(ons):
+        new = srcs[i + 1]
+        prev = set(srcs[: i + 1])
+        on_col = None
+        for conj in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+            cm = _EQ_CONJUNCT_RE.match(conj.lower())
+            if not cm:
+                return None
+            q1, c1, q2, c2 = cm.group("q1"), cm.group("c1"), cm.group("q2"), cm.group("c2")
+            if col_owner.get(c1) != q1 or col_owner.get(c2) != q2:
+                return None
+            if not ({q1, q2} <= prev | {new} and new in {q1, q2} and {q1, q2} & prev):
+                return None  # each conjunct links the new source to the prefix
+            eq = F.col(c1) == F.col(c2)
+            on_col = eq if on_col is None else (on_col & eq)
+        if on_col is None:
+            return None
+        ops.append(IncrementalJoin(on=on_col, project=None))
+    if where and (_FORBIDDEN_LINEAR.search(where) or re.search(r"\w+\.\w+", where)):
+        return None
+    parsed = _parse_multi_projection(sel, {s: cols_of[s] for s in srcs})
+    if parsed is None:
+        return None
+    project, aliases = parsed
+    return _MultiJoinOp(srcs, ops, project, aliases, where)
 
 
 def _apply_linear(df: DataFrame, sel: "list[str] | None", where: "str | None") -> DataFrame:
@@ -696,6 +802,23 @@ class _OuterJoinOp:
 
 
 @dataclass
+class _MultiJoinOp:
+    """Left-deep inner-join chain ``a JOIN b ON … JOIN c ON … [WHERE]``
+    (the reference emits a cascade of DBSPIncrementalJoinOperators for
+    multi-way joins): each stage is a bilinear IncrementalJoin whose
+    output delta feeds the next stage's left input. The optional WHERE
+    is linear, so it's applied to the final delta; the projection runs
+    last. Per-step cost is the bilinear rule at every stage — state
+    sides bucketed on their join keys at scale."""
+
+    srcs: "list[str]"  # n sources, left-deep order
+    ops: "list[object]"  # n-1 IncrementalJoin (no per-stage projection)
+    project: "list[Column]"
+    aliases: "list[str]"
+    where: "str | None" = None
+
+
+@dataclass
 class _DistinctOp:
     src: str
     sel: "list[str] | None"  # linear pre-projection; None = *
@@ -707,6 +830,20 @@ class _DistinctOp:
 class _TopKOp:
     src: str
     op: "object"  # IncrementalTopK
+
+
+@dataclass
+class _GlobalTopKOp:
+    """Global ``SELECT * FROM src ORDER BY … LIMIT k`` (reference
+    DBSPIndexedTopKOperator with a unit key): maintained as a
+    single-group IncrementalTopK keyed by a constant. Per-step cost is
+    a re-rank of the integrated input's single group — unavoidable in
+    general because a delete inside the top-k refills from arbitrary
+    depth."""
+
+    src: str
+    op: "object"  # IncrementalTopK keyed by __g
+    out_cols: "list[str]"
 
 
 @dataclass
@@ -1001,6 +1138,29 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
             ),
         )
 
+    m = _GLOBAL_TOPK_RE.match(sql)
+    if m and m.group("src").lower() in known:
+        from ..plans.incremental import IncrementalTopK
+
+        src = m.group("src").lower()
+        src_cols = cols_of.get(src)
+        if src_cols is None:
+            return None  # need the schema to drop the rank/key columns
+        order: list[Column] = []
+        for o in m.group("order").split(","):
+            om = re.fullmatch(r"(?P<col>\w+)(?:\s+(?P<dir>ASC|DESC))?", o.strip(), re.IGNORECASE)
+            if not om or om.group("col").lower() not in src_cols:
+                return None
+            c = F.col(om.group("col").lower())
+            order.append(c.desc() if (om.group("dir") or "").upper() == "DESC" else c.asc())
+        if not order:
+            return None
+        return _GlobalTopKOp(
+            src,
+            IncrementalTopK(keys=["__g"], order=order, k=int(m.group("k")), rank_alias="__rn"),
+            list(src_cols),
+        )
+
     m = _DISTINCT_RE.match(sql)
     if m and m.group("src").lower() in known:
         sel, src = m.group("sel").strip(), m.group("src").lower()
@@ -1011,6 +1171,10 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
 
         sel_items = None if sel == "*" else [s.strip() for s in _split_top_level_commas(sel)]
         return _DistinctOp(src, sel_items, where, IncrementalDistinct())
+
+    chain = _parse_join_chain(sql, cols_of)
+    if chain is not None:
+        return chain
 
     m = _OUTER_JOIN_RE.match(sql) or _JOIN_RE.match(sql)
     if m:
@@ -1124,6 +1288,10 @@ def _out_cols_of(
         return list(op.names0)
     if isinstance(op, _SetOpOp):
         return list(op.names0)
+    if isinstance(op, _MultiJoinOp):
+        return list(op.aliases)
+    if isinstance(op, _GlobalTopKOp):
+        return list(op.out_cols)
     if isinstance(op, _GlobalAggOp):
         return list(op.out_cols)
     return None
@@ -1236,6 +1404,10 @@ class IncrementalProgram:
                 return "union-all" if op.distinct_op is None else "union-distinct"
             if isinstance(op, _SetOpOp):
                 return op.op.kind.replace("_", "-")
+            if isinstance(op, _MultiJoinOp):
+                return f"join-chain-{len(op.srcs)}"
+            if isinstance(op, _GlobalTopKOp):
+                return "topk-global"
             if isinstance(op, _GlobalAggOp):
                 return "aggregate-global"
             return "naive"
@@ -1294,6 +1466,10 @@ class IncrementalProgram:
                 )
             elif isinstance(op, _TopKOp):
                 d = op.op.step(delta_of(op.src))
+            elif isinstance(op, _GlobalTopKOp):
+                dd = delta_of(op.src).df.withColumn("__g", F.lit(0))
+                d = op.op.step(ZSet(dd))
+                d = d.map(*[F.col(c) for c in op.out_cols])
             elif isinstance(op, _WinAggOp):
                 dd = delta_of(op.src).df.withColumn("__win", F.expr(op.win_sql))
                 d = op.op.step(ZSet(dd))
@@ -1308,6 +1484,13 @@ class IncrementalProgram:
                 d = z.consolidate()
                 if op.distinct_op is not None:
                     d = op.distinct_op.step(d)
+            elif isinstance(op, _MultiJoinOp):
+                d = op.ops[0].step(delta_of(op.srcs[0]), delta_of(op.srcs[1]))
+                for j, nxt in enumerate(op.ops[1:], start=2):
+                    d = nxt.step(d, delta_of(op.srcs[j]))
+                if op.where:
+                    d = ZSet(d.df.where(op.where))
+                d = d.map(*op.project).consolidate()
             elif isinstance(op, _SetOpOp):
                 src_a, sel_a, where_a = op.part_a
                 src_b, sel_b, where_b = op.part_b

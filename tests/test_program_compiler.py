@@ -776,3 +776,54 @@ def test_global_aggregate_maintained_incrementally(spark):
             assert _zrows(out_o[vname]) == _zrows(out_n[vname]), f"{vname} step {i}"
     for vname in ("v_g", "v_gw"):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
+
+
+def test_join_chain_and_global_topk_maintained_incrementally(spark):
+    """A left-deep 3-way inner equi-join view compiles to a cascade of
+    bilinear IncrementalJoins (the reference emits one
+    DBSPIncrementalJoinOperator per join in the chain), and a global
+    ``ORDER BY … LIMIT k`` view compiles to a unit-key IncrementalTopK
+    (DBSPIndexedTopKOperator with a constant key). Both match naive
+    D∘Q∘I through inserts and deletes — including a delete inside the
+    top-k that refills from below."""
+    prog = """
+    CREATE TABLE f(fk1 INTEGER, fk2 INTEGER, amt INTEGER);
+    CREATE TABLE d1(k1 INTEGER, d1name VARCHAR);
+    CREATE TABLE d2(k2 INTEGER, d2name VARCHAR);
+    CREATE VIEW v_chain AS
+      SELECT amt, d1name, d2name
+      FROM f JOIN d1 ON f.fk1 = d1.k1 JOIN d2 ON f.fk2 = d2.k2
+      WHERE amt > 0;
+    CREATE VIEW v_top AS SELECT * FROM f ORDER BY amt DESC, fk1 LIMIT 2;
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=2)
+    assert opt.plan() == {"v_chain": "join-chain-3", "v_top": "topk-global"}
+    naive = IncrementalProgram(spark, prog, optimize=False, checkpoint_every=2)
+
+    steps = [
+        {
+            "f": [(1, 10, 5, 1), (2, 20, 7, 1), (1, 20, -3, 1)],
+            "d1": [(1, "a", 1), (2, "b", 1)],
+            "d2": [(10, "x", 1), (20, "y", 1)],
+        },
+        {"f": [(1, 10, 9, 1)]},  # new global top-1
+        {"d1": [(1, "a", -1)]},  # dim delete retracts chain rows
+        {"f": [(1, 10, 9, -1), (2, 20, 7, -1)]},  # topk refills from below
+        {"d1": [(1, "aa", 1)], "f": [(3, 10, 6, 1)]},  # k1=3 unmatched in d1
+    ]
+    schemas = {
+        "f": "fk1 int, fk2 int, amt int, __weight long",
+        "d1": "k1 int, d1name string, __weight long",
+        "d2": "k2 int, d2name string, __weight long",
+    }
+    for i, sd in enumerate(steps):
+        deltas_opt = {
+            n: ZSet(spark.createDataFrame(rows, schemas[n])) for n, rows in sd.items()
+        }
+        deltas_naive = {n: ZSet(z.df) for n, z in deltas_opt.items()}
+        out_o = opt.step(deltas_opt)
+        out_n = naive.step(deltas_naive)
+        for vname in out_o:
+            assert _zrows(out_o[vname]) == _zrows(out_n[vname]), f"{vname} step {i}"
+    for vname in ("v_chain", "v_top"):
+        assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
