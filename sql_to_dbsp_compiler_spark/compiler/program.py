@@ -404,6 +404,11 @@ def compile_streaming(
     for name, df in {**static, **stream_sources}.items():
         if watermarks and name in watermarks:
             col, delay = watermarks[name]
+            # Parquet sources may infer TIMESTAMP_NTZ, which event-time
+            # watermarks reject; with the session pinned to UTC the
+            # NTZ->LTZ cast is value-preserving.
+            if dict(df.dtypes).get(col) == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
             df = df.withWatermark(col, delay)
         df.createOrReplaceTempView(name)
     out: dict[str, DataFrame] = {}
