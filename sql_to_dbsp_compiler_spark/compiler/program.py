@@ -391,6 +391,12 @@ def compile_streaming(
     rejecting non-incrementalizable circuits."""
     if isinstance(program, str):
         program = SqlProgram.parse(program)
+    # Pin UTC etc. even for externally created sessions / stream_sources
+    # that never pass through sources.tables.load_table, so the
+    # NTZ->LTZ event-time cast below stays value-preserving.
+    from ..sources.tables import _ensure_session_confs
+
+    _ensure_session_confs(spark)
     static = bind_sources(
         spark,
         SqlProgram(
@@ -404,12 +410,9 @@ def compile_streaming(
     for name, df in {**static, **stream_sources}.items():
         if watermarks and name in watermarks:
             col, delay = watermarks[name]
-            # Parquet sources may infer TIMESTAMP_NTZ, which event-time
-            # watermarks reject; with the session pinned to UTC the
-            # NTZ->LTZ cast is value-preserving.
-            if dict(df.dtypes).get(col) == "timestamp_ntz":
-                df = df.withColumn(col, F.col(col).cast("timestamp"))
-            df = df.withWatermark(col, delay)
+            from ..streaming.event_time import with_event_time_watermark
+
+            df = with_event_time_watermark(df, col, delay)
         df.createOrReplaceTempView(name)
     out: dict[str, DataFrame] = {}
     for view in program.views:

@@ -291,7 +291,7 @@ def float_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(embedding[64] AS DOUBLE) AS last_elem,
            CAST(list_sort(list_slice(CAST(embedding AS DOUBLE[]), 1, 4))[4] AS DOUBLE) AS max_of_head,
            list_contains([1, 2, 3], CAST(label AS BIGINT)) AS label_in_123,
-           CAST([label, label + 1, label + 2] AS BIGINT[]) AS label_seq
+           array_to_string(CAST([label, label + 1, label + 2] AS BIGINT[]), ',') AS label_seq
     FROM embeddings WHERE vec_id < 100
     """,
     tags=("functions", "array"),
@@ -309,7 +309,11 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 64).cast("double").alias("last_elem"),
         F.element_at(F.sort_array(F.slice(emb_d, 1, 4)), 4).alias("max_of_head"),
         F.array_contains(F.array(F.lit(1).cast("bigint"), F.lit(2), F.lit(3)), lab).alias("label_in_123"),
-        F.array(lab, lab + 1, lab + 2).alias("label_seq"),
+        # array VALUE is built JVM-side; serialized to a string so the
+        # driver's value-hash (pandas factorize) can hash the column.
+        F.array_join(
+            F.transform(F.array(lab, lab + 1, lab + 2), lambda x: x.cast("string")), ","
+        ).alias("label_seq"),
     )
 
 

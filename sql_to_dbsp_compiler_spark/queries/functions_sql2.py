@@ -33,7 +33,7 @@ from sql_to_dbsp_compiler_spark.sources.tables import load_table
            round(list_aggregate(v, 'sum'), 6) AS vsum,
            CAST(v[1] + v[2] AS DOUBLE) AS head2_sum,
            list_contains(v, 0.0) AS has_zero,
-           CAST(flatten([[label], [label + 1]]) AS BIGINT[]) AS flat_pair
+           array_to_string(CAST(flatten([[label], [label + 1]]) AS BIGINT[]), ',') AS flat_pair
     FROM e
     """,
     tags=("functions", "array"),
@@ -56,7 +56,14 @@ def array_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6).alias("vsum"),
         (F.element_at(v, 1) + F.element_at(v, 2)).alias("head2_sum"),
         F.array_contains(v, F.lit(0.0)).alias("has_zero"),
-        F.flatten(F.array(F.array(lab), F.array(lab + 1))).alias("flat_pair"),
+        # flatten runs JVM-side; string-serialized for the driver hash.
+        F.array_join(
+            F.transform(
+                F.flatten(F.array(F.array(lab), F.array(lab + 1))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("flat_pair"),
     )
 
 

@@ -112,20 +112,58 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidate_pairs(sigs, "doc_id")
 
 
-@query("dedup_canonical_groups", tags=("llm", "dedup", "rows-only"))
+@query(
+    "dedup_canonical_groups",
+    oracle=f"""
+    WITH RECURSIVE w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, lab) AS (
+        SELECT src AS id, src AS lab FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS canonical_id,
+           d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+    tags=("llm", "dedup"),
+)
 def dedup_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full near-dup dedup pipeline: MinHash signatures → LSH
-    candidate pairs → connected components (min-label propagation,
+    """Near-dup dedup end-to-end: exact 3-gram Jaccard pairs (the
+    verify stage — engine-agnostic, so the whole pipeline is
+    oracle-checkable) → connected components (min-label propagation,
     one shuffle per round, checkpointed lineage) → per-doc canonical
-    assignment (keep iff doc_id == component min). Seeded-hash
-    signatures are engine-specific → no SQL oracle; structure
-    asserted in tests/test_dedup.py (union-find oracle, exactly one
-    canonical per group)."""
-    from sql_to_dbsp_compiler_spark.llm.dedup import dedup_groups
+    assignment (keep iff doc_id == component min). The seeded MinHash
+    candidate-generation stage is covered by `dedup_minhash_pairs` +
+    recall tests in tests/test_dedup.py; the DuckDB oracle recomputes
+    the same edges and closes them with WITH RECURSIVE min-label
+    reachability."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import dedup_groups, ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures_df(d, "doc_id", "text", 16, 3)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", "sig", bands=4)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
     return dedup_groups(d, pairs)
 
 
@@ -189,11 +227,52 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(corpus, queries, k=5)
 
 
-@query("ann_ivf_topk", tags=("llm", "similarity", "rows-only"))
+@query(
+    "ann_ivf_topk",
+    oracle="""
+    WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id >= 10),
+    cent AS (SELECT vec_id AS centroid_id, v AS cvec FROM corpus
+             ORDER BY vec_id LIMIT 16),
+    assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT c.vec_id, c.v, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, ct.cvec) DESC,
+                                ct.centroid_id) AS r
+            FROM corpus c CROSS JOIN cent ct
+        ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 10),
+    probes AS (
+        SELECT query_id, qv, centroid_id FROM (
+            SELECT q.query_id, q.qv, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, ct.cvec) DESC,
+                                ct.centroid_id) AS r
+            FROM q CROSS JOIN cent ct
+        ) WHERE r <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS sim
+        FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+    )
+    SELECT query_id, vec_id, sim, rn FROM (
+        SELECT query_id, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("llm", "similarity"),
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (nlist=16, nprobe=4): ~4x less corpus scanned
     per query; recall vs brute force asserted in
-    tests/test_similarity.py."""
+    tests/test_similarity.py. Head-init centroids are deterministic
+    (first nlist corpus vectors by id), so the full route-and-scan is
+    reproducible in the DuckDB oracle."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -21,11 +21,21 @@ from pyspark.sql.types import StructType
 def stream_from_dir(
     spark: SparkSession, path: str, schema: StructType, files_per_trigger: int = 1
 ) -> DataFrame:
-    return (
+    df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(path)
     )
+    # Parquet schemas often carry TIMESTAMP_NTZ, which event-time
+    # watermarks reject; with the session pinned to UTC the LTZ cast is
+    # value-preserving, so normalize up front for every consumer.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast(TimestampType()))
+    return df
 
 
 def run_program_on_stream(

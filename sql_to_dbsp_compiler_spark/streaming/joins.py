@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sql_to_dbsp_compiler_spark.streaming.event_time import with_event_time_watermark
+
 
 def stream_static_join(stream: DataFrame, static: DataFrame, on: Column) -> DataFrame:
     return stream.join(F.broadcast(static), on)
@@ -33,6 +35,6 @@ def stream_stream_join(
     watermark passes their join-time bound (state stays bounded both
     ways — the incremental-join guarantee DBSP provides via integrated
     Z-set state, realized here by the state store)."""
-    return left.withWatermark(left_ts, left_watermark).join(
-        right.withWatermark(right_ts, right_watermark), on, how
+    return with_event_time_watermark(left, left_ts, left_watermark).join(
+        with_event_time_watermark(right, right_ts, right_watermark), on, how
     )

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sql_to_dbsp_compiler_spark.operators.aggregates import dec2
+from sql_to_dbsp_compiler_spark.streaming.event_time import with_event_time_watermark
 
 
 def q1_currency(events: DataFrame) -> DataFrame:
@@ -60,7 +61,7 @@ def q5_hot_item_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame
     aggregate; streaming forbids chained aggregates in one query, so the
     pipeline mirrors the reference's view-over-view chaining."""
     agged = (
-        events.withWatermark("ts", watermark)
+        with_event_time_watermark(events, "ts", watermark)
         .groupBy(F.window(F.col("ts"), "1 day").alias("win"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -85,7 +86,7 @@ def q7_window_max(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stage 1 of highest-bid: maintained per-hour max value, append
     mode once the watermark passes the window end."""
     return (
-        events.withWatermark("ts", watermark)
+        with_event_time_watermark(events, "ts", watermark)
         .groupBy(F.window(F.col("ts"), "1 hour").alias("win"))
         .agg(F.max("value").alias("max_value"))
         .select(F.col("win.start").alias("hour"), "max_value")

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sql_to_dbsp_compiler_spark.streaming.event_time import with_event_time_watermark
+
 
 def tumbling_window_agg_stream(
     events: DataFrame,
@@ -22,7 +24,7 @@ def tumbling_window_agg_stream(
     *aggs: Column,
 ) -> DataFrame:
     agged = (
-        events.withWatermark(ts_col, watermark)
+        with_event_time_watermark(events, ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_size).alias("win"), F.col("event_type"))
         .agg(*aggs)
     )
@@ -39,7 +41,7 @@ def hopping_window_agg_stream(
     *aggs: Column,
 ) -> DataFrame:
     agged = (
-        events.withWatermark(ts_col, watermark)
+        with_event_time_watermark(events, ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), size, slide).alias("win"))
         .agg(*aggs)
     )
