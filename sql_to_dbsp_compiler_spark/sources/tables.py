@@ -47,7 +47,30 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             pass  # non-settable in this build: keep going
 
 
+# Plan cache: (session id, sf_dir, table) -> unresolved DataFrame plan.
+# Building a scan costs a schema-inference round trip to the JVM per
+# call; with 131 registry queries each loading 1-4 tables, reusing the
+# lazy plan object trims meaningful per-query constant cost from the
+# driver's correctness sweep. The cached object is an un-materialized
+# plan (no .cache()), so pushdown/pruning still happen per query.
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        # Guard against id() reuse after the original session was
+        # garbage-collected: the plan is valid only for ITS session.
+        if hit.sparkSession is spark:
+            return hit
+        _PLAN_CACHE.pop(key, None)
+    df = _load_table_uncached(spark, sf_dir, name)
+    _PLAN_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
