@@ -560,6 +560,75 @@ def _parse_window_agg(m: "re.Match"):
     )
 
 
+# Window-function select item: FN(args) OVER (PARTITION BY … ORDER BY
+# …[ frame]) AS alias. The whole item is passed to selectExpr verbatim
+# (Catalyst evaluates it); the recognizer only needs the partition keys
+# to scope affected-partition recompute.
+_WINFN_ITEM_RE = re.compile(
+    r"^(?P<fn>ROW_NUMBER|RANK|DENSE_RANK|NTILE|LAG|LEAD|FIRST_VALUE|LAST_VALUE"
+    r"|SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<arg>[^()]*)\s*\)\s+OVER\s*\(\s*"
+    r"PARTITION\s+BY\s+(?P<part>[\w\s,]+?)\s+ORDER\s+BY\s+(?P<order>[\w\s,]+?)"
+    r"(?:\s+(?:ROWS|RANGE)\s+BETWEEN\s+[^()]+?)?\s*\)\s+AS\s+(?P<alias>\w+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# Aggregate directly over a two-table equi-join (the reference chains
+# DBSPIncrementalJoinOperator into DBSPIncrementalAggregateOperator in
+# one circuit; here the recognizer composes the same two operators).
+_AGG_JOIN_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<a>\w+)\s+JOIN\s+(?P<b>\w+)\s+ON\s+"
+    r"(?P<on>.+?)\s*(?:WHERE\s+(?P<where>.+?))?\s*GROUP\s+BY\s+"
+    r"(?P<keys>[\w\s,\.]+?)\s*(?:HAVING\s+(?P<having>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _extract_having_aggs(
+    having_sql: str, existing: "dict[tuple[str, str], str]"
+) -> "tuple[str, list[tuple[str, str, str]]] | None":
+    """Rewrite aggregate calls inside a HAVING condition to references
+    to (possibly hidden) aggregate output columns, so HAVING over
+    non-output aggregates — ``HAVING COUNT(*) > 2`` when COUNT isn't
+    selected — compiles to extra aggregate items plus a row-wise
+    filter (the reference compiles HAVING into the aggregate operator
+    followed by a filter, DBSPAggregateOperator + DBSPFilterOperator).
+    ``existing`` maps normalized (fn, arg) of already-selected items to
+    their aliases so duplicates reuse the visible column. Returns
+    (rewritten_condition, extra_items) or None on unbalanced parens."""
+    pat = re.compile(r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(", re.IGNORECASE)
+    res: list[str] = []
+    extra: list[tuple[str, str, str]] = []
+    pos = 0
+    n = 0
+    while True:
+        m = pat.search(having_sql, pos)
+        if not m:
+            break
+        depth, j = 1, m.end()
+        while j < len(having_sql) and depth:
+            if having_sql[j] == "(":
+                depth += 1
+            elif having_sql[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            return None
+        fn = m.group(1).lower()
+        arg = having_sql[m.end() : j - 1].strip()
+        key = (fn, re.sub(r"\s+", "", arg.lower()))
+        alias = existing.get(key)
+        if alias is None:
+            alias = f"__h{n}"
+            n += 1
+            existing[key] = alias
+            extra.append((fn, arg, alias))
+        res.append(having_sql[pos : m.start()])
+        res.append(alias)
+        pos = j
+    res.append(having_sql[pos:])
+    return "".join(res), extra
+
+
 def _having_refs_only(cond: str, out_cols: list[str]) -> bool:
     """True iff every identifier in the condition is an output column
     (HAVING is then a row-wise filter on the aggregate's output, which
@@ -786,6 +855,29 @@ class _LinearOp:
 
 
 @dataclass
+class _WinFnOp:
+    """Window-function view maintained by affected-partition recompute
+    (plans.incremental.IncrementalPartitionedWindow)."""
+
+    src: str
+    op: object  # IncrementalPartitionedWindow
+    out_cols: "list[str]"
+
+
+@dataclass
+class _JoinAggOp:
+    """GROUP BY over a two-table equi-join: IncrementalJoin feeding an
+    incremental aggregate — the chained-circuit composition."""
+
+    src_a: str
+    src_b: str
+    join_op: object  # IncrementalJoin
+    agg_op: object  # IncrementalLinearAgg | IncrementalGroupRecomputeAgg
+    out_cols: "list[str]"
+    having: "Column | None"
+
+
+@dataclass
 class _AggOp:
     src: str
     op: "object"  # IncrementalLinearAgg / IncrementalGroupRecomputeAgg
@@ -982,6 +1074,118 @@ class _WinAggOp:
     out_exprs: "list[Column]"
 
 
+def _recognize_agg_join(m: "re.Match", cols_of: dict[str, list[str]]):
+    """GROUP BY over a two-table equi-join → IncrementalJoin chained
+    into an incremental aggregate (the reference's composed circuit:
+    DBSPIncrementalJoinOperator → DBSPIncrementalAggregateOperator).
+    Column sets must be disjoint so dequalified names are unambiguous;
+    WHERE becomes a linear filter on the join's output delta."""
+    from ..plans.incremental import (
+        AggSpec,
+        IncrementalGroupRecomputeAgg,
+        IncrementalJoin,
+        IncrementalLinearAgg,
+    )
+
+    a, b = m.group("a").lower(), m.group("b").lower()
+    if a not in cols_of or b not in cols_of or a == b:
+        return None
+    cols_a, cols_b = cols_of[a], cols_of[b]
+    if set(cols_a) & set(cols_b):
+        return None  # ambiguous concatenated schema → naive
+
+    def dequal(s: str) -> str:
+        return re.sub(rf"\b(?:{a}|{b})\.(\w+)", r"\1", s, flags=re.IGNORECASE)
+
+    keys_ab = _parse_equi_keys(m.group("on"), a, b, cols_a, cols_b)
+    if keys_ab is None:
+        return None
+    keys_a, keys_b = keys_ab
+    all_cols = set(cols_a) | set(cols_b)
+    keys: list[str] = []
+    for k in m.group("keys").split(","):
+        k = dequal(k.strip()).lower()
+        if not re.fullmatch(r"\w+", k) or k not in all_cols:
+            return None
+        keys.append(k)
+    if not keys:
+        return None
+    where = m.group("where")
+    if where:
+        where = dequal(where)
+        if _FORBIDDEN_LINEAR.search(where):
+            return None
+    items: list[tuple[str, str, str]] = []
+    out_cols: list[str] = []
+    seen_keys: set[str] = set()
+    for item in _split_top_level_commas(m.group("sel")):
+        item = dequal(item.strip())
+        am = _AGG_ITEM_RE.match(item)
+        if am:
+            fn = am.group("fn").lower()
+            arg = am.group("arg").strip()
+            alias = am.group("alias").lower()
+            if arg != "*" and _FORBIDDEN_LINEAR.search(arg):
+                return None
+            items.append((fn, arg, alias))
+            out_cols.append(alias)
+        elif re.fullmatch(r"\w+", item) and item.lower() in keys:
+            seen_keys.add(item.lower())
+            out_cols.append(item.lower())
+        else:
+            return None
+    if not items or seen_keys != set(keys):
+        return None
+    having_sql = m.group("having")
+    if having_sql is not None:
+        having_sql = dequal(having_sql)
+        existing = {
+            (fn, re.sub(r"\s+", "", arg.lower())): alias for fn, arg, alias in items
+        }
+        rewritten = _extract_having_aggs(having_sql, existing)
+        if rewritten is None:
+            return None
+        having_sql, extra = rewritten
+        for fn, arg, _alias in extra:
+            if arg != "*" and _FORBIDDEN_LINEAR.search(arg):
+                return None
+        items = items + extra
+        if not _having_refs_only(
+            having_sql, out_cols + [alias for _, _, alias in extra]
+        ):
+            return None
+    having = F.expr(having_sql) if having_sql else None
+    cond = F.expr(where) if where else None
+    on_col = None
+    for ka, kb in zip(keys_a, keys_b):
+        eq = F.col(ka) == F.col(kb)
+        on_col = eq if on_col is None else (on_col & eq)
+    join_op = IncrementalJoin(on=on_col)
+    if any(fn in ("min", "max") for fn, _, _ in items):
+        aggs = [
+            (
+                F.count(F.lit(1))
+                if (fn == "count" and arg == "*")
+                else F.expr(f"{fn}({arg})")
+            ).alias(alias)
+            for fn, arg, alias in items
+        ]
+        agg_op = IncrementalGroupRecomputeAgg(keys=keys, aggs=aggs, cond=cond)
+    else:
+        specs: list = []
+        for fn, arg, alias in items:
+            if fn == "count" and arg == "*":
+                specs.append(AggSpec(alias, "count"))
+            elif fn == "count":
+                specs.append(AggSpec(alias, "count", F.expr(arg)))
+            elif fn == "sum":
+                specs.append(AggSpec(alias, "sum", F.expr(arg)))
+            else:
+                specs.append(AggSpec(alias, "avg", F.expr(arg)))
+        agg_op = IncrementalLinearAgg(keys=keys, specs=specs, cond=cond)
+    return _JoinAggOp(a, b, join_op, agg_op, out_cols, having)
+
+
 def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str]):
     """Return an op descriptor or None (→ naive). `known` = names of
     tables and earlier views (valid delta sources); `cols_of` = output
@@ -1079,8 +1283,22 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
             return None
         having_sql = m.group("having")
         if having_sql is not None:
-            if _FORBIDDEN_LINEAR.search(having_sql) or not _having_refs_only(
-                having_sql, out_cols
+            # HAVING over aggregates not in the select list compiles to
+            # hidden aggregate items + a filter (dropped by out_cols)
+            existing = {
+                (fn, re.sub(r"\s+", "", arg.lower())): alias
+                for fn, arg, alias in items
+            }
+            rewritten = _extract_having_aggs(having_sql, existing)
+            if rewritten is None:
+                return None
+            having_sql, extra = rewritten
+            for fn, arg, _alias in extra:
+                if arg != "*" and _FORBIDDEN_LINEAR.search(arg):
+                    return None
+            items = items + extra
+            if not _having_refs_only(
+                having_sql, out_cols + [alias for _, _, alias in extra]
             ):
                 return None
         having = F.expr(having_sql) if having_sql else None
@@ -1118,6 +1336,12 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
             out_cols,
             having,
         )
+
+    m = _AGG_JOIN_RE.match(sql)
+    if m:
+        op = _recognize_agg_join(m, cols_of)
+        if op is not None:
+            return op
 
     m = _WIN_AGG_RE.match(sql)
     if m and m.group("src").lower() in known:
@@ -1256,6 +1480,44 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
                 ),
                 [alias for _, _, alias in parsed],
             )
+        win_matches = [(it, _WINFN_ITEM_RE.match(it)) for it in items]
+        if any(wm for _, wm in win_matches):
+            # Window-function view (LAG/ROW_NUMBER/running aggs with
+            # arbitrary partitioning): affected-partition recompute.
+            from ..plans.incremental import IncrementalPartitionedWindow
+
+            part_keys: "list[str] | None" = None
+            out_cols: list[str] = []
+            plain: list[str] = []
+            for it, wm in win_matches:
+                if wm:
+                    pk = [p.strip().lower() for p in wm.group("part").split(",") if p.strip()]
+                    if part_keys is None:
+                        part_keys = pk
+                    elif part_keys != pk:
+                        return None  # mixed partitionings → naive
+                    arg = (wm.group("arg") or "").strip()
+                    if arg and arg != "*" and _FORBIDDEN_LINEAR.search(arg):
+                        return None
+                    out_cols.append(wm.group("alias").lower())
+                elif re.fullmatch(r"\w+", it):
+                    plain.append(it.lower())
+                    out_cols.append(it.lower())
+                else:
+                    return None
+            # partition keys must pass through: retract/insert
+            # bookkeeping joins previous output on them
+            if part_keys is None or not set(part_keys) <= set(plain):
+                return None
+            return _WinFnOp(
+                src,
+                IncrementalPartitionedWindow(
+                    part_keys=part_keys,
+                    select_items=items,
+                    cond=F.expr(where) if where else None,
+                ),
+                out_cols,
+            )
         if _FORBIDDEN_LINEAR.search(sel):
             return None
         sel_items = None if sel == "*" else items
@@ -1301,6 +1563,8 @@ def _out_cols_of(
     if isinstance(op, _GlobalTopKOp):
         return list(op.out_cols)
     if isinstance(op, _GlobalAggOp):
+        return list(op.out_cols)
+    if isinstance(op, (_WinFnOp, _JoinAggOp)):
         return list(op.out_cols)
     return None
 
@@ -1418,6 +1682,12 @@ class IncrementalProgram:
                 return "topk-global"
             if isinstance(op, _GlobalAggOp):
                 return "aggregate-global"
+            if isinstance(op, _WinFnOp):
+                return "partitioned-window"
+            if isinstance(op, _JoinAggOp):
+                if isinstance(op.agg_op, IncrementalGroupRecomputeAgg):
+                    return "join-aggregate-recompute"
+                return "join-aggregate"
             return "naive"
 
         return {name: kind(op) for name, op in self._ops.items()}
@@ -1461,9 +1731,20 @@ class IncrementalProgram:
                 d = ZSet(_apply_linear(delta_of(op.src).df, op.sel, op.where)).consolidate()
             elif isinstance(op, _AggOp):
                 d = op.op.step(delta_of(op.src))
-                d = d.map(*[F.col(c) for c in op.out_cols])
+                # having may reference hidden __hN aggregate columns:
+                # filter before projecting them away
                 if op.having is not None:
                     d = d.filter(op.having)
+                d = d.map(*[F.col(c) for c in op.out_cols])
+            elif isinstance(op, _JoinAggOp):
+                jd = op.join_op.step(delta_of(op.src_a), delta_of(op.src_b))
+                d = op.agg_op.step(jd)
+                if op.having is not None:
+                    d = d.filter(op.having)
+                d = d.map(*[F.col(c) for c in op.out_cols])
+            elif isinstance(op, _WinFnOp):
+                d = op.op.step(delta_of(op.src))
+                d = d.map(*[F.col(c) for c in op.out_cols])
             elif isinstance(op, _JoinOp):
                 d = op.op.step(delta_of(op.src_a), delta_of(op.src_b))
             elif isinstance(op, _OuterJoinOp):
