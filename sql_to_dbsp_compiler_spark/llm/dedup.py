@@ -475,3 +475,115 @@ def dedup_groups(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-agnostic (md5-based) hash family
+# ---------------------------------------------------------------------------
+#
+# The xxhash64-seeded family above is the FAST path (one 64-bit hash
+# pass, no string building). The md5 family below computes the same
+# algorithms from hashes any SQL engine reproduces bit-for-bit
+# (DuckDB: md5(), CAST('0x' || substring(md5(x),1,15) AS BIGINT)) —
+# which makes the full MinHash-LSH / SimHash pipelines verifiable
+# against an independent oracle, not just recall-tested. Same plan
+# shape and shuffle structure as the fast path; ~2-3x more per-row
+# hash cost, so at 100 TB prefer the xxhash64 family unless
+# cross-engine reproducibility is required.
+
+
+def md5_hash60(col: Column) -> Column:
+    """60-bit integer hash from the first 15 hex chars of md5 —
+    bit-identical in any engine with md5 (15 chars, not 16, so the
+    value stays inside a signed 64-bit int)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash over md5: signature element i is the MINIMUM of
+    md5('mh<i>|' || shingle) over the shingle set, kept as the 32-char
+    hex STRING (fixed-width lowercase hex ⇒ lexicographic order ==
+    numeric order, so MIN agrees across engines with no int parsing)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    sh_df = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__s"))
+        .where(F.size("__s") > 0)
+        .persist()
+    )
+
+    def hasher(i: int):
+        prefix = F.lit(f"mh{i}|")
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    mins = [F.array_min(F.transform(F.col("__s"), hasher(i))) for i in range(num_hashes)]
+    return sh_df.select(F.col(id_col), F.array(*mins).alias("sig"))
+
+
+def lsh_candidate_pairs_md5(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding over string signatures with an md5 band key
+    (md5 of the '|'-joined slice) — same join-free bucket pairing as
+    lsh_candidate_pairs, reproducible in the oracle."""
+    sig_size = F.size(F.col(sig_col))
+    rows = (sig_size / bands).cast("int")
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(
+                        F.concat_ws("|", F.slice(F.col(sig_col), b * rows + 1, rows))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    return _pairs_within_buckets(banded, ["band_id", "band_hash"], id_col, max_bucket)
+
+
+def simhash_signatures_md5(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """SimHash over the 60-bit md5 word hash (md5_hash60): majority
+    vote per bit weighted by term frequency — same single-shuffle
+    64-SUM plan as simhash_signatures, engine-reproducible."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    wc = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", md5_hash60(F.col("w")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = wc.groupBy(id_col).agg(*votes)
+    sig = reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * (2**i)).otherwise(0).cast("long")
+        ),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(F.col(id_col), sig.alias("simhash"))

@@ -94,22 +94,100 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
-@query("dedup_minhash_pairs", tags=("llm", "dedup", "rows-only"))
+@query(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM w
+    ),
+    hs AS (
+        SELECT s.doc_id, t.i, min(md5('mh' || t.i || '|' || s.shingle)) AS mn
+        FROM sh s CROSS JOIN range(16) t(i)
+        GROUP BY s.doc_id, t.i
+    ),
+    sig AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM hs GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, b.b AS band_id,
+               md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '|')) AS band_hash
+        FROM sig CROSS JOIN range(4) b(b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+    FROM banded a JOIN banded c USING (band_id, band_hash)
+    WHERE a.doc_id < c.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs.
-    xxhash64-seeded signatures are engine-specific → no SQL oracle;
-    recall vs exact Jaccard asserted in tests/test_dedup.py."""
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs over the
+    engine-agnostic md5 family (signature element = min md5 hex string
+    per seeded prefix; band key = md5 of the joined slice), so the
+    full pipeline is oracle-verified — the DuckDB oracle recomputes
+    identical signatures and buckets. The xxhash64 fast family
+    (minhash_signatures_df) is the 100 TB path, recall-tested vs
+    exact Jaccard in tests/test_dedup.py."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures_df(d, "doc_id", "text", 16, 3)
-    return lsh_candidate_pairs(sigs, "doc_id", "sig", bands=4)
+    from sql_to_dbsp_compiler_spark.llm.dedup import (
+        lsh_candidate_pairs_md5,
+        minhash_signatures_md5,
+    )
+
+    sigs = minhash_signatures_md5(d, "doc_id", "text", 16, 3)
+    return lsh_candidate_pairs_md5(sigs, "doc_id", "sig", bands=4)
 
 
-@query("dedup_simhash", tags=("llm", "dedup", "rows-only"))
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    wc AS (
+        SELECT doc_id, w, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(words) AS w FROM w)
+        GROUP BY doc_id, w
+    ),
+    wh AS (
+        SELECT doc_id, CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h, cnt
+        FROM wc
+    ),
+    votes AS (
+        SELECT doc_id, b.i AS bit,
+               SUM(CASE WHEN (h >> CAST(b.i AS INT)) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+        FROM wh CROSS JOIN range(60) b(i)
+        GROUP BY doc_id, b.i
+    ),
+    sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, b.b AS band_id,
+               (simhash >> CAST(b.b * 15 AS INT)) & 32767 AS band_val
+        FROM sig CROSS JOIN range(4) b(b)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+    FROM banded a JOIN banded c USING (band_id, band_val)
+    WHERE a.doc_id < c.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup candidates via 16-bit band collisions."""
+    """SimHash near-dup candidates via 15-bit band collisions over the
+    engine-agnostic 60-bit md5 word hash (majority vote per bit,
+    term-frequency weighted) — oracle-verified end-to-end. The
+    xxhash64 64-bit family (simhash_signatures) is the fast path,
+    property-tested in tests/test_dedup.py."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = simhash_signatures(d, "doc_id", "text")
-    return simhash_candidate_pairs(sigs, "doc_id")
+    from sql_to_dbsp_compiler_spark.llm.dedup import (
+        banded_pairs_int64,
+        simhash_signatures_md5,
+    )
+
+    sigs = simhash_signatures_md5(d, "doc_id", "text")
+    return banded_pairs_int64(sigs, "doc_id", "simhash", band_bits=15)
 
 
 @query(
