@@ -465,7 +465,7 @@ def dedup_groups(
     minimum id (docs with no near-dup edge map to themselves). Output
     ``(doc_id, canonical_id, is_canonical)`` — the keep/drop decision
     of a near-dup dedup pipeline."""
-    comp = connected_components(pairs, id_a, id_b)
+    comp, _rounds = connected_components_star(pairs, id_a, id_b)
     return (
         docs.select(F.col(id_col))
         .join(comp, docs[id_col] == comp["id"], "left")
@@ -587,3 +587,83 @@ def simhash_signatures_md5(
         F.lit(0).cast("long"),
     )
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+    check_every: int = 2,
+) -> "tuple[DataFrame, int]":
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) → ``((id, component), rounds_run)`` with
+    component = min node id, matching connected_components().
+
+    Two scale advantages over min-label propagation:
+    - O(log n) rounds on ANY graph shape (label propagation needs
+      O(diameter) — a 1M-node chain is 1M rounds there, ~20 here);
+    - convergence is checked every `check_every` rounds instead of
+      every round, halving the driver-side sync barriers; each check
+      is a count + subtract-limit probe over the current edge list.
+
+    Each round is two shuffles (groupBy min per endpoint) over an edge
+    list that only shrinks toward the star forest; lineage is
+    truncated per round with localCheckpoint."""
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = edges
+    rounds = 0
+    for it in range(max_iter):
+        # large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
+        sym = edges.select("u", "v").unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        g = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            sym.join(g, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient (larger, smaller); all smaller neighbors
+        # and u itself link to the minimum smaller neighbor
+        g2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = ls.join(g2, "u")
+        edges = (
+            ss.where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(g2.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds = it + 1
+        if rounds % check_every == 0 or rounds == max_iter:
+            if (
+                edges.count() == prev.count()
+                and edges.subtract(prev).limit(1).count() == 0
+            ):
+                break
+            prev = edges
+    comp = nodes.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("component")),
+        "id",
+        "left",
+    ).select("id", F.coalesce(F.col("component"), F.col("id")).alias("component"))
+    return comp, rounds

@@ -137,3 +137,47 @@ def test_dedup_groups_end_to_end(spark, sf_dir):
         assert min(m["doc_id"] for m in members) == comp
     # the pairs actually connect something at this SF
     assert any(not r["is_canonical"] for r in rows)
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """Large-star/small-star CC vs the same union-find oracle."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import connected_components_star
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21), (30, 31), (31, 32), (5, 4)]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    comp, _rounds = connected_components_star(pairs)
+    got = {r["id"]: r["component"] for r in comp.collect()}
+    assert got == expected
+
+
+def test_connected_components_star_chain_olog_rounds(spark):
+    """The adversarial case for min-label propagation: a 64-node
+    chain (diameter 63 → 63 label-propagation rounds). Large-star/
+    small-star must collapse it to one component in O(log n) rounds."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import connected_components_star
+
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    comp, rounds = connected_components_star(pairs, max_iter=20, check_every=2)
+    rows = comp.collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(rows) == n
+    # 2*log2(64)=12 rounds is the generous bound; label propagation
+    # would need 63. (+check_every slack for the convergence probe)
+    assert rounds <= 14, f"took {rounds} rounds"
