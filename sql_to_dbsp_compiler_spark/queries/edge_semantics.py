@@ -223,3 +223,90 @@ def division_by_zero_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_mod(F.col("a"), F.col("b")).alias("mod_null"),
         division(F.lit(2).cast("int"), inner).alias("nested_div"),
     )
+
+
+@query(
+    "char_smallint_types",
+    oracle="""
+    SELECT i,
+           CASE WHEN i BETWEEN -128 AND 127
+                THEN CAST(CAST(i AS TINYINT) AS BIGINT) END AS tiny_v,
+           CASE WHEN i BETWEEN -32768 AND 32767
+                THEN CAST(CAST(i AS SMALLINT) AS BIGINT) END AS small_v,
+           CASE WHEN i BETWEEN -128 AND 127
+                THEN CAST(CAST(i AS TINYINT) AS VARCHAR) END AS tiny_str,
+           rpad(s, 5, ' ') AS char5,
+           CAST(length(rpad(s, 5, ' ')) AS BIGINT) AS char5_len,
+           rpad(s, 5, ' ') || '|' || rpad(s, 3, ' ') AS char_concat
+    FROM (VALUES (-32768, 'ab'), (-128, 'a'), (-1, 'abcdef'), (0, ''),
+                 (42, 'xyz'), (127, 'hello world'), (32767, 'zz')) v(i, s)
+    """,
+    tags=("edge", "types"),
+)
+def char_smallint_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TINYINT/SMALLINT surfaces and CHAR(n) pad semantics
+    (reference: doc/sql/types.rst, CastTests.java). Narrow-int casts
+    are range-guarded (overflow semantics differ across engines: the
+    reference errors, Spark wraps, DuckDB errors — the engine exposes
+    in-range casts and NULL out of range). CHAR(n) pads/truncates to
+    exactly n chars; Spark's CAST(x AS CHAR(n)) deliberately treats
+    char as string (CharVarcharUtils), so the engine maps CHAR(n)
+    values to explicit rpad semantics — identical to the reference's
+    space-padded CHAR comparison/concat behavior."""
+    df = spark.createDataFrame(
+        [(-32768, "ab"), (-128, "a"), (-1, "abcdef"), (0, ""),
+         (42, "xyz"), (127, "hello world"), (32767, "zz")],
+        schema="i int, s string",
+    )
+    in_tiny = F.col("i").between(-128, 127)
+    in_small = F.col("i").between(-32768, 32767)
+    char5 = F.rpad(F.col("s"), 5, " ")
+    return df.select(
+        "i",
+        F.when(in_tiny, F.col("i").cast("tinyint").cast("bigint")).alias("tiny_v"),
+        F.when(in_small, F.col("i").cast("smallint").cast("bigint")).alias("small_v"),
+        F.when(in_tiny, F.col("i").cast("tinyint").cast("string")).alias("tiny_str"),
+        char5.alias("char5"),
+        F.length(char5).cast("bigint").alias("char5_len"),
+        F.concat(char5, F.lit("|"), F.rpad(F.col("s"), 3, " ")).alias("char_concat"),
+    )
+
+
+@query(
+    "interval_year_month",
+    oracle="""
+    SELECT CAST(d AS VARCHAR) AS d,
+           CAST(CAST(d + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS plus_1mo,
+           CAST(CAST(d + (INTERVAL 1 YEAR + INTERVAL 6 MONTHS) AS DATE) AS VARCHAR) AS plus_1y6mo,
+           CAST(CAST(d - INTERVAL 2 YEAR AS DATE) AS VARCHAR) AS minus_2y,
+           CAST(CAST(d + INTERVAL 25 MONTHS AS DATE) AS VARCHAR) AS plus_25mo,
+           CAST(date_diff('month', DATE '1995-01-01', d) AS BIGINT) AS months_from_95,
+           CAST(date_diff('year', DATE '1995-01-01', d) AS BIGINT) AS years_from_95
+    FROM (VALUES (DATE '1996-01-31'), (DATE '1996-02-29'), (DATE '1999-12-31'),
+                 (DATE '1997-06-15'), (DATE '1994-03-01'), (CAST(NULL AS DATE))) v(d)
+    """,
+    tags=("edge", "datetime", "types"),
+)
+def interval_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-month INTERVAL family (reference lib/sqllib/src/interval.rs
+    has both day-time and year-month families; interval_arith covers
+    day-time). Month-end clamping edges: Jan 31 + 1 MONTH = Feb 29 in
+    a leap year in both engines; YEAR TO MONTH literals and month/year
+    boundary-crossing diffs. DuckDB promotes date + interval to
+    TIMESTAMP, so the oracle casts back to DATE; everything serialized
+    as strings for exact comparison."""
+    rows = [("1996-01-31",), ("1996-02-29",), ("1999-12-31",),
+            ("1997-06-15",), ("1994-03-01",), (None,)]
+    df = spark.createDataFrame(rows, schema="d string").select(
+        F.col("d").cast("date").alias("d")
+    )
+    start = F.lit("1995-01-01").cast("date")
+    return df.select(
+        F.col("d").cast("string").alias("d"),
+        (F.col("d") + F.expr("INTERVAL 1 MONTH")).cast("string").alias("plus_1mo"),
+        (F.col("d") + F.expr("INTERVAL '1-6' YEAR TO MONTH")).cast("string").alias("plus_1y6mo"),
+        (F.col("d") - F.expr("INTERVAL 2 YEAR")).cast("string").alias("minus_2y"),
+        (F.col("d") + F.expr("INTERVAL 25 MONTHS")).cast("string").alias("plus_25mo"),
+        F.floor(F.months_between(F.col("d"), start)).cast("bigint").alias("months_from_95"),
+        (F.year("d") - 1995).cast("bigint").alias("years_from_95"),
+    )
