@@ -64,7 +64,35 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({"metric": "headline_queries_total", "value": total, "unit": "sec", "queries": times, "sf": sf}))
+    result = {"metric": "headline_queries_total", "value": total, "unit": "sec", "queries": times, "sf": sf}
+
+    # Optional second-scale anchor (superlinearity audit): set
+    # SPARK_GRAFT_SCALE2_DIR to a dir produced by scripts/gen_scale.py
+    # to re-run the suite there and report per-query ratios.
+    # embedding_neardup is excluded at scale2 by design: it is the
+    # documented O(n^2) all-pairs oracle baseline (the scale path is
+    # embedding_lsh_neardup), so benching it at 10x data means 100x
+    # work by construction.
+    scale2 = os.environ.get("SPARK_GRAFT_SCALE2_DIR")
+    if scale2 and os.path.isdir(scale2):
+        sf2 = float(os.environ.get("SPARK_GRAFT_SCALE2_SF", "1.0"))
+        times2: dict[str, float] = {}
+        for name in [n for n in names if n != "embedding_neardup"]:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, scale2).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times2[name] = round(best, 3)
+        result["scale2"] = {
+            "sf": sf2,
+            "value": round(sum(times2.values()), 3),
+            "queries": times2,
+            "ratio": {
+                n: round(times2[n] / times[n], 2) for n in times2 if times.get(n)
+            },
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -310,3 +310,45 @@ def interval_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.months_between(F.col("d"), start)).cast("bigint").alias("months_from_95"),
         (F.year("d") - 1995).cast("bigint").alias("years_from_95"),
     )
+
+
+@query(
+    "cast_matrix2",
+    oracle="""
+    SELECT s,
+           CASE WHEN regexp_matches(trim(s), '^[+-]?[0-9]+$')
+                THEN TRY_CAST(s AS BIGINT) END AS as_int,
+           TRY_CAST(s AS DOUBLE) AS as_double,
+           TRY_CAST(s AS BOOLEAN) AS as_bool,
+           CAST(TRY_CAST(s AS DATE) AS VARCHAR) AS as_date,
+           CAST(TRY_CAST(s AS TIMESTAMP) AS VARCHAR) AS as_ts
+    FROM (VALUES ('42'), ('-7'), ('  19 '), ('3.5e2'), ('true'), ('false'),
+                 ('1996-02-29'), ('1997-02-30'), ('1996-02-29 17:32:01'),
+                 ('not a number'), (''), (CAST(NULL AS VARCHAR))) v(s)
+    """,
+    tags=("edge", "cast"),
+)
+def cast_matrix2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-parsing cast lattice (reference: CastTests.java,
+    lib/sqllib/src/casts.rs — the 319-fn cast matrix's string rows).
+    The engine exposes safe-cast semantics via try_cast (Spark 4 runs
+    ANSI mode, where plain CAST throws on malformed input):
+    unparseable → NULL, matching DuckDB TRY_CAST and the reference's
+    nullable cast family. Covers int/double/bool/date/timestamp
+    parsing incl. whitespace trim, scientific notation, leap-day
+    validity (1997-02-30 → NULL), empty string, and NULL propagation.
+    One documented divergence: Spark parses integers digits-only
+    ('3.5e2' → NULL) where DuckDB accepts scientific notation; the
+    oracle encodes Spark's rule with a digits-only regex guard."""
+    rows = [("42",), ("-7",), ("  19 ",), ("3.5e2",), ("true",), ("false",),
+            ("1996-02-29",), ("1997-02-30",), ("1996-02-29 17:32:01",),
+            ("not a number",), ("",), (None,)]
+    df = spark.createDataFrame(rows, schema="s string")
+    return df.select(
+        "s",
+        F.col("s").try_cast("bigint").alias("as_int"),
+        F.col("s").try_cast("double").alias("as_double"),
+        F.col("s").try_cast("boolean").alias("as_bool"),
+        F.col("s").try_cast("date").cast("string").alias("as_date"),
+        F.col("s").try_cast("timestamp").cast("string").alias("as_ts"),
+    )

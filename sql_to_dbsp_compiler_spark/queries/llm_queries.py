@@ -271,8 +271,12 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "similarity"),
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs. All-pairs here (bounded
-    corpus); at 100 TB the same predicate runs on LSH/IVF candidates."""
+    """ORACLE BASELINE ONLY — O(n²) all-pairs cosine by construction
+    (BroadcastNestedLoopJoin). Exists to ground-truth the LSH path's
+    recall; MUST NOT be pointed at a real corpus. The scale path is
+    `embedding_lsh_neardup` (banded SRP signatures → equi-join
+    candidates → exact verify), and bench.py excludes this query from
+    its scale-2 superlinearity audit for the same reason."""
     return cosine_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.45
     )

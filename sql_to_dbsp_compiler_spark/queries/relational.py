@@ -740,3 +740,35 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
+
+
+@query(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+        SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS val
+        FROM customer WHERE c_custkey <= 500
+        UNION ALL
+        SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE)
+        FROM customer WHERE c_custkey <= 500
+        UNION ALL
+        SELECT c_custkey, 'key_mod', CAST(c_custkey % 7 AS DOUBLE)
+        FROM customer WHERE c_custkey <= 500
+    )
+    """,
+    tags=("relational", "pivot"),
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long), the inverse of pivot_agg: Spark's
+    stack()/unpivot expands k columns into k rows per input row in one
+    projection — no shuffle, no join; the oracle spells it as the
+    equivalent UNION ALL."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(3, 'acctbal', CAST(c_acctbal AS DOUBLE), "
+            "'nationkey', CAST(c_nationkey AS DOUBLE), "
+            "'key_mod', CAST(c_custkey % 7 AS DOUBLE)) AS (metric, val)"
+        ),
+    )

@@ -207,3 +207,39 @@ def fraud_features_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.cast("double").alias("sum_1h"),
         F.count(F.lit(1)).over(w24).cast("bigint").alias("cnt_24h"),
     )
+
+
+@query(
+    "window_distribution_fns",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey), 8) AS pct_rank,
+           round(CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey), 8) AS cume,
+           FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+           NTH_VALUE(o_orderkey, 3) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_key
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    tags=("window",),
+)
+def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/navigation window functions: PERCENT_RANK,
+    CUME_DIST, FIRST/LAST/NTH_VALUE over an explicit unbounded frame
+    (LAST_VALUE under the default frame is the current row — the
+    classic trap; the explicit frame makes it the true partition last
+    in both engines). Unique ORDER BY key → deterministic."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+        F.first("o_orderkey").over(wf).alias("first_key"),
+        F.last("o_orderkey").over(wf).alias("last_key"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
+    )
