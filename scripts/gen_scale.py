@@ -13,9 +13,13 @@ Key handling per table:
   near-duplicates of each other: dedup workloads scale by corpus
   size, not by an artificial 100x pair blow-up that no real corpus
   has.
-- embeddings get a deterministic per-replica, per-dimension additive
-  perturbation (cosine is scale-invariant, so an additive term, not a
-  scalar multiple) for the same reason.
+- embeddings get a deterministic per-replica PERMUTATION of their
+  components: a permutation is orthogonal, so within-replica cosines
+  (and hence the near-dup pair structure per replica) are preserved
+  EXACTLY, while cross-replica cosines become ~random. A 10x corpus
+  then has ~10x near-dup pairs — the way a real corpus scales —
+  instead of the quadratic cross-replica pair blow-up an additive
+  perturbation produces (replicas v + i*noise all lie near a line).
 
 Usage: python scripts/gen_scale.py [target_dir] [replicas]
 """
@@ -105,19 +109,30 @@ def main() -> None:
             *[c for c in df.columns if c not in ("doc_id", "text")],
         ),
     )
-    replicate(
-        "embeddings",
-        lambda df, i: df.select(
+    dim = len(
+        load_table(spark, SRC, "embeddings").select("embedding").first()["embedding"]
+    )
+    # odd multipliers are coprime with a power-of-two dim → bijective
+    perm_mult = [1, 3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23]
+
+    def permute(df, i):
+        if i == 0:
+            return df.select(
+                off("vec_id", 0), *[c for c in df.columns if c != "vec_id"]
+            )
+        m, s = perm_mult[i % len(perm_mult)], (i * 29) % dim
+        return df.select(
             off("vec_id", i),
             F.transform(
-                F.col("embedding"),
-                lambda x, idx: x
-                + F.lit(float(i))
-                * ((((idx * 2654435761 + i * 40503) % 97) / 97.0 - 0.5) * 0.3),
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda idx: F.element_at(
+                    F.col("embedding"), ((idx * m + s) % dim) + 1
+                ),
             ).alias("embedding"),
             *[c for c in df.columns if c not in ("vec_id", "embedding")],
-        ),
-    )
+        )
+
+    replicate("embeddings", permute)
     print(f"wrote {target} at ~{0.1 * replicas:g}x TPC-H-ish scale")
 
 

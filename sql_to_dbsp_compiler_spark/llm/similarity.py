@@ -197,7 +197,7 @@ def srp_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    band_bits: int = 4,
+    band_bits: "int | None" = None,
     max_bucket: int = 2000,
     bits: int = 64,
 ) -> DataFrame:
@@ -232,6 +232,21 @@ def srp_neardup_pairs(
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
         .persist()
     )
+    if band_bits is None:
+        # Auto geometry: expected bucket size n/2^band_bits stays a few
+        # hundred, so total in-bucket pair work (bands * n^2 / 2^b)
+        # scales ~linearly with the corpus instead of quadratically —
+        # the "raise band_bits with n" rule below, applied. The
+        # signature widens with the band width (bits = 16 bands * b) so
+        # the band COUNT is preserved; at a fixed low threshold,
+        # per-pair recall still decays as bands narrow (p^b): callers
+        # needing high recall at low thresholds should pin
+        # band_bits/bits explicitly and pay the bucket sizes.
+        n = e.count()
+        band_bits = max(4, min(16, math.ceil(math.log2(max(n, 2) / 300))))
+        while 64 % band_bits != 0:
+            band_bits += 1  # keep word-aligned band extraction
+        bits = max(bits, band_bits * 16)
     # One wide signature serves both stages: the first `bits` worth of
     # words feed the LSH banding; ALL words ride into the buckets for
     # the Hamming estimate. 3σ slack keeps the prefilter's recall cost
