@@ -103,3 +103,73 @@ def program_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     zeros."""
     views = compile_batch(spark, _INLINE_PROGRAM)
     return views["dept_pay"]
+
+
+_FRAUD_PROGRAM = """
+CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+                    event_type VARCHAR, value DOUBLE, props VARCHAR);
+CREATE TABLE customer(c_custkey BIGINT, c_name VARCHAR, c_address VARCHAR,
+                      c_nationkey INTEGER, c_phone VARCHAR, c_acctbal DOUBLE,
+                      c_mktsegment VARCHAR, c_comment VARCHAR);
+CREATE VIEW txn AS
+    SELECT event_id, user_id, value, ts,
+           CAST(unix_timestamp(ts) AS BIGINT) AS unix_time
+    FROM events WHERE user_id <= 30;
+CREATE VIEW enriched AS
+    SELECT t.event_id, t.user_id, t.value, t.ts, t.unix_time, c.c_mktsegment
+    FROM txn t LEFT JOIN customer c ON t.user_id = c.c_custkey;
+CREATE VIEW features AS
+    SELECT event_id, user_id, c_mktsegment,
+           dayofweek(ts) AS d,
+           CASE WHEN COUNT(*) OVER (PARTITION BY user_id ORDER BY unix_time
+                    RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING) > 0
+                THEN CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                         PARTITION BY user_id ORDER BY unix_time
+                         RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+                     / COUNT(*) OVER (PARTITION BY user_id ORDER BY unix_time
+                         RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+           END AS avg_spend_pw,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY unix_time
+                RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trans_freq_24
+    FROM enriched;
+"""
+
+
+@query(
+    "program_fraud_features",
+    oracle="""
+    WITH txn AS (
+        SELECT event_id, user_id, value, ts,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS unix_time
+        FROM events WHERE user_id <= 30
+    ), enriched AS (
+        SELECT t.event_id, t.user_id, t.value, t.ts, t.unix_time, c.c_mktsegment
+        FROM txn t LEFT JOIN customer c ON t.user_id = c.c_custkey
+    )
+    SELECT event_id, user_id, c_mktsegment,
+           CAST(dayofweek(ts) + 1 AS INTEGER) AS d,
+           CASE WHEN COUNT(*) OVER wpw > 0
+                THEN CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER wpw AS DOUBLE)
+                     / COUNT(*) OVER wpw AS DOUBLE)
+           END AS avg_spend_pw,
+           CAST(COUNT(*) OVER w24 AS BIGINT) AS trans_freq_24
+    FROM enriched
+    WINDOW
+      wpw AS (PARTITION BY user_id ORDER BY unix_time
+              RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING),
+      w24 AS (PARTITION BY user_id ORDER BY unix_time
+              RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING)
+    """,
+    tags=("compiler", "complex", "window"),
+)
+def program_fraud_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship fraud-features program
+    (ComplexQueriesTest.java demographicsTest: transactions LEFT JOIN
+    demographics, then per-card time-RANGE window features excluding
+    the current row) mapped onto the events/customer tables and run
+    through the PROGRAM frontend (compile_batch): three chained views
+    — epoch projection, left-join enrichment, window features — fused
+    by Catalyst into one plan. DECIMAL-accumulated averages with the
+    empty-frame guard keep the result hash-stable."""
+    views = compile_batch(spark, _FRAUD_PROGRAM, sf_dir=sf_dir)
+    return views["features"]

@@ -203,3 +203,34 @@ def time_of_day_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         sec_of_day.alias("sec_of_day"),
         (F.hour(ts) >= 12).alias("pm"),
     )
+
+
+@query(
+    "timestampadd_units",
+    oracle="""
+    SELECT event_id,
+           CAST(ts + INTERVAL 10 SECOND AS VARCHAR) AS plus_10s,
+           CAST(ts + INTERVAL 10 MINUTE AS VARCHAR) AS plus_10min,
+           CAST(ts + INTERVAL 1 HOUR AS VARCHAR) AS plus_1h,
+           CAST(ts + INTERVAL 3 DAY AS VARCHAR) AS plus_3d,
+           CAST(ts - INTERVAL 90 SECOND AS VARCHAR) AS minus_90s,
+           CAST(CAST(ts + INTERVAL 2 MONTH AS TIMESTAMP) AS VARCHAR) AS plus_2mo
+    FROM events WHERE event_id <= 400
+    """,
+    tags=("functions", "datetime"),
+)
+def timestampadd_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMPADD for fixed-width and calendar units (reference:
+    TimeTests.java timestampAddTableTest — TIMESTAMPADD(SECOND/HOUR/
+    MINUTE, n, ts)). Spark spells it timestampadd()/interval addition;
+    results serialized as strings for exact cross-engine comparison."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") <= 400)
+    return e.select(
+        "event_id",
+        F.expr("timestampadd(SECOND, 10, ts)").cast("string").alias("plus_10s"),
+        F.expr("timestampadd(MINUTE, 10, ts)").cast("string").alias("plus_10min"),
+        F.expr("timestampadd(HOUR, 1, ts)").cast("string").alias("plus_1h"),
+        F.expr("timestampadd(DAY, 3, ts)").cast("string").alias("plus_3d"),
+        F.expr("timestampadd(SECOND, -90, ts)").cast("string").alias("minus_90s"),
+        F.expr("timestampadd(MONTH, 2, ts)").cast("string").alias("plus_2mo"),
+    )
