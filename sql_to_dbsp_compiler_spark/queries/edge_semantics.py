@@ -352,3 +352,55 @@ def cast_matrix2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").try_cast("date").cast("string").alias("as_date"),
         F.col("s").try_cast("timestamp").cast("string").alias("as_ts"),
     )
+
+
+@query(
+    "cast_decimal_rescale",
+    oracle="""
+    WITH v AS (SELECT s, CAST(s AS DECIMAL(14,4)) AS d
+               FROM (VALUES ('123.4567'), ('123.455'), ('-123.455'), ('0.005'),
+                            ('-0.005'), ('99999.99'), ('-99999.99'), ('0.0'),
+                            ('1.9999'), ('-1.9999')) t(s)),
+    r AS (SELECT s, d,
+                 trunc(d*100 + CASE WHEN d >= 0 THEN 0.5 ELSE -0.5 END)/100 AS h2,
+                 trunc(d + CASE WHEN d >= 0 THEN 0.5 ELSE -0.5 END) AS h0
+          FROM v)
+    SELECT s,
+           CAST(CAST(h2 AS DECIMAL(10,2)) AS VARCHAR) AS rescale_2,
+           CAST(CAST(h0 AS DECIMAL(10,0)) AS VARCHAR) AS rescale_0,
+           CAST(TRY_CAST(CAST(h2 AS DECIMAL(14,2)) AS DECIMAL(4,2)) AS VARCHAR) AS narrow_42,
+           CAST(CAST(d AS DECIMAL(20,8)) AS VARCHAR) AS widen_8,
+           CAST(d AS DOUBLE) AS as_double,
+           CAST(CAST(trunc(d) AS BIGINT) AS VARCHAR) AS as_bigint
+    FROM r
+    """,
+    tags=("edge", "cast", "decimal"),
+)
+def cast_decimal_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL(p,s) rescaling lattice (reference lib/sqllib/src/
+    casts.rs decimal rows; postgres semantics): scale-narrowing casts
+    ROUND half-away-from-zero (123.455→(10,2)→123.46, -0.005→(10,0)→0
+    ... -0.005 rounds to -0.01 at scale 2), precision overflow →
+    NULL (TRY_CAST / Spark safe cast), widening is exact, and
+    decimal→bigint truncates toward zero (1.9999→1, -1.9999→-1).
+    DOCUMENTED DIVERGENCES (the engine keeps the reference's postgres
+    semantics; the oracle reproduces them explicitly): DuckDB's
+    decimal rescale cast TRUNCATES and its round() is half-to-even
+    where Spark/postgres round half-away-from-zero — the oracle
+    spells half-away as trunc(d*100 ± 0.5)/100; DuckDB's
+    decimal→BIGINT cast ROUNDS where Spark/postgres truncate — the
+    oracle wraps it in trunc()."""
+    rows = [("123.4567",), ("123.455",), ("-123.455",), ("0.005",),
+            ("-0.005",), ("99999.99",), ("-99999.99",), ("0.0",),
+            ("1.9999",), ("-1.9999",)]
+    df = spark.createDataFrame(rows, schema="s string")
+    d = F.col("s").cast("decimal(14,4)")
+    return df.select(
+        "s",
+        d.cast("decimal(10,2)").cast("string").alias("rescale_2"),
+        d.cast("decimal(10,0)").cast("string").alias("rescale_0"),
+        d.try_cast("decimal(4,2)").cast("string").alias("narrow_42"),
+        d.cast("decimal(20,8)").cast("string").alias("widen_8"),
+        d.cast("double").alias("as_double"),
+        d.cast("bigint").cast("string").alias("as_bigint"),
+    )
