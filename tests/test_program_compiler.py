@@ -973,3 +973,65 @@ def test_nested_parenthesized_join_still_correct(spark):
         "l": ZSet(spark.createDataFrame([(1, 10, -1)], "k int, lv int, __weight long")),
     })
     assert _zrows(d2["v_nest"]) == {(1, 17, -1)}
+
+
+def test_window_and_joinagg_views_driven_by_stream(spark, tmp_path):
+    """The round-2 operators under actual Structured Streaming
+    driving: a window-function view (affected-partition recompute)
+    and an agg-over-join view maintained from micro-batch deltas; the
+    final snapshots equal the batch evaluation over everything
+    streamed."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql.types import StructType
+
+    from sql_to_dbsp_compiler_spark.streaming.incremental import (
+        run_program_on_stream,
+        stream_from_dir,
+    )
+
+    prog = """
+    CREATE TABLE ev(k INTEGER, v INTEGER, cat VARCHAR);
+    CREATE TABLE dim(kk INTEGER, label VARCHAR);
+    CREATE VIEW v_win AS SELECT cat, v,
+        ROW_NUMBER() OVER (PARTITION BY cat ORDER BY v) AS rn,
+        SUM(v) OVER (PARTITION BY cat ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+        FROM ev;
+    CREATE VIEW v_ja AS SELECT label, SUM(v) AS sv, COUNT(*) AS n
+        FROM ev JOIN dim ON ev.k = dim.kk GROUP BY label;
+    """
+    rows = [(i % 3, 100 + i, "ab"[i % 2]) for i in range(20)]  # unique v
+    full = spark.createDataFrame(rows, "k int, v int, cat string")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    base = str(tmp_path / "stream")
+    for i in range(4):
+        spark.createDataFrame(rows[i * 5 : (i + 1) * 5], "k int, v int, cat string") \
+            .coalesce(1).write.mode("overwrite").parquet(os.path.join(base, f"b{i}"))
+        shutil.copy(
+            glob.glob(os.path.join(base, f"b{i}", "*.parquet"))[0],
+            os.path.join(flat, f"batch_{i}.parquet"),
+        )
+    schema = StructType.fromDDL("k int, v int, cat string")
+    dim = spark.createDataFrame([(0, "zero"), (1, "one")], "kk int, label string")
+
+    inc = run_program_on_stream(
+        spark, prog, "ev", stream_from_dir(spark, flat, schema),
+        static_sources={"dim": dim},
+    )
+    assert inc.plan() == {"v_win": "partitioned-window", "v_ja": "join-aggregate"}
+
+    full.createOrReplaceTempView("ev")
+    dim.createOrReplaceTempView("dim")
+    for vname, sql in [
+        ("v_win", """SELECT cat, v, ROW_NUMBER() OVER (PARTITION BY cat ORDER BY v) AS rn,
+                     SUM(v) OVER (PARTITION BY cat ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+                     FROM ev"""),
+        ("v_ja", "SELECT label, SUM(v) AS sv, COUNT(*) AS n FROM ev JOIN dim ON ev.k = dim.kk GROUP BY label"),
+    ]:
+        expect = {(*r, 1) for r in spark.sql(sql).collect()}
+        assert _zrows(inc.snapshot(vname)) == expect, vname
