@@ -232,3 +232,41 @@ def string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|", F.col("c_name"), F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
         ).alias("joined"),
     )
+
+
+@query(
+    "trim_variants",
+    oracle="""
+    SELECT s,
+           ltrim(s, 'x') AS ltrim_x,
+           rtrim(s, 'xy') AS rtrim_xy,
+           trim(s, 'x') AS btrim_x,
+           ltrim(s) AS ltrim_ws,
+           rtrim(s) AS rtrim_ws,
+           trim(s) AS trim_ws,
+           CAST(length(trim(s, 'xy')) AS BIGINT) AS btrim_len
+    FROM (VALUES ('xxhelloxx'), ('xyhixyx'), ('  padded  '), ('xyx'),
+                 (''), ('no-trim-chars')) v(s)
+    """,
+    tags=("functions", "string"),
+)
+def trim_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI TRIM(LEADING/TRAILING/BOTH <chars> FROM s) — character-SET
+    semantics (every char in the trim set strips, not the literal
+    substring), whitespace defaults, full-strip to empty string
+    (reference: doc/sql/string.rst TRIM; Calcite spells the ANSI
+    forms, Spark accepts them via TRIM(... FROM ...) expressions,
+    DuckDB spells them ltrim/rtrim/trim(s, chars))."""
+    rows = [("xxhelloxx",), ("xyhixyx",), ("  padded  ",), ("xyx",),
+            ("",), ("no-trim-chars",)]
+    df = spark.createDataFrame(rows, schema="s string")
+    return df.select(
+        "s",
+        F.expr("TRIM(LEADING 'x' FROM s)").alias("ltrim_x"),
+        F.expr("TRIM(TRAILING 'xy' FROM s)").alias("rtrim_xy"),
+        F.expr("TRIM(BOTH 'x' FROM s)").alias("btrim_x"),
+        F.ltrim(F.col("s")).alias("ltrim_ws"),
+        F.rtrim(F.col("s")).alias("rtrim_ws"),
+        F.trim(F.col("s")).alias("trim_ws"),
+        F.length(F.expr("TRIM(BOTH 'xy' FROM s)")).cast("bigint").alias("btrim_len"),
+    )
