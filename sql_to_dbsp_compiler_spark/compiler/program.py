@@ -632,16 +632,34 @@ def _extract_having_aggs(
     their aliases so duplicates reuse the visible column. Returns
     (rewritten_condition, extra_items) or None on unbalanced parens."""
     pat = re.compile(r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(", re.IGNORECASE)
+    # Spans of single-quoted literals: an aggregate-looking substring
+    # inside one (HAVING tag = 'SUM(x)') is data, not a call — rewriting
+    # it would silently corrupt the condition. Paren balancing must skip
+    # literal content too (COUNT(CASE WHEN c = ')' …)).
+    lit_spans = [
+        (lm.start(), lm.end()) for lm in re.finditer(r"'(?:[^']|'')*'", having_sql)
+    ]
+
+    def _in_literal(i: int) -> bool:
+        return any(a <= i < b for a, b in lit_spans)
+
     res: list[str] = []
     extra: list[tuple[str, str, str]] = []
     pos = 0
+    search = 0
     n = 0
     while True:
-        m = pat.search(having_sql, pos)
+        m = pat.search(having_sql, search)
         if not m:
             break
+        if _in_literal(m.start()):
+            search = m.end()
+            continue
         depth, j = 1, m.end()
         while j < len(having_sql) and depth:
+            if _in_literal(j):
+                j += 1
+                continue
             if having_sql[j] == "(":
                 depth += 1
             elif having_sql[j] == ")":
@@ -660,7 +678,7 @@ def _extract_having_aggs(
             extra.append((fn, arg, alias))
         res.append(having_sql[pos : m.start()])
         res.append(alias)
-        pos = j
+        pos = search = j
     res.append(having_sql[pos:])
     return "".join(res), extra
 

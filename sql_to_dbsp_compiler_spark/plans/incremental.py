@@ -32,6 +32,20 @@ from pyspark.sql import functions as F
 from .zset import WEIGHT, ZSet, incremental_join
 
 
+def _join_on_keys(df: DataFrame, keys: list[str], touched: DataFrame, how: str) -> DataFrame:
+    """Null-safe leftsemi/left_anti of ``df`` against the key rows in
+    ``touched``. SQL GROUP BY / PARTITION BY place NULL keys in one
+    group, but name-list joins use null-unsafe ``=`` — a NULL-keyed
+    state row would never be recomputed into new_rows nor retracted
+    from the stored output, silently diverging from the batch query."""
+    t = touched.select(*[F.col(k).alias(f"__t{i}") for i, k in enumerate(keys)])
+    cond = None
+    for i, k in enumerate(keys):
+        eq = df[k].eqNullSafe(t[f"__t{i}"])
+        cond = eq if cond is None else cond & eq
+    return df.join(t, cond, how)
+
+
 class IncrementalFilterMap:
     """Linear view: SELECT <exprs> WHERE <cond> over one input.
 
@@ -446,7 +460,7 @@ class IncrementalGroupRecomputeAgg:
 
         touched = z.df.select(*self.keys).distinct()
         # bucket-pruned state read: only touched groups leave the join
-        state_touched = self._input.df.join(touched, self.keys, "leftsemi")
+        state_touched = _join_on_keys(self._input.df, self.keys, touched, "leftsemi")
         new_rows = self._agg_over(
             ZSet(state_touched).to_multiset_df()
         ).localCheckpoint(eager=False)
@@ -455,9 +469,11 @@ class IncrementalGroupRecomputeAgg:
             out_delta = ZSet.from_df(new_rows)
             self._out = new_rows
         else:
-            old_rows = self._out.join(touched, self.keys, "leftsemi")
+            old_rows = _join_on_keys(self._out, self.keys, touched, "leftsemi")
             out_delta = ZSet.from_df(new_rows).subtract(ZSet.from_df(old_rows)).consolidate()
-            self._out = self._out.join(touched, self.keys, "left_anti").unionByName(new_rows)
+            self._out = _join_on_keys(self._out, self.keys, touched, "left_anti").unionByName(
+                new_rows
+            )
 
         self._steps += 1
         if self._steps % self._checkpoint_every == 0:
@@ -613,9 +629,7 @@ class IncrementalTopK:
     def step(self, delta: ZSet) -> ZSet:
         self._input = delta if self._input is None else self._input.add(delta).consolidate()
         touched = delta.df.select(*self.keys).distinct()
-        # NB name-list joins move the key columns first — reselect the
-        # input order so emitted deltas keep the payload column order.
-        state_touched = self._input.df.join(touched, self.keys, "leftsemi").select(
+        state_touched = _join_on_keys(self._input.df, self.keys, touched, "leftsemi").select(
             *self._input.df.columns
         )
         new_rows = (
@@ -629,9 +643,11 @@ class IncrementalTopK:
             out_delta = ZSet.from_df(new_rows)
             self._out = new_rows
         else:
-            old_rows = self._out.join(touched, self.keys, "leftsemi")
+            old_rows = _join_on_keys(self._out, self.keys, touched, "leftsemi")
             out_delta = ZSet.from_df(new_rows).subtract(ZSet.from_df(old_rows)).consolidate()
-            self._out = self._out.join(touched, self.keys, "left_anti").unionByName(new_rows)
+            self._out = _join_on_keys(self._out, self.keys, touched, "left_anti").unionByName(
+                new_rows
+            )
         self._steps += 1
         if self._steps % self._checkpoint_every == 0:
             self._input = ZSet(self._input.df.localCheckpoint(eager=False))
@@ -683,7 +699,7 @@ class IncrementalPartitionedWindow:
         self._input = z if self._input is None else self._input.add(z).consolidate()
 
         touched = z.df.select(*self.part_keys).distinct()
-        state_touched = self._input.df.join(touched, self.part_keys, "leftsemi")
+        state_touched = _join_on_keys(self._input.df, self.part_keys, touched, "leftsemi")
         new_rows = (
             ZSet(state_touched)
             .to_multiset_df()
@@ -694,9 +710,9 @@ class IncrementalPartitionedWindow:
             out_delta = ZSet.from_df(new_rows)
             self._out = new_rows
         else:
-            old_rows = self._out.join(touched, self.part_keys, "leftsemi")
+            old_rows = _join_on_keys(self._out, self.part_keys, touched, "leftsemi")
             out_delta = ZSet.from_df(new_rows).subtract(ZSet.from_df(old_rows)).consolidate()
-            self._out = self._out.join(touched, self.part_keys, "left_anti").unionByName(
+            self._out = _join_on_keys(self._out, self.part_keys, touched, "left_anti").unionByName(
                 new_rows
             )
         self._steps += 1

@@ -385,11 +385,15 @@ def cast_decimal_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal→bigint truncates toward zero (1.9999→1, -1.9999→-1).
     DOCUMENTED DIVERGENCES (the engine keeps the reference's postgres
     semantics; the oracle reproduces them explicitly): DuckDB's
-    decimal rescale cast TRUNCATES and its round() is half-to-even
-    where Spark/postgres round half-away-from-zero — the oracle
-    spells half-away as trunc(d*100 ± 0.5)/100; DuckDB's
-    decimal→BIGINT cast ROUNDS where Spark/postgres truncate — the
-    oracle wraps it in trunc()."""
+    decimal rescale CAST truncates where Spark/postgres round
+    half-away-from-zero, so the oracle spells half-away as
+    trunc(d*100 ± 0.5)/100 rather than relying on cast. (DuckDB's
+    round() itself IS half-away-from-zero on both the DECIMAL and
+    DOUBLE overloads — verified 2.5→3, ±5e-11→±1e-10 at scale 10 —
+    which is why postgres_numeric_edges may use round(decimal, 10)
+    directly; the explicit trunc form here predates that check and is
+    equivalent.) DuckDB's decimal→BIGINT cast ROUNDS where
+    Spark/postgres truncate — the oracle wraps it in trunc()."""
     rows = [("123.4567",), ("123.455",), ("-123.455",), ("0.005",),
             ("-0.005",), ("99999.99",), ("-99999.99",), ("0.0",),
             ("1.9999",), ("-1.9999",)]

@@ -114,6 +114,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, b.b AS band_id,
                md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '|')) AS band_hash
         FROM sig CROSS JOIN range(4) b(b)
+        -- engine's max_bucket=1000 hot-bucket cap (llm/dedup.py
+        -- _pairs_within_buckets): oversize buckets yield no pairs
+        QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_hash) <= 1000
     )
     SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
     FROM banded a JOIN banded c USING (band_id, band_hash)
@@ -167,6 +170,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, b.b AS band_id,
                (simhash >> CAST(b.b * 15 AS INT)) & 32767 AS band_val
         FROM sig CROSS JOIN range(4) b(b)
+        -- engine's max_bucket=1000 hot-bucket cap (llm/dedup.py
+        -- _pairs_within_buckets): oversize buckets yield no pairs
+        QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_val) <= 1000
     )
     SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
     FROM banded a JOIN banded c USING (band_id, band_val)

@@ -47,24 +47,39 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             pass  # non-settable in this build: keep going
 
 
-# Plan cache: (session id, sf_dir, table) -> unresolved DataFrame plan.
-# Building a scan costs a schema-inference round trip to the JVM per
-# call; with 131 registry queries each loading 1-4 tables, reusing the
-# lazy plan object trims meaningful per-query constant cost from the
-# driver's correctness sweep. The cached object is an un-materialized
-# plan (no .cache()), so pushdown/pruning still happen per query.
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Plan cache: (session id, sf_dir, table, mtime) -> unresolved
+# DataFrame plan. Building a scan costs a schema-inference round trip
+# to the JVM per call; with 143 registry queries each loading 1-4
+# tables, reusing the lazy plan object trims meaningful per-query
+# constant cost from the driver's correctness sweep. The cached object
+# is an un-materialized plan (no .cache()), so pushdown/pruning still
+# happen per query. The path mtime in the key invalidates entries when
+# a parquet target is rewritten in-session (gen_scale, regenerated
+# test dirs) — a pinned file index would serve a stale listing.
+_PLAN_CACHE: dict[tuple[int, str, str, float], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (id(spark), sf_dir, name, mtime)
     hit = _PLAN_CACHE.get(key)
     if hit is not None:
         # Guard against id() reuse after the original session was
         # garbage-collected: the plan is valid only for ITS session.
         if hit.sparkSession is spark:
+            # Confs are runtime-settable and may have been reset by a
+            # caller between loads — re-pin on hits too.
+            _ensure_session_confs(spark)
             return hit
         _PLAN_CACHE.pop(key, None)
+    # Drop superseded entries for the same (session, dir, table) so a
+    # rewritten directory doesn't leave dead plans accumulating.
+    for k in [k for k in _PLAN_CACHE if k[:3] == key[:3]]:
+        _PLAN_CACHE.pop(k, None)
     df = _load_table_uncached(spark, sf_dir, name)
     _PLAN_CACHE[key] = df
     return df

@@ -1035,3 +1035,30 @@ def test_window_and_joinagg_views_driven_by_stream(spark, tmp_path):
     ]:
         expect = {(*r, 1) for r in spark.sql(sql).collect()}
         assert _zrows(inc.snapshot(vname)) == expect, vname
+
+
+def test_having_literal_with_aggregate_text(spark):
+    """An aggregate-looking substring inside a HAVING string literal
+    (HAVING tag = 'SUM(x)' …) is data, not a call: the hidden-agg
+    rewriter must leave it untouched (ADVICE r2, medium). The view
+    groups by a string column and filters on both a literal compare
+    and a real hidden aggregate."""
+    from sql_to_dbsp_compiler_spark.compiler.program import _extract_having_aggs
+
+    rw, extra = _extract_having_aggs("tag = 'SUM(x)' AND COUNT(*) > 1", {})
+    assert rw == "tag = 'SUM(x)' AND __h0 > 1"
+    assert extra == [("count", "*", "__h0")]
+    # parens inside literals must not break paren balancing
+    rw2, extra2 = _extract_having_aggs("COUNT(CASE WHEN tag = ')' THEN 1 END) > 0", {})
+    assert rw2 == "__h0 > 0" and extra2[0][1] == "CASE WHEN tag = ')' THEN 1 END"
+
+    prog = """
+    CREATE TABLE t(tag VARCHAR(10), v INTEGER);
+    CREATE VIEW v_hl AS SELECT tag, SUM(v) AS s FROM t
+        GROUP BY tag HAVING tag = 'SUM(x)' AND COUNT(*) > 1;
+    """
+    inc = IncrementalProgram(spark, prog, optimize=True)
+    d = inc.step({"t": ZSet(spark.createDataFrame(
+        [("SUM(x)", 1, 1), ("SUM(x)", 2, 1), ("other", 3, 1), ("other", 4, 1)],
+        "tag string, v int, __weight long"))})
+    assert _zrows(d["v_hl"]) == {("SUM(x)", 3, 1)}
