@@ -191,21 +191,38 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 1,
     threshold: float = 0.6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: explode shingle sets,
     count co-occurrences per pair via an equi-join on the shingle, then
     jaccard = inter / (|A| + |B| - inter).
 
-    This is the verify stage after LSH at scale (applied to candidate
-    pairs); run standalone it is quadratic only in docs *sharing* a
-    shingle — here used with small n on a bounded corpus."""
+    Run standalone this is quadratic in docs *sharing* a shingle, and
+    real corpora have Zipfian shingle frequencies — one 3-gram in 10⁶
+    docs is ~5·10¹¹ join rows. ``max_df`` is the hot-shingle guard:
+    shingles appearing in more than ``max_df`` documents are removed
+    from every shingle set BEFORE sizes and intersections, so the
+    result is the exact Jaccard of the df-filtered sets (deterministic
+    and oracle-reproducible, unlike dropping rows mid-join). Hot
+    shingles are the least discriminative, so candidate quality
+    barely moves. At 100 TB prefer :func:`jaccard_verify_candidates`
+    over LSH candidates; this standalone form with ``max_df`` is for
+    exact-on-bounded-corpus use."""
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         df.repartition(par, F.col(id_col))
         .select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
         .distinct()
-        .persist()
     )
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle").select(id_col, "shingle")
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -227,6 +244,55 @@ def ngram_jaccard_pairs(
         .join(sb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_verify_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Exact n-gram Jaccard restricted to candidate pairs — the verify
+    stage of the LSH cascade (reference: the verify step after MinHash
+    banding in any LSH dedup pipeline). Each pair side equi-joins its
+    distinct shingle ARRAY and the intersection is computed JVM-side
+    (``array_intersect``): per-pair cost is linear in the two
+    documents' shingle counts and total cost is linear in
+    ``|candidates|`` — never quadratic in corpus size, which is what
+    makes this the 100 TB path vs standalone
+    :func:`ngram_jaccard_pairs`."""
+    # The candidate list is referenced three times below (two needed-id
+    # scans + the pair join); a lazy localCheckpoint materializes the
+    # upstream LSH pipeline once instead of once per reference.
+    cand_ids = candidates.select(id_a, id_b).localCheckpoint(eager=False)
+    # Shingle-ize ONLY documents that appear in a candidate pair —
+    # |needed| ≤ 2·|candidates|, so verify cost never scales with the
+    # corpus, only with the LSH output.
+    needed = (
+        cand_ids.select(F.col(id_a).alias(id_col))
+        .union(cand_ids.select(F.col(id_b).alias(id_col)))
+        .distinct()
+    )
+    sets = df.join(needed, id_col, "leftsemi").select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("__set")
+    )
+    a = sets.select(F.col(id_col).alias(id_a), F.col("__set").alias("__sa"))
+    b = sets.select(F.col(id_col).alias(id_b), F.col("__set").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = (F.size("__sa") + F.size("__sb") - inter).cast("double")
+    jac = inter.cast("double") / union
+    return (
+        cand_ids.join(a, id_a)
+        .join(b, id_b)
+        # union-0 guard: NaN compares greater than numbers in Spark,
+        # so 0/0 would otherwise PASS the threshold
+        .where((union > 0) & (jac >= threshold))
+        .select(id_a, id_b, jac.alias("jaccard"))
     )
 
 

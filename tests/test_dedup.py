@@ -181,3 +181,57 @@ def test_connected_components_star_chain_olog_rounds(spark):
     # 2*log2(64)=12 rounds is the generous bound; label propagation
     # would need 63. (+check_every slack for the convergence probe)
     assert rounds <= 14, f"took {rounds} rounds"
+
+
+def test_jaccard_verify_candidates_matches_standalone(spark, sf_dir):
+    """The LSH-cascade verify stage restricted to candidate pairs must
+    agree exactly with standalone ngram_jaccard_pairs on those pairs
+    (same shingle sets, same threshold) — and produce nothing for
+    pairs below threshold."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import (
+        jaccard_verify_candidates,
+        ngram_jaccard_pairs,
+    )
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    full = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    full_rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in full.collect()}
+    # candidates = the true pairs plus some definitely-false ones
+    ids = sorted({i for p in full_rows for i in p}) or [0, 1]
+    fake = [(ids[0], ids[0] + 10**6)]  # id_b not a real doc → dropped by join
+    cands = spark.createDataFrame(
+        [(a, b) for a, b in full_rows] + fake, "id_a bigint, id_b bigint"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_verify_candidates(
+            d, cands, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert set(got) == set(full_rows)
+    for k in got:
+        assert abs(got[k] - full_rows[k]) < 1e-12
+
+
+def test_ngram_jaccard_max_df_guard(spark):
+    """max_df removes hot shingles from every set BEFORE sizes and
+    intersections: with the ubiquitous shingle filtered out, only the
+    genuinely-similar pair survives."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import ngram_jaccard_pairs
+
+    # 'common common common' appears in every doc; docs 1/2 share all
+    # their rare shingles, doc 3 shares only the hot one.
+    rows = [
+        (1, "common common common alpha beta gamma delta"),
+        (2, "common common common alpha beta gamma delta"),
+        (3, "common common common zeta eta theta iota"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    guarded = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.9, max_df=2)
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert got == {(1, 2)}
+    # identical docs stay jaccard 1.0 under the guard (hot shingles
+    # removed from BOTH sets, so the ratio is unchanged for equals)
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in guarded.collect()}
+    assert jac[(1, 2)] == 1.0
