@@ -82,6 +82,31 @@ def brute_force_topk(
     ).withColumn("rn", F.col("rn").cast("bigint"))
 
 
+def ivf_assign_to(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its max-cosine centroid from a
+    GIVEN ``(centroid_id, cvec)`` table (broadcast — the centroid
+    table is tiny by construction). Cosine-argmax with centroid_id
+    tie-break is deterministic and exactly reproducible in SQL, which
+    is what lets trained-centroid IVF be oracle-gated: persist the
+    centroids, re-assign from the persisted values on both engines."""
+    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("vec"))
+    scored = c.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        "vec",
+        "centroid_id",
+        cosine(F.col("vec"), F.col("cvec")).alias("csim"),
+    )
+    return (
+        topk_per_group(scored, [id_col], [F.col("csim").desc(), F.col("centroid_id")], 1)
+        .select(id_col, "vec", "centroid_id")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame, nlist: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> tuple[DataFrame, DataFrame]:
@@ -93,18 +118,7 @@ def ivf_assign(
         .limit(nlist)
         .select(F.col(id_col).alias("centroid_id"), as_double_array(F.col(vec_col)).alias("cvec"))
     )
-    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("vec"))
-    scored = c.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        "vec",
-        "centroid_id",
-        cosine(F.col("vec"), F.col("cvec")).alias("csim"),
-    )
-    assigned = (
-        topk_per_group(scored, [id_col], [F.col("csim").desc(), F.col("centroid_id")], 1)
-        .select(id_col, "vec", "centroid_id")
-    )
-    return centroids, assigned
+    return centroids, ivf_assign_to(corpus, centroids, id_col, vec_col)
 
 
 def ivf_train_kmeans(
@@ -317,6 +331,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     train: str = "head",
+    centroids: "DataFrame | None" = None,
 ) -> DataFrame:
     """IVF search: route each query to its nprobe nearest centroids,
     scan only those buckets. The bucket join is an equi-join on
@@ -325,8 +340,13 @@ def ivf_topk(
 
     train='head' uses deterministic first-nlist centroids (stable for
     the oracle gate); train='kmeans' runs distributed Lloyd iterations
-    (better buckets, better recall at the same nprobe)."""
-    if train == "kmeans":
+    (better buckets, better recall at the same nprobe). An explicit
+    ``centroids`` table overrides training entirely — assignment is
+    cosine-argmax to the given centroids (see ivf_assign_to), the
+    oracle-reproducible path for trained centroids."""
+    if centroids is not None:
+        assigned = ivf_assign_to(corpus, centroids, id_col, vec_col)
+    elif train == "kmeans":
         centroids, assigned = ivf_train_kmeans(corpus, nlist, id_col=id_col, vec_col=vec_col)
     else:
         centroids, assigned = ivf_assign(corpus, nlist, id_col, vec_col)

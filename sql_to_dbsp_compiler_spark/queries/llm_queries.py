@@ -402,18 +402,74 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(corpus, queries, k=5, nlist=16, nprobe=4)
 
 
-@query("ann_ivf_kmeans_topk", tags=("llm", "similarity", "rows-only"))
+_KMEANS_CENTROID_PATH = "/root/repo/.artifacts/ivf_kmeans_centroids.parquet"
+
+
+@query(
+    "ann_ivf_kmeans_topk",
+    oracle=f"""
+    WITH cent AS (
+        SELECT centroid_id, CAST(cvec AS DOUBLE[]) AS cvec
+        FROM read_parquet('{_KMEANS_CENTROID_PATH}/*.parquet')
+    ),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id >= 10),
+    assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT c.vec_id, c.v, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, ct.cvec) DESC,
+                                ct.centroid_id) AS r
+            FROM corpus c CROSS JOIN cent ct
+        ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 10),
+    probes AS (
+        SELECT query_id, qv, centroid_id FROM (
+            SELECT q.query_id, q.qv, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, ct.cvec) DESC,
+                                ct.centroid_id) AS r
+            FROM q CROSS JOIN cent ct
+        ) WHERE r <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS sim
+        FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+    )
+    SELECT query_id, vec_id, sim, rn FROM (
+        SELECT query_id, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("llm", "similarity"),
+)
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with REAL k-means training (distributed Lloyd via
     pyspark.ml.KMeans on L2-normalized vectors): tighter buckets than
     head-init, so the same nprobe recovers more true neighbors. Recall
-    vs brute force asserted in tests/test_similarity.py."""
+    vs brute force asserted in tests/test_similarity.py.
+
+    Oracle-gated despite trained centroids: the trained centroid table
+    is persisted to parquet and BOTH engines recompute assignment,
+    probing and rerank from the persisted float64 values
+    (cosine-argmax with centroid_id tie-break) — the training output
+    is the shared input, the search math is verified. The k-means fit
+    itself stays engine-specific (recall-tested locally)."""
+    from sql_to_dbsp_compiler_spark.llm.similarity import ivf_train_kmeans
+
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = e.where(F.col("vec_id") >= 10)
-    return ivf_topk(corpus, queries, k=5, nlist=16, nprobe=4, train="kmeans")
+    centroids, _ = ivf_train_kmeans(corpus, nlist=16)
+    centroids.write.mode("overwrite").parquet(_KMEANS_CENTROID_PATH)
+    cent = spark.read.parquet(_KMEANS_CENTROID_PATH)
+    return ivf_topk(corpus, queries, k=5, nprobe=4, centroids=cent)
 
 
 @query(
