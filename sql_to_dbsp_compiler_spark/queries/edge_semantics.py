@@ -408,3 +408,173 @@ def cast_decimal_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.cast("double").alias("as_double"),
         d.cast("bigint").cast("string").alias("as_bigint"),
     )
+
+
+@query(
+    "interval_string_casts",
+    oracle="""
+    WITH v AS (SELECT s FROM (VALUES ('1-2'), ('-0-7'), ('11-11'), ('-99-11'),
+                                     ('0-0'), (CAST(NULL AS VARCHAR))) t(s)),
+    p AS (SELECT s,
+                 CASE WHEN s IS NULL THEN NULL
+                      WHEN s LIKE '-%' THEN -1 ELSE 1 END AS sg,
+                 CASE WHEN s LIKE '-%' THEN substring(s, 2) ELSE s END AS body
+          FROM v),
+    m AS (SELECT s, sg * (try_cast(split_part(body, '-', 1) AS BIGINT) * 12
+                          + try_cast(split_part(body, '-', 2) AS BIGINT)) AS months
+          FROM p)
+    SELECT s,
+           months AS ym_months,
+           CASE WHEN months IS NULL THEN NULL
+                ELSE (CASE WHEN months < 0 THEN '-' ELSE '' END
+                      || CAST(abs(months) // 12 AS VARCHAR) || '-'
+                      || CAST(abs(months) % 12 AS VARCHAR)) END AS ym_canon,
+           CASE WHEN months IS NULL THEN NULL
+                ELSE (CASE WHEN months < 0 THEN '-' ELSE '' END
+                      || CAST(abs(months) // 12 AS VARCHAR) || '-'
+                      || CAST(abs(months) % 12 AS VARCHAR)) END AS ym_spark_body,
+           CAST(TRUE AS BOOLEAN) AS bad_ym_is_null,
+           CAST(TRUE AS BOOLEAN) AS bad_dts_is_null
+    FROM m
+    """,
+    tags=("edge", "cast", "interval"),
+)
+def interval_string_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string↔INTERVAL cast lattice, YEAR TO MONTH half (reference
+    lib/sqllib/src/casts.rs interval rows; CastTests.java): parse
+    'Y-M' with optional sign into a real YearMonthIntervalType, total
+    months via the interval→INT cast, and the canonical 'Y-M' body of
+    the interval→string cast (Spark prints the verbose SQL-standard
+    form INTERVAL 'body' YEAR TO MONTH; the body is extracted and must
+    equal the arithmetic canonical form the oracle rebuilds).
+    Unparseable strings → NULL via try_cast (the reference's safe-cast
+    row)."""
+    df = spark.createDataFrame(
+        [("1-2",), ("-0-7",), ("11-11",), ("-99-11",), ("0-0",), (None,)],
+        schema="s string",
+    )
+    iv = F.expr("CAST(s AS INTERVAL YEAR TO MONTH)")
+    months = F.expr("CAST(CAST(s AS INTERVAL YEAR TO MONTH) AS INT)").cast("bigint")
+    canon = F.when(
+        months.isNotNull(),
+        F.concat(
+            F.when(months < 0, F.lit("-")).otherwise(F.lit("")),
+            (F.abs(months) / 12).cast("bigint").cast("string"),
+            F.lit("-"),
+            (F.abs(months) % 12).cast("string"),
+        ),
+    )
+    spark_body = F.regexp_extract(iv.cast("string"), "'(.+)'", 1)
+    return df.select(
+        "s",
+        months.alias("ym_months"),
+        canon.alias("ym_canon"),
+        F.when(months.isNotNull(), spark_body).alias("ym_spark_body"),
+        F.expr("try_cast('1/2' AS INTERVAL YEAR TO MONTH)").isNull().alias("bad_ym_is_null"),
+        F.expr("try_cast('xx' AS INTERVAL DAY TO SECOND)").isNull().alias("bad_dts_is_null"),
+    )
+
+
+@query(
+    "interval_daytime_casts",
+    oracle="""
+    WITH v AS (SELECT s FROM (VALUES ('3 04:05:06.789'), ('-1 00:30:00'),
+                                     ('0 00:00:00'), ('14 23:59:59.999'),
+                                     ('-0 00:00:06.789'), (CAST(NULL AS VARCHAR))) t(s)),
+    p AS (SELECT s,
+                 CASE WHEN s IS NULL THEN NULL
+                      WHEN s LIKE '-%' THEN -1 ELSE 1 END AS sg,
+                 CASE WHEN s LIKE '-%' THEN substring(s, 2) ELSE s END AS body
+          FROM v),
+    f AS (SELECT s, sg,
+                 try_cast(split_part(body, ' ', 1) AS BIGINT) AS d,
+                 try_cast(split_part(split_part(body, ' ', 2), ':', 1) AS BIGINT) AS h,
+                 try_cast(split_part(split_part(body, ' ', 2), ':', 2) AS BIGINT) AS mi,
+                 try_cast(split_part(split_part(body, ' ', 2), ':', 3) AS DECIMAL(12,6)) AS sec
+          FROM p)
+    SELECT s,
+           sg * (((d * 24 + h) * 60 + mi) * 60000000 + CAST(sec * 1000000 AS BIGINT))
+               AS total_micros,
+           -- interval→BIGINT truncates toward zero (6.789 → 6, -6.789 → -6)
+           sg * (((d * 24 + h) * 60 + mi) * 60 + CAST(trunc(sec) AS BIGINT))
+               AS total_secs,
+           sg * d AS e_day, sg * h AS e_hour, sg * mi AS e_minute,
+           CAST(sg * sec * 1000000 AS BIGINT) AS e_sec_micros
+    FROM f
+    """,
+    tags=("edge", "cast", "interval"),
+)
+def interval_daytime_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string↔INTERVAL cast lattice, DAY TO SECOND half (reference
+    lib/sqllib/src/casts.rs interval rows): parse signed
+    'D HH:MM:SS[.fff]' into a DayTimeIntervalType; totals via the
+    interval→BIGINT cast (truncates toward zero — pinned) plus an
+    exact microsecond total from EXTRACT fields; signed field extracts
+    (all fields carry the interval's sign, e.g. '-1 00:30:00' →
+    day=-1, minute=-30 — SQL-standard interval extraction)."""
+    df = spark.createDataFrame(
+        [("3 04:05:06.789",), ("-1 00:30:00",), ("0 00:00:00",),
+         ("14 23:59:59.999",), ("-0 00:00:06.789",), (None,)],
+        schema="s string",
+    )
+    day = F.expr("EXTRACT(DAY FROM CAST(s AS INTERVAL DAY TO SECOND))").cast("bigint")
+    hour = F.expr("EXTRACT(HOUR FROM CAST(s AS INTERVAL DAY TO SECOND))").cast("bigint")
+    minute = F.expr("EXTRACT(MINUTE FROM CAST(s AS INTERVAL DAY TO SECOND))").cast("bigint")
+    sec = F.expr("EXTRACT(SECOND FROM CAST(s AS INTERVAL DAY TO SECOND))")  # decimal(8,6)
+    sec_micros = (sec * 1000000).cast("bigint")
+    total_micros = (
+        ((day * 24 + hour) * 60 + minute) * F.lit(60000000).cast("bigint") + sec_micros
+    )
+    total_secs = F.expr(
+        "CAST(CAST(s AS INTERVAL DAY TO SECOND) AS BIGINT)"
+    )
+    return df.select(
+        "s",
+        total_micros.alias("total_micros"),
+        total_secs.alias("total_secs"),
+        day.alias("e_day"), hour.alias("e_hour"), minute.alias("e_minute"),
+        sec_micros.alias("e_sec_micros"),
+    )
+
+
+@query(
+    "varchar_truncate_cast",
+    oracle="""
+    SELECT s,
+           substring(s, 1, 3) AS v3,
+           substring(s, 1, 5) AS v5,
+           CAST(length(substring(s, 1, 5)) AS BIGINT) AS v5_len,
+           left(rpad(coalesce(s, ''), 4, ' '), 4) AS c4,
+           substring(s, 1, 5) = 'abcde' AS v5_eq,
+           substring(s || 'Z', 1, 2) AS concat_then_trunc
+    FROM (VALUES ('abcdefgh'), ('abc'), (''), ('héllo wörld'),
+                 ('abcde'), ('ab cd ef'), (CAST(NULL AS VARCHAR))) t(s)
+    """,
+    tags=("edge", "cast", "string"),
+)
+def varchar_truncate_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARCHAR(n) truncation-on-cast (reference lib/sqllib/src/
+    casts.rs VARCHAR rows; doc/sql/types.rst): the reference cast
+    keeps the first n characters (code points, so unicode is safe);
+    Spark's CAST(x AS VARCHAR(n)) deliberately keeps full strings
+    (CharVarcharUtils), so the engine exposes the reference semantics
+    as cast_varchar/cast_char (functions/string_fns.py) — truncation,
+    length after truncation, CHAR(4) truncate-or-pad, post-truncation
+    equality, and truncation of a concat result."""
+    from sql_to_dbsp_compiler_spark.functions.string_fns import cast_char, cast_varchar
+
+    df = spark.createDataFrame(
+        [("abcdefgh",), ("abc",), ("",), ("héllo wörld",),
+         ("abcde",), ("ab cd ef",), (None,)],
+        schema="s string",
+    )
+    s = F.col("s")
+    return df.select(
+        "s",
+        cast_varchar(s, 3).alias("v3"),
+        cast_varchar(s, 5).alias("v5"),
+        F.length(cast_varchar(s, 5)).cast("bigint").alias("v5_len"),
+        cast_char(F.coalesce(s, F.lit("")), 4).alias("c4"),
+        (cast_varchar(s, 5) == F.lit("abcde")).alias("v5_eq"),
+        cast_varchar(F.concat(s, F.lit("Z")), 2).alias("concat_then_trunc"),
+    )
