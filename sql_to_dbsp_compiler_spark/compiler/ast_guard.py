@@ -128,6 +128,19 @@ _FORBIDDEN_FEATURES: dict[str, set[str]] = {
     "_JoinAggOp": {"setop", "window", "limit", "order_by", "subquery"},
     "_UnionAllOp": {"window", "limit", "order_by", "subquery"},
     "_SetOpOp": {"window", "limit", "order_by", "subquery"},
+    # UNNEST parses as a (cross) join in DuckDB; no grouping/windowing
+    # may coexist with the linear flatmap shape.
+    "_FlatMapOp": {"group_by", "having", "setop", "window", "limit",
+                   "order_by", "distinct", "aggregate_fn"},
+    # decorrelated EXISTS/IN: the subquery is expected; anything
+    # aggregate- or group-shaped means the regex misread the view.
+    "_SemiAntiOp": {"group_by", "having", "setop", "window", "limit",
+                    "order_by", "distinct", "aggregate_fn"},
+    # scalar-agg subquery: subquery + aggregate_fn are intrinsic.
+    "_ScalarSubqueryOp": {"join", "setop", "window", "limit", "order_by",
+                          "distinct", "having", "group_by"},
+    "_GroupingSetsOp": {"join", "setop", "window", "limit", "order_by",
+                        "subquery", "having", "distinct"},
 }
 
 

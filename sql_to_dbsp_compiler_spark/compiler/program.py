@@ -153,7 +153,26 @@ def translate_view_sql(sql: str) -> str:
         sql,
     )
     sql = _WIN_BOUND_RE.sub(lambda m: f"window.{m.group(1).lower()}", sql)
+    # Calcite UNNEST (reference doc/sql/grammar + visitUncollect,
+    # CalciteToDBSPCompiler.java:274) → Spark LATERAL VIEW explode.
+    sql = _UNNEST_FROM_RE.sub(
+        lambda m: (
+            f" LATERAL VIEW explode({m.group(1)}) "
+            f"{m.group(2) or '__unnest'} AS {m.group(3) or m.group(4)}"
+        ),
+        sql,
+    )
     return sql
+
+
+# ``, UNNEST(arr) AS t(c)`` / ``CROSS JOIN UNNEST(arr) AS c`` in a
+# FROM clause; replaced in place, which lands the LATERAL VIEW exactly
+# between the source table and any WHERE clause.
+_UNNEST_FROM_RE = re.compile(
+    r"(?:,|\bCROSS\s+JOIN\b)\s*UNNEST\s*\(\s*(.+?)\s*\)\s+AS\s+"
+    r"(?:(\w+)\s*\(\s*(\w+)\s*\)|(\w+))",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _ident(tok: str) -> str:
@@ -288,6 +307,10 @@ _TYPE_MAP = [
 def spark_type(sql_type: str) -> str:
     """Map a reference DDL type (doc/sql/types.rst) to a Spark SQL type."""
     t = " ".join(sql_type.split())
+    # Calcite collection suffix: ``INTEGER ARRAY`` (doc/sql/types.rst)
+    am = re.match(r"^(.+?)\s+ARRAY$", t, re.IGNORECASE)
+    if am:
+        return f"array<{spark_type(am.group(1))}>"
     for pat, target in _TYPE_MAP:
         m = pat.match(t)
         if m:
@@ -754,6 +777,246 @@ _TOPK_RE = re.compile(
     r"WHERE\s+(?P<rn2>\w+)\s*<=\s*(?P<k>\d+)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 shapes: UNNEST flatmap, decorrelated [NOT] EXISTS / IN,
+# scalar-aggregate subqueries, ROLLUP/CUBE/GROUPING SETS aggregates
+# (reference: CalciteToDBSPCompiler.java:213 visitCorrelate, :274
+# visitUncollect, :294 visitAggregate with Expand-style groupings).
+# ---------------------------------------------------------------------------
+
+# UNNEST arrives here already rewritten to LATERAL VIEW explode by
+# translate_view_sql (and users may write LATERAL VIEW directly).
+_LATERAL_EXPLODE_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>\w+)\s+LATERAL\s+VIEW\s+"
+    r"explode\s*\(\s*(?P<arr>.+?)\s*\)\s+(?P<tab>\w+)\s+AS\s+(?P<col>\w+)\s*"
+    r"(?:WHERE\s+(?P<where>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXISTS_CONJ_RE = re.compile(
+    r"^\s*(?P<neg>NOT\s+)?EXISTS\s*\(\s*(?P<inner>SELECT\b.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_IN_CONJ_RE = re.compile(
+    r"^\s*(?P<col>[\w.]+)\s+IN\s*\(\s*SELECT\s+(?P<bcol>[\w.]+)\s+FROM\s+"
+    r"(?P<b>\w+)\s*(?:WHERE\s+(?P<bwhere>.+?))?\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SCALAR_SUBQ_ITEM_RE = re.compile(
+    r"^\(\s*SELECT\s+(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<arg>\*|[^()]+?)\s*\)\s+"
+    r"FROM\s+(?P<b>\w+)\s+WHERE\s+(?P<cond>.+)\)\s+AS\s+(?P<alias>\w+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_GROUPING_AGG_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>\w+)\s*"
+    r"(?:WHERE\s+(?P<where>.+?))?\s*GROUP\s+BY\s+"
+    r"(?P<kind>ROLLUP|CUBE|GROUPING\s+SETS)\s*\((?P<body>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_GROUPING_ITEM_RE = re.compile(
+    r"^GROUPING\s*\(\s*(?P<col>\w+)\s*\)\s+AS\s+(?P<alias>\w+)$",
+    re.IGNORECASE,
+)
+
+
+def _split_conjuncts(s: str) -> list[str]:
+    """Split a WHERE condition on top-level AND — outside parens and
+    outside single-quoted literals — preserving each conjunct's text."""
+    parts, buf = [], []
+    depth, in_str, i = 0, False, 0
+    up = s.upper()
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    buf.append("''")
+                    i += 2
+                    continue
+                in_str = False
+            buf.append(c)
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and up.startswith("AND", i)
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + 3 >= len(s) or not (s[i + 3].isalnum() or s[i + 3] == "_"))
+        ):
+            parts.append("".join(buf))
+            buf = []
+            i += 3
+            continue
+        buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _resolve_side(
+    tok: str, a: str, b: str, cols_a: list[str], cols_b: list[str]
+) -> "tuple[str, str] | None":
+    """Resolve ``a.x`` / ``b.y`` / bare ``x`` to ('a'|'b', column);
+    None when unresolvable or ambiguous across the two inputs."""
+    tok = tok.strip().lower()
+    if "." in tok:
+        q, _, c = tok.partition(".")
+        if q == a and c in cols_a:
+            return ("a", c)
+        if q == b and c in cols_b:
+            return ("b", c)
+        return None
+    in_a, in_b = tok in cols_a, tok in cols_b
+    if in_a and not in_b:
+        return ("a", tok)
+    if in_b and not in_a:
+        return ("b", tok)
+    return None
+
+
+def _split_correlation(
+    cond: str, a: str, b: str, cols_a: list[str], cols_b: list[str]
+) -> "tuple[list[str], list[str], str | None] | None":
+    """Split a subquery's WHERE into correlation equi-pairs and a
+    residual B-only filter: returns (keys_a, keys_b, b_where) or None
+    when a conjunct references the outer input non-equi or ambiguous
+    columns (→ naive fallback)."""
+    keys_a: list[str] = []
+    keys_b: list[str] = []
+    residual: list[str] = []
+    for conj in _split_conjuncts(cond):
+        m = re.fullmatch(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*", conj)
+        if m:
+            s1 = _resolve_side(m.group(1), a, b, cols_a, cols_b)
+            s2 = _resolve_side(m.group(2), a, b, cols_a, cols_b)
+            if s1 and s2 and {s1[0], s2[0]} == {"a", "b"}:
+                ka, kb = (s1[1], s2[1]) if s1[0] == "a" else (s2[1], s1[1])
+                keys_a.append(ka)
+                keys_b.append(kb)
+                continue
+            if s1 is None or s2 is None:
+                return None
+        # residual must be B-only: no outer-input references
+        stripped = _strip_string_literals(conj)
+        if re.search(rf"\b{re.escape(a)}\s*\.", stripped, re.IGNORECASE):
+            return None
+        if _FORBIDDEN_LINEAR.search(conj):
+            return None
+        for word in re.findall(r"\b[A-Za-z_]\w*\b", stripped):
+            w = word.lower()
+            prefixed = re.search(rf"\b\w+\s*\.\s*{re.escape(word)}\b", stripped)
+            if not prefixed and w in cols_a and w in cols_b:
+                return None  # ambiguous bare column
+            if not prefixed and w in cols_a and w not in cols_b:
+                return None  # outer reference in a non-equi conjunct
+        residual.append(re.sub(rf"\b{re.escape(b)}\s*\.\s*", "", conj, flags=re.IGNORECASE))
+    if not keys_a:
+        return None
+    return keys_a, keys_b, (" AND ".join(residual) if residual else None)
+
+
+def _parse_plain_sel(
+    sel: str, src: str
+) -> "tuple[list[str] | None, list[str] | None] | None":
+    """Validate a projection over one input (+ optional derived
+    columns): returns (sel_items|None for *, out_names|None) or None.
+    Strips ``src.`` qualifiers; items are plain columns or
+    forbidden-free ``expr AS alias``."""
+    sel = sel.strip()
+    if sel == "*":
+        return (None, None)
+    items, names = [], []
+    for item in _split_top_level_commas(sel):
+        item = re.sub(rf"\b{re.escape(src)}\s*\.\s*", "", item.strip(), flags=re.IGNORECASE)
+        am = re.search(r"\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
+        if am:
+            if _FORBIDDEN_LINEAR.search(item):
+                return None
+            names.append(am.group(1).lower())
+        elif re.fullmatch(r"\w+", item):
+            names.append(item.lower())
+        else:
+            return None
+        items.append(item)
+    return (items, names)
+
+
+@dataclass
+class _FlatMapOp:
+    """UNNEST / LATERAL VIEW explode view — linear (DBSPFlatMapOperator;
+    reference visitUncollect): the delta of the flatmap is the flatmap
+    of the delta, each exploded row inheriting its source weight."""
+
+    src: str
+    arr_expr: str
+    elem: str
+    sel_items: "list[str] | None"
+    where: "str | None"
+    out_cols: "list[str] | None"
+
+
+@dataclass
+class _SemiAntiOp:
+    """Decorrelated [NOT] EXISTS / IN-subquery view
+    (plans.incremental.IncrementalSemiAnti)."""
+
+    src_a: str
+    src_b: str
+    b_keys: "list[str]"
+    b_where: "str | None"
+    a_where: "str | None"
+    sel_items: "list[str] | None"
+    op: object  # IncrementalSemiAnti
+    out_cols: "list[str] | None"
+    anti: bool
+
+
+@dataclass
+class _ScalarSubqueryOp:
+    """Correlated scalar-aggregate subquery in the SELECT list,
+    decorrelated to grouped-aggregate → left-outer-join (reference
+    visitCorrelate lowers these to aggregate+join circuits). COUNT
+    coalesces NULL (no matching group) to 0 — SQL's scalar-subquery
+    semantics over an empty set."""
+
+    src_a: str
+    src_b: str
+    b_sel: "list[str]"  # pre-projection of the B delta (__bk keys + __arg)
+    b_where: "str | None"
+    a_where: "str | None"
+    agg_op: object  # IncrementalLinearAgg | IncrementalGroupRecomputeAgg
+    join_op: object  # IncrementalOuterJoin (left)
+    out_exprs_sql: "list[str]"  # post-join projection (coalesce for COUNT)
+    out_cols: "list[str]"
+
+
+@dataclass
+class _GroupingSetsOp:
+    """GROUP BY ROLLUP / CUBE / GROUPING SETS over linear aggregates:
+    one incremental aggregate per grouping set; per-step output is the
+    Z-set sum of each set's delta padded with typed NULLs for absent
+    keys and per-set GROUPING() literals. The empty grouping set is a
+    constant-keyed group that appears/disappears with its support —
+    Spark's Expand-based grouping emits the grand-total row only for
+    nonempty input, unlike a bare GROUP-BY-less aggregate."""
+
+    src: str
+    where: "str | None"
+    sets: "list[list[str]]"
+    all_keys: "list[str]"
+    grouping_aliases: "dict[str, str]"  # out alias -> grouped column
+    agg_aliases: "list[str]"
+    out_cols: "list[str]"
+    sub_ops: "list[object]"  # parallel to sets (empty set keyed by __g)
+    kindword: str  # rollup | cube | grouping-sets
+    items: "list[tuple[str, str, str]]"  # (fn, arg, alias)
 
 
 def _parse_join_projection(
@@ -1240,6 +1503,330 @@ def _recognize_agg_join(m: "re.Match", cols_of: dict[str, list[str]]):
     return _JoinAggOp(a, b, join_op, agg_op, out_cols, having)
 
 
+def _recognize_flatmap(sql: str, known: set[str]):
+    m = _LATERAL_EXPLODE_RE.match(sql)
+    if not m or m.group("src").lower() not in known:
+        return None
+    src = m.group("src").lower()
+    arr, elem = m.group("arr").strip(), m.group("col").lower()
+    where = m.group("where")
+    if _FORBIDDEN_LINEAR.search(arr) or (where and _FORBIDDEN_LINEAR.search(where)):
+        return None
+    parsed = _parse_plain_sel(m.group("sel"), src)
+    if parsed is None:
+        return None
+    sel_items, names = parsed
+    return _FlatMapOp(src, arr, elem, sel_items, where, names)
+
+
+def _recognize_semi_anti(sql: str, known: set[str], cols_of: dict[str, list[str]]):
+    from ..plans.incremental import IncrementalSemiAnti
+
+    m = _SELECT_FROM_RE.match(sql)
+    if not m or m.group("src").lower() not in known or not m.group("where"):
+        return None
+    a = m.group("src").lower()
+    if a not in cols_of:
+        return None
+    cols_a = cols_of[a]
+    conjs = _split_conjuncts(m.group("where"))
+    subq_idx = [
+        i
+        for i, c in enumerate(conjs)
+        if _EXISTS_CONJ_RE.match(c) or _IN_CONJ_RE.match(c)
+    ]
+    if len(subq_idx) != 1:
+        return None
+    outer = [c for i, c in enumerate(conjs) if i != subq_idx[0]]
+    for c in outer:
+        if _FORBIDDEN_LINEAR.search(c):
+            return None
+    subq = conjs[subq_idx[0]]
+
+    em = _EXISTS_CONJ_RE.match(subq)
+    if em:
+        anti = em.group("neg") is not None
+        im = _SELECT_FROM_RE.match(em.group("inner").strip())
+        if not im:
+            return None
+        b = im.group("src").lower()
+        if b not in cols_of or b == a or not im.group("where"):
+            return None
+        corr = _split_correlation(im.group("where"), a, b, cols_a, cols_of[b])
+        if corr is None:
+            return None
+        keys_a, keys_b, b_where = corr
+    else:
+        nm = _IN_CONJ_RE.match(subq)
+        if re.search(r"\bNOT\s+IN\b", subq, re.IGNORECASE):
+            return None  # NOT IN has distinct NULL semantics → naive
+        anti = False
+        b = nm.group("b").lower()
+        if b not in cols_of or b == a:
+            return None
+        sa = _resolve_side(nm.group("col"), a, b, cols_a, cols_of[b])
+        sb = _resolve_side(nm.group("bcol"), a, b, cols_a, cols_of[b])
+        if sa is None or sa[0] != "a" or sb is None or sb[0] != "b":
+            return None
+        keys_a, keys_b = [sa[1]], [sb[1]]
+        b_where = None
+        if nm.group("bwhere"):
+            corr = _split_correlation(
+                nm.group("bwhere") + f" AND {b}.{keys_b[0]} = {a}.{keys_a[0]}",
+                a, b, cols_a, cols_of[b],
+            )
+            if corr is None:
+                return None
+            ka2, kb2, b_where = corr
+            keys_a, keys_b = ka2, kb2
+    for k in keys_a:
+        if k not in cols_a:
+            return None
+    parsed = _parse_plain_sel(m.group("sel"), a)
+    if parsed is None:
+        return None
+    sel_items, names = parsed
+    a_where = None
+    if outer:
+        a_where = " AND ".join(
+            re.sub(rf"\b{re.escape(a)}\s*\.\s*", "", c, flags=re.IGNORECASE) for c in outer
+        )
+        stripped = _strip_string_literals(a_where)
+        if re.search(rf"\b{re.escape(b)}\s*\.", stripped, re.IGNORECASE):
+            return None
+    return _SemiAntiOp(
+        a, b, keys_b, b_where, a_where, sel_items,
+        IncrementalSemiAnti(keys_a=keys_a, anti=anti),
+        names if names is not None else (list(cols_a) if sel_items is None else None),
+        anti,
+    )
+
+
+def _split_select_from(sql: str) -> "tuple[str, str, str | None] | None":
+    """Split ``SELECT <sel> FROM <src> [WHERE <w>]`` at the *top-level*
+    FROM (the regex _SELECT_FROM_RE grabs the first FROM, which may
+    belong to a parenthesized subquery in the select list)."""
+    m = re.match(r"^\s*SELECT\s+", sql, re.IGNORECASE)
+    if not m:
+        return None
+    i, depth, in_str = m.end(), 0, False
+    up = sql.upper()
+    from_at = None
+    while i < len(sql):
+        c = sql[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith("FROM", i)
+            and not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+            and (i + 4 >= len(sql) or not (sql[i + 4].isalnum() or sql[i + 4] == "_"))
+        ):
+            from_at = i
+            break
+        i += 1
+    if from_at is None:
+        return None
+    sel = sql[m.end():from_at].strip()
+    rest = sql[from_at + 4:].strip()
+    rm = re.match(r"^(?P<src>\w+)\s*(?:WHERE\s+(?P<where>.+?))?\s*$", rest, re.IGNORECASE | re.DOTALL)
+    if not rm:
+        return None
+    return sel, rm.group("src").lower(), rm.group("where")
+
+
+def _recognize_scalar_subq(sql: str, known: set[str], cols_of: dict[str, list[str]]):
+    from ..plans.incremental import (
+        AggSpec,
+        IncrementalGroupRecomputeAgg,
+        IncrementalLinearAgg,
+        IncrementalOuterJoin,
+    )
+
+    split = _split_select_from(sql)
+    if split is None:
+        return None
+    sel, a, a_where = split
+    if a not in known or a not in cols_of:
+        return None
+    cols_a = cols_of[a]
+    if a_where and _FORBIDDEN_LINEAR.search(a_where):
+        return None
+    items = [s.strip() for s in _split_top_level_commas(sel)]
+    plain: list[str] = []
+    out_cols: list[str] = []
+    sub = None
+    for item in items:
+        sm = _SCALAR_SUBQ_ITEM_RE.match(item)
+        if sm:
+            if sub is not None:
+                return None  # one scalar subquery per view
+            sub = sm
+            out_cols.append(sm.group("alias").lower())
+        elif re.fullmatch(r"\w+", item) and item.lower() in cols_a:
+            plain.append(item.lower())
+            out_cols.append(item.lower())
+        else:
+            return None
+    if sub is None or not plain:
+        return None
+    b = sub.group("b").lower()
+    if b not in cols_of or b == a:
+        return None
+    alias = sub.group("alias").lower()
+    if alias in cols_a:
+        return None  # would be ambiguous in the joined projection
+    corr = _split_correlation(sub.group("cond"), a, b, cols_a, cols_of[b])
+    if corr is None:
+        return None
+    keys_a, keys_b, b_where = corr
+    if not set(keys_a) <= set(plain):
+        return None  # join keys must pass through for the outer join
+    fn = sub.group("fn").lower()
+    arg = sub.group("arg").strip()
+    if arg != "*":
+        arg = re.sub(rf"\b{re.escape(b)}\s*\.\s*", "", arg, flags=re.IGNORECASE)
+        if _FORBIDDEN_LINEAR.search(arg):
+            return None
+    bks = [f"__bk{i}" for i in range(len(keys_b))]
+    b_sel = [f"{kb} AS {bk}" for kb, bk in zip(keys_b, bks)]
+    if arg != "*":
+        b_sel.append(f"{arg} AS __arg")
+    if fn in ("min", "max"):
+        agg_op = IncrementalGroupRecomputeAgg(
+            keys=bks, aggs=[F.expr(f"{fn}(__arg)").alias(alias)]
+        )
+    else:
+        if fn == "count" and arg == "*":
+            spec = AggSpec(alias, "count")
+        elif fn == "count":
+            spec = AggSpec(alias, "count", F.col("__arg"))
+        else:
+            spec = AggSpec(alias, fn if fn != "avg" else "avg", F.col("__arg"))
+        agg_op = IncrementalLinearAgg(keys=bks, specs=[spec])
+    join_op = IncrementalOuterJoin(
+        key_a=keys_a,
+        key_b=bks,
+        project=[F.col(c) for c in plain] + [F.col(alias)],
+        how="left",
+    )
+    out_exprs = [
+        (f"coalesce({c}, 0) AS {c}" if (c == alias and fn == "count") else c)
+        for c in out_cols
+    ]
+    return _ScalarSubqueryOp(
+        a, b, b_sel, b_where, a_where, agg_op, join_op, out_exprs, out_cols
+    )
+
+
+def _recognize_grouping_sets(sql: str, known: set[str]):
+    from ..plans.incremental import AggSpec, IncrementalLinearAgg
+
+    m = _GROUPING_AGG_RE.match(sql)
+    if not m or m.group("src").lower() not in known:
+        return None
+    src = m.group("src").lower()
+    where = m.group("where")
+    if where and _FORBIDDEN_LINEAR.search(where):
+        return None
+    kind = re.sub(r"\s+", " ", m.group("kind").upper())
+    body = m.group("body").strip()
+    if kind == "ROLLUP" or kind == "CUBE":
+        keys = [k.strip().lower() for k in body.split(",") if k.strip()]
+        if not keys or not all(re.fullmatch(r"\w+", k) for k in keys):
+            return None
+        if kind == "ROLLUP":
+            sets = [keys[:i] for i in range(len(keys), -1, -1)]
+        else:
+            if len(keys) > 4:
+                return None  # 2^n sets — cap the expansion
+            sets = []
+            for mask in range((1 << len(keys)) - 1, -1, -1):
+                sets.append([k for i, k in enumerate(keys) if mask & (1 << i)])
+    else:  # GROUPING SETS
+        sets = []
+        keys_seen: list[str] = []
+        for part in _split_top_level_commas(body):
+            part = part.strip()
+            if not (part.startswith("(") and part.endswith(")")):
+                return None
+            inner = part[1:-1].strip()
+            gset = [k.strip().lower() for k in inner.split(",") if k.strip()] if inner else []
+            if not all(re.fullmatch(r"\w+", k) for k in gset):
+                return None
+            sets.append(gset)
+            for k in gset:
+                if k not in keys_seen:
+                    keys_seen.append(k)
+        keys = keys_seen
+        if not sets:
+            return None
+    all_keys = keys
+
+    items: list[tuple[str, str, str]] = []
+    grouping_aliases: dict[str, str] = {}
+    out_cols: list[str] = []
+    seen_keys: set[str] = set()
+    for item in _split_top_level_commas(m.group("sel")):
+        item = item.strip()
+        gm = _GROUPING_ITEM_RE.match(item)
+        am = _AGG_ITEM_RE.match(item)
+        if gm:
+            col, alias = gm.group("col").lower(), gm.group("alias").lower()
+            if col not in all_keys:
+                return None
+            grouping_aliases[alias] = col
+            out_cols.append(alias)
+        elif am:
+            fn = am.group("fn").lower()
+            if fn in ("min", "max"):
+                return None  # non-linear per set → naive
+            arg = am.group("arg").strip()
+            if arg != "*" and _FORBIDDEN_LINEAR.search(arg):
+                return None
+            alias = am.group("alias").lower()
+            items.append((fn, arg, alias))
+            out_cols.append(alias)
+        elif re.fullmatch(r"\w+", item) and item.lower() in all_keys:
+            seen_keys.add(item.lower())
+            out_cols.append(item.lower())
+        else:
+            return None
+    if not items or seen_keys != set(all_keys):
+        return None
+
+    def _specs() -> list:
+        specs = []
+        for fn, arg, alias in items:
+            if fn == "count" and arg == "*":
+                specs.append(AggSpec(alias, "count"))
+            elif fn == "count":
+                specs.append(AggSpec(alias, "count", F.expr(arg)))
+            else:
+                specs.append(AggSpec(alias, fn, F.expr(arg)))
+        return specs
+
+    cond = F.expr(where) if where else None
+    sub_ops = [
+        IncrementalLinearAgg(keys=(gset if gset else ["__g"]), specs=_specs(), cond=cond)
+        for gset in sets
+    ]
+    kindword = {"ROLLUP": "rollup", "CUBE": "cube", "GROUPING SETS": "grouping-sets"}[kind]
+    return _GroupingSetsOp(
+        src, where, sets, all_keys, grouping_aliases,
+        [al for _, _, al in items], out_cols, sub_ops, kindword, items,
+    )
+
+
 def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str]):
     """Return an op descriptor or None (→ naive). `known` = names of
     tables and earlier views (valid delta sources); `cols_of` = output
@@ -1306,6 +1893,21 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
         return None
     if len(setop_parts) > 2:
         return None  # chained set ops stay naive
+
+    op = _recognize_grouping_sets(sql, known)
+    if op is not None:
+        return op
+    op = _recognize_flatmap(sql, known)
+    if op is not None:
+        return op
+    if re.search(r"\bEXISTS\s*\(|\bIN\s*\(\s*SELECT\b", _strip_string_literals(sql), re.IGNORECASE):
+        op = _recognize_semi_anti(sql, known, cols_of)
+        if op is not None:
+            return op
+    if re.search(r"\(\s*SELECT\b", _strip_string_literals(sql), re.IGNORECASE):
+        op = _recognize_scalar_subq(sql, known, cols_of)
+        if op is not None:
+            return op
 
     m = _AGG_SELECT_RE.match(sql)
     if m and m.group("src").lower() in known:
@@ -1620,6 +2222,10 @@ def _out_cols_of(
         return list(op.out_cols)
     if isinstance(op, (_WinFnOp, _JoinAggOp)):
         return list(op.out_cols)
+    if isinstance(op, (_FlatMapOp, _SemiAntiOp)):
+        return list(op.out_cols) if op.out_cols is not None else None
+    if isinstance(op, (_ScalarSubqueryOp, _GroupingSetsOp)):
+        return list(op.out_cols)
     return None
 
 
@@ -1751,6 +2357,14 @@ class IncrementalProgram:
                 if isinstance(op.agg_op, IncrementalGroupRecomputeAgg):
                     return "join-aggregate-recompute"
                 return "join-aggregate"
+            if isinstance(op, _FlatMapOp):
+                return "flatmap"
+            if isinstance(op, _SemiAntiOp):
+                return "anti-join-decorrelated" if op.anti else "semi-join-decorrelated"
+            if isinstance(op, _ScalarSubqueryOp):
+                return "scalar-agg-join"
+            if isinstance(op, _GroupingSetsOp):
+                return f"{op.kindword}-aggregate"
             return "naive"
 
         return {name: kind(op) for name, op in self._ops.items()}
@@ -1864,16 +2478,93 @@ class IncrementalProgram:
                     else ZSet.from_df(cur).subtract(ZSet.from_df(op.prev)).consolidate()
                 )
                 op.prev = cur
+            elif isinstance(op, _FlatMapOp):
+                z = delta_of(op.src).flat_map(F.expr(op.arr_expr), op.elem)
+                if op.where:
+                    z = z.filter(F.expr(op.where))
+                if op.sel_items is not None:
+                    z = z.map(*[F.expr(i) for i in op.sel_items])
+                d = z.consolidate()
+            elif isinstance(op, _SemiAntiOp):
+                da = ZSet(
+                    _apply_linear(delta_of(op.src_a).df, None, op.a_where)
+                ).consolidate()
+                dk = ZSet(
+                    _apply_linear(
+                        delta_of(op.src_b).df,
+                        [f"{k} AS __k{i}" for i, k in enumerate(op.b_keys)],
+                        op.b_where,
+                    )
+                )
+                d = op.op.step(da, dk)
+                if op.sel_items is not None:
+                    d = d.map(*[F.expr(i) for i in op.sel_items])
+            elif isinstance(op, _ScalarSubqueryOp):
+                db = ZSet(
+                    _apply_linear(delta_of(op.src_b).df, op.b_sel, op.b_where)
+                ).consolidate()
+                # checkpoint the (delta-sized) aggregate output before
+                # the outer join: its touched-key union over this
+                # lineage trips Spark's Union constraint rewrite
+                # (AttributeMap "key not found") on upstream attrs
+                jd = ZSet(op.agg_op.step(db).df.localCheckpoint(eager=False))
+                da = ZSet(
+                    _apply_linear(delta_of(op.src_a).df, None, op.a_where)
+                ).consolidate()
+                d = op.join_op.step(da, jd)
+                d = ZSet(d.df.selectExpr(*op.out_exprs_sql, WEIGHT)).consolidate()
+            elif isinstance(op, _GroupingSetsOp):
+                src_z = delta_of(op.src)
+                dtypes = {f.name.lower(): f.dataType for f in src_z.df.schema.fields}
+                total: ZSet | None = None
+                for gset, sub in zip(op.sets, op.sub_ops):
+                    if gset:
+                        dz = sub.step(src_z)
+                    else:
+                        # empty grouping set: Spark's Expand-based
+                        # grouping emits the grand-total row only while
+                        # input (post-WHERE) is nonempty — a plain
+                        # constant-keyed group that appears/disappears
+                        # with its support, NOT the one-row-always
+                        # global aggregate semantics of _GlobalAggOp.
+                        dz = sub.step(ZSet(src_z.df.withColumn("__g", F.lit(0))))
+                        dz = dz.map(*[F.col(c) for c in op.agg_aliases])
+                    cols = []
+                    for oc in op.out_cols:
+                        if oc in op.grouping_aliases:
+                            key = op.grouping_aliases[oc]
+                            cols.append(
+                                F.lit(0 if key in gset else 1).cast("tinyint").alias(oc)
+                            )
+                        elif oc in op.all_keys:
+                            if oc in gset:
+                                cols.append(F.col(oc))
+                            else:
+                                cols.append(F.lit(None).cast(dtypes[oc]).alias(oc))
+                        else:
+                            cols.append(F.col(oc))
+                    dz = dz.map(*cols)
+                    total = dz if total is None else total.add(dz)
+                d = total.consolidate()
             else:  # naive D∘Q∘I: recompute snapshot, diff vs previous
                 snap_df = self.spark.sql(view.sql)
                 if view.columns is not None:
                     snap_df = snap_df.toDF(*view.columns)
-                snap = ZSet.from_df(snap_df).consolidate()
+                # checkpoint BEFORE diffing so the diff and the stored
+                # state share one materialization (the naive path
+                # recomputes the full snapshot each step; without this
+                # the subtract and the next step's state would each
+                # re-execute the view query). Safe against the Spark
+                # 4.1 LogicalRDD dangling-constraint bug only because
+                # constraint propagation is disabled in session.py.
+                snap = ZSet(
+                    ZSet.from_df(snap_df).consolidate().df.localCheckpoint(eager=False)
+                )
                 prev = self._view_state.get(view.name)
                 d = snap if prev is None else snap.subtract(prev).consolidate()
                 # store the recomputed snapshot directly (cheaper than
                 # prev + d, and identical by construction)
-                self._view_state[view.name] = ZSet(snap.df.localCheckpoint(eager=False))
+                self._view_state[view.name] = snap
                 if self._has_naive:
                     snap.to_multiset_df().createOrReplaceTempView(view.name)
                 out[view.name] = d

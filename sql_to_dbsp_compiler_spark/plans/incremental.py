@@ -267,6 +267,58 @@ class IncrementalJoin:
         return out.consolidate()
 
 
+class IncrementalSemiAnti:
+    """Decorrelated [NOT] EXISTS / IN-subquery: ``A ⋉ D`` (semi) or
+    ``A ▷ D`` (anti) where ``D = distinct(π_keys σ B)`` is a maintained
+    distinct key set (reference: CalciteToDBSPCompiler.java:213
+    ``visitCorrelate`` — correlated subqueries decorrelate to
+    join-shaped circuits; the semi join is bilinear in (A, D) so the
+    standard delta rule applies, and anti is the linear difference
+    ``ΔA − Δsemi``).
+
+    ``step`` takes the A-side delta (full payload) and the B-side
+    *key* delta (columns named ``__k0..__kn``, raw multiplicities —
+    the distinct is maintained internally). NULL keys never match the
+    plain-equality join, which is exactly SQL's ``=`` correlation
+    semantics: a NULL correlation value makes EXISTS false (excluded
+    from semi, included in anti). Per-step cost ∝ |ΔA| + |ΔD|; at
+    scale both states are bucketed on the key so each delta term is a
+    bucket-local equi-join.
+    """
+
+    def __init__(self, keys_a: list[str], anti: bool = False, checkpoint_every: int = 8):
+        self.keys_a = list(keys_a)
+        self.anti = anti
+        self._dist = IncrementalDistinct(checkpoint_every=checkpoint_every)
+        self._a: ZSet | None = None  # integrated A (post outer filter)
+        self._d: ZSet | None = None  # integrated distinct key set
+        self._steps = 0
+        self._checkpoint_every = checkpoint_every
+
+    def step(self, da: ZSet, dkeys: ZSet) -> ZSet:
+        dd = self._dist.step(dkeys.consolidate())
+        d_new = dd if self._d is None else self._d.add(dd).consolidate()
+        on = None
+        for i, k in enumerate(self.keys_a):
+            eq = F.col(k) == F.col(f"__k{i}")
+            on = eq if on is None else (on & eq)
+        payload = [c for c in da.df.columns if c != WEIGHT]
+        # Δ(A⋉D) = ΔA⋈D_old + A_old⋈ΔD + ΔA⋈ΔD = ΔA⋈D_new + A_old⋈ΔD
+        dsemi = da.join(d_new, on)
+        if self._a is not None:
+            dsemi = dsemi.add(self._a.join(dd, on))
+        dsemi = dsemi.map(*[F.col(c) for c in payload]).consolidate()
+        self._a = da.consolidate() if self._a is None else self._a.add(da).consolidate()
+        self._d = d_new
+        self._steps += 1
+        if self._steps % self._checkpoint_every == 0:
+            self._a = ZSet(self._a.df.localCheckpoint(eager=False))
+            self._d = ZSet(self._d.df.localCheckpoint(eager=False))
+        if self.anti:
+            return da.subtract(dsemi).consolidate()
+        return dsemi
+
+
 class IncrementalDistinct:
     """DBSPIncrementalDistinctOperator: maintain per-row multiplicity;
     emit +1 when a row's weight crosses 0→positive, -1 on positive→0.

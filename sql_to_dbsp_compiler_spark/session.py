@@ -35,6 +35,17 @@ def get_spark(app_name: str = "sql_to_dbsp_compiler_spark", master: str | None =
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Workaround for a Spark 4.1 constraint-propagation bug:
+        # Dataset.localCheckpoint produces a LogicalRDD that PRESERVES
+        # the origin plan's constraints; after Z-set consolidation
+        # renames exprIds, those constraints reference attributes no
+        # longer in the plan's output and Union.rewriteConstraints
+        # crashes with "java.util.NoSuchElementException: key not
+        # found: col#N" on any later subtract/add of checkpointed
+        # incremental state. Constraint propagation only feeds
+        # InferFiltersFromConstraints/PruneFilters (adds isnotnull
+        # pre-join filters); measured bench delta at sf0.1 is noise.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
         # type, so read as long and convert in sources/tables.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1062,3 +1062,127 @@ def test_having_literal_with_aggregate_text(spark):
         [("SUM(x)", 1, 1), ("SUM(x)", 2, 1), ("other", 3, 1), ("other", 4, 1)],
         "tag string, v int, __weight long"))})
     assert _zrows(d["v_hl"]) == {("SUM(x)", 3, 1)}
+
+
+ROUND3_PROGRAM = """
+CREATE TABLE ta(id INTEGER, grp VARCHAR(10), val INTEGER, arr INTEGER ARRAY);
+CREATE TABLE tb(ref INTEGER, bval INTEGER, tag VARCHAR(10));
+CREATE VIEW v_unnest AS SELECT id, e FROM ta, UNNEST(arr) AS t(e);
+CREATE VIEW v_exists AS SELECT id, grp FROM ta
+    WHERE EXISTS (SELECT 1 FROM tb WHERE tb.ref = ta.id AND tb.bval > 0);
+CREATE VIEW v_notexists AS SELECT id, grp FROM ta
+    WHERE NOT EXISTS (SELECT 1 FROM tb WHERE tb.ref = ta.id);
+CREATE VIEW v_in AS SELECT id, val FROM ta
+    WHERE id IN (SELECT ref FROM tb WHERE bval > 5);
+CREATE VIEW v_scalar AS SELECT id, grp,
+    (SELECT COUNT(*) FROM tb WHERE tb.ref = ta.id) AS n FROM ta;
+CREATE VIEW v_rollup AS SELECT grp, id, SUM(val) AS s, COUNT(*) AS c,
+    GROUPING(grp) AS g_grp FROM ta GROUP BY ROLLUP (grp, id);
+CREATE VIEW v_cube AS SELECT grp, id, SUM(val) AS s FROM ta
+    GROUP BY CUBE (grp, id);
+CREATE VIEW v_gsets AS SELECT grp, id, COUNT(*) AS c FROM ta
+    GROUP BY GROUPING SETS ((grp), (id), ());
+"""
+
+
+def test_recognizer_round3_shapes_not_naive(spark):
+    """Round-3 shapes compile to optimized circuit operators, not the
+    naive fallback (reference: CalciteToDBSPCompiler.java:213
+    visitCorrelate decorrelates EXISTS/IN and scalar-agg subqueries to
+    join-shaped circuits; :274 visitUncollect compiles UNNEST as a
+    linear flatmap; :294 visitAggregate handles Expand-style
+    ROLLUP/CUBE/GROUPING SETS groupings)."""
+    inc = IncrementalProgram(spark, ROUND3_PROGRAM, optimize=True)
+    plan = inc.plan()
+    assert plan["v_unnest"] == "flatmap"
+    assert plan["v_exists"] == "semi-join-decorrelated"
+    assert plan["v_notexists"] == "anti-join-decorrelated"
+    assert plan["v_in"] == "semi-join-decorrelated"
+    assert plan["v_scalar"] == "scalar-agg-join"
+    assert plan["v_rollup"] == "rollup-aggregate"
+    assert plan["v_cube"] == "cube-aggregate"
+    assert plan["v_gsets"] == "grouping-sets-aggregate"
+
+
+def test_recognizer_round3_shapes_match_naive(spark):
+    """Optimized == naive deltas each step for the round-3 shapes
+    under a random insert+delete stream on both inputs, including
+    empty arrays (flatmap drops them), NULL-free keys, duplicate
+    groups, and the grand-total row appearing/disappearing with its
+    support."""
+    import random
+
+    opt = IncrementalProgram(spark, ROUND3_PROGRAM, optimize=True, checkpoint_every=2)
+    naive = IncrementalProgram(spark, ROUND3_PROGRAM, optimize=False, checkpoint_every=2)
+
+    rng = random.Random(7)
+    ta_live, tb_live = [], []
+    for step in range(4):
+        ta_d, tb_d = [], []
+        for _ in range(rng.randint(2, 4)):
+            if ta_live and rng.random() < 0.3:
+                row = ta_live.pop(rng.randrange(len(ta_live)))
+                ta_d.append((*row, -1))
+            else:
+                row = (
+                    rng.randrange(6),
+                    rng.choice(["a", "b"]),
+                    rng.randrange(10),
+                    [rng.randrange(3) for _ in range(rng.randint(0, 3))],
+                )
+                ta_live.append(row)
+                ta_d.append((*row, 1))
+        for _ in range(rng.randint(1, 3)):
+            if tb_live and rng.random() < 0.3:
+                row = tb_live.pop(rng.randrange(len(tb_live)))
+                tb_d.append((*row, -1))
+            else:
+                row = (rng.randrange(6), rng.randrange(12), rng.choice(["x", "y"]))
+                tb_live.append(row)
+                tb_d.append((*row, 1))
+        deltas_o = {
+            "ta": ZSet(spark.createDataFrame(
+                ta_d, "id int, grp string, val int, arr array<int>, __weight long")),
+            "tb": ZSet(spark.createDataFrame(
+                tb_d, "ref int, bval int, tag string, __weight long")),
+        }
+        deltas_n = {n: ZSet(z.df) for n, z in deltas_o.items()}
+        out_o = opt.step(deltas_o)
+        out_n = naive.step(deltas_n)
+        for vname in out_o:
+            assert _zrows(out_o[vname]) == _zrows(out_n[vname]), f"{vname} step {step}"
+    for vname in ("v_exists", "v_notexists", "v_scalar", "v_rollup"):
+        assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
+
+
+def test_round3_recognizer_conservative_fallbacks(spark):
+    """Shapes the round-3 recognizers must NOT claim: NOT IN (distinct
+    NULL semantics), correlated non-equi predicates, two scalar
+    subqueries, MIN over grouping sets (non-linear per set), and
+    EXISTS against the outer table itself. All fall back to naive —
+    and naive still computes them correctly."""
+    prog = """
+    CREATE TABLE ta(id INTEGER, grp VARCHAR(10), val INTEGER);
+    CREATE TABLE tb(ref INTEGER, bval INTEGER);
+    CREATE VIEW f_notin AS SELECT id FROM ta WHERE id NOT IN (SELECT ref FROM tb);
+    CREATE VIEW f_nonequi AS SELECT id FROM ta
+        WHERE EXISTS (SELECT 1 FROM tb WHERE tb.ref > ta.id);
+    CREATE VIEW f_two AS SELECT id,
+        (SELECT COUNT(*) FROM tb WHERE tb.ref = ta.id) AS n1,
+        (SELECT SUM(bval) FROM tb WHERE tb.ref = ta.id) AS n2 FROM ta;
+    CREATE VIEW f_minset AS SELECT grp, MIN(val) AS m FROM ta GROUP BY ROLLUP (grp);
+    CREATE VIEW f_self AS SELECT id FROM ta
+        WHERE EXISTS (SELECT 1 FROM ta WHERE ta.id = ta.id);
+    """
+    inc = IncrementalProgram(spark, prog, optimize=True)
+    plan = inc.plan()
+    for v in ("f_notin", "f_nonequi", "f_two", "f_minset", "f_self"):
+        assert plan[v] == "naive", v
+    d = inc.step({
+        "ta": ZSet(spark.createDataFrame(
+            [(1, "a", 5, 1), (2, "b", 7, 1)], "id int, grp string, val int, __weight long")),
+        "tb": ZSet(spark.createDataFrame(
+            [(1, 3, 1)], "ref int, bval int, __weight long")),
+    })
+    assert _zrows(d["f_notin"]) == {(2, 1)}
+    assert _zrows(d["f_two"]) == {(1, 1, 3, 1), (2, 0, None, 1)}
