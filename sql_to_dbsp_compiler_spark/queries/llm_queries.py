@@ -104,10 +104,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                        FOR i IN range(1, len(words) - 1)]) AS shingle
         FROM w
     ),
+    hp AS (
+        -- one md5 per shingle; hash i = (h1 + i*h2) mod (2^31-1)
+        -- (Kirsch-Mitzenmacher double hashing, = engine family)
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % 2147483647 AS h1,
+               CAST(('0x' || substring(md5(shingle), 17, 15)) AS BIGINT)
+                   % 2147483647 AS h2
+        FROM sh
+    ),
     hs AS (
-        SELECT s.doc_id, t.i, min(md5('mh' || t.i || '|' || s.shingle)) AS mn
-        FROM sh s CROSS JOIN range(16) t(i)
-        GROUP BY s.doc_id, t.i
+        SELECT doc_id, t.i, min((h1 + t.i * h2) % 2147483647) AS mn
+        FROM hp CROSS JOIN range(16) t(i)
+        GROUP BY doc_id, t.i
     ),
     sig AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM hs GROUP BY doc_id),
     banded AS (
@@ -126,10 +136,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs over the
-    engine-agnostic md5 family (signature element = min md5 hex string
-    per seeded prefix; band key = md5 of the joined slice), so the
-    full pipeline is oracle-verified — the DuckDB oracle recomputes
-    identical signatures and buckets. The xxhash64 fast family
+    engine-agnostic md5 double-hashing family (one md5 per shingle,
+    hash i = (h1 + i*h2) mod 2^31-1; band key = md5 of the joined
+    slice), so the full pipeline is oracle-verified — the DuckDB
+    oracle recomputes identical signatures and buckets. The xxhash64 fast family
     (minhash_signatures_df) is the 100 TB path, recall-tested vs
     exact Jaccard in tests/test_dedup.py."""
     d = load_table(spark, sf_dir, "documents")
@@ -206,10 +216,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                        FOR i IN range(1, len(words) - 1)]) AS shingle
         FROM w
     ),
+    hp AS (
+        -- one md5 per shingle; hash i = (h1 + i*h2) mod (2^31-1)
+        -- (Kirsch-Mitzenmacher double hashing, = engine family)
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % 2147483647 AS h1,
+               CAST(('0x' || substring(md5(shingle), 17, 15)) AS BIGINT)
+                   % 2147483647 AS h2
+        FROM sh
+    ),
     hs AS (
-        SELECT s.doc_id, t.i, min(md5('mh' || t.i || '|' || s.shingle)) AS mn
-        FROM sh s CROSS JOIN range(16) t(i)
-        GROUP BY s.doc_id, t.i
+        SELECT doc_id, t.i, min((h1 + t.i * h2) % 2147483647) AS mn
+        FROM hp CROSS JOIN range(16) t(i)
+        GROUP BY doc_id, t.i
     ),
     sig AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM hs GROUP BY doc_id),
     banded AS (
