@@ -17,6 +17,7 @@ from sql_to_dbsp_compiler_spark.queries import (  # noqa: E402,F401
     tpch,
     tpch2,
     tpch3,
+    training_data,
     windows_batch,
 )
 

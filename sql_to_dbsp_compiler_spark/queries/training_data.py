@@ -1,0 +1,245 @@
+"""Training-data curation queries (SURVEY §2.5 extensions): the ops a
+large-scale LLM pretraining pipeline runs between raw corpus and
+training shards — stratified sampling, sequence packing, entity/PII
+redaction, n-gram statistics, and contamination checks. Every query is
+oracle-gated: the strategies are chosen to be deterministic and
+engine-agnostic (hash-based sampling, concat-then-chunk packing) so
+DuckDB reproduces them bit-for-bit.
+
+Names sort after the current driver audit window on purpose — they
+join the rotation next round without displacing never-checked queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sql_to_dbsp_compiler_spark.llm.text import token_count_whitespace
+from sql_to_dbsp_compiler_spark.queries.registry import query
+from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+# Per-language keep-rates (percent) for stratified downsampling: the
+# typical pretraining mix upsamples low-resource languages relative to
+# English. Deterministic: membership depends only on doc_id.
+_RATES = {"en": 25, "de": 60, "es": 60, "fr": 60, "zh": 40}
+_RATE_DEFAULT = 10
+_PACK_BUDGET = 256  # tokens per training sequence (small for test SFs)
+
+
+@query(
+    "train_sample_stratified",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS bucket,
+               CASE lang
+                   {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _RATES.items())}
+                   ELSE {_RATE_DEFAULT}
+               END AS rate
+        FROM documents
+    )
+    SELECT doc_id, lang, bucket FROM b WHERE bucket < rate
+    """,
+    tags=("llm", "training"),
+)
+def train_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: a doc is
+    kept iff ``md5(doc_id) mod 100`` falls below its language's
+    keep-rate. Hash-bucket membership (not rand()) makes the sample
+    reproducible across runs/engines and stable under re-partitioning
+    — the property a 100 TB curation pipeline needs so that reruns and
+    incremental updates select the same documents. Pure column
+    expressions, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.lit(_RATE_DEFAULT)
+    for k, v in _RATES.items():
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("__rate"))
+        .where(F.col("bucket") < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+@query(
+    "train_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS chunk_id,
+           CAST((cum - n_tokens) % {_PACK_BUDGET} AS BIGINT) AS chunk_offset
+    FROM c
+    """,
+    tags=("llm", "training"),
+)
+def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (the GPT-style pretraining
+    layout): within each source shard, documents are concatenated in
+    doc_id order and cut into fixed token-budget chunks; each doc's
+    chunk is the budget-division of the token stream position where it
+    starts. One window shuffle per shard key — the cumulative sum is a
+    running aggregate, never a self-join; at 100 TB the per-source
+    window parallelizes across shards (sources), the natural unit of
+    training-data layout."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", token_count_whitespace(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__start")
+    return t.select("doc_id", "source", "n_tokens", start).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("__start") / _PACK_BUDGET).alias("chunk_id"),
+        (F.col("__start") % _PACK_BUDGET).alias("chunk_offset"),
+    )
+
+
+# Redaction patterns: entity terms that occur in the corpus plus
+# PII-shaped patterns (digit runs) that exercise the same plumbing.
+# RE2∩Java-regex subset: no lookaround, no backrefs.
+_REDACT_ENTITY = "customer|supplier"
+_REDACT_NUM = "[0-9]{4,}"
+
+
+@query(
+    "train_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_REDACT_ENTITY}'))
+               AS n_entities,
+           len(regexp_extract_all(text, '{_REDACT_NUM}')) AS n_numbers,
+           regexp_replace(regexp_replace(text, '{_REDACT_ENTITY}',
+                                         '<ENTITY>', 'g'),
+                          '{_REDACT_NUM}', '<NUM>', 'g') AS redacted
+    FROM documents
+    WHERE regexp_matches(text, '{_REDACT_ENTITY}')
+       OR regexp_matches(text, '{_REDACT_NUM}')
+    """,
+    tags=("llm", "training"),
+)
+def train_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity/PII redaction pass: count and replace sensitive spans
+    (named entities here; digit-run patterns stand in for phone/SSN
+    shapes) with typed placeholder tokens. Pure regexp column
+    expressions — JVM-side, codegen'd, zero shuffle; the regex subset
+    is RE2∩Java so the oracle's matches are identical."""
+    d = load_table(spark, sf_dir, "documents")
+    ent, num = F.lit(_REDACT_ENTITY), F.lit(_REDACT_NUM)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", ent, F.lit(0)))
+        .cast("bigint")
+        .alias("n_entities"),
+        F.size(F.regexp_extract_all("text", num, F.lit(0)))
+        .cast("bigint")
+        .alias("n_numbers"),
+        F.regexp_replace(
+            F.regexp_replace("text", _REDACT_ENTITY, "<ENTITY>"),
+            _REDACT_NUM,
+            "<NUM>",
+        ).alias("redacted"),
+    ).where((F.col("n_entities") > 0) | (F.col("n_numbers") > 0))
+
+
+@query(
+    "train_topk_ngrams",
+    oracle="""
+    WITH w AS (
+        SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    bg AS (
+        SELECT lang, unnest([ws[i] || ' ' || ws[i+1]
+                             FOR i IN range(1, len(ws))]) AS bigram
+        FROM w
+    ),
+    cnt AS (
+        SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n FROM cnt
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY n DESC, bigram) <= 5
+    """,
+    tags=("llm", "training"),
+)
+def train_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: top-5 word bigrams per language by
+    frequency (row_number with a total tie-break order so both engines
+    pick identical winners). Shape: explode → count (map-side partial
+    agg) → per-group top-k via WindowGroupLimit — rank pushes below
+    the exchange, so only each partition's top rows shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " ", -1), lambda x: x != "")
+    w = d.select("lang", ws.alias("__ws"))
+    bigrams = w.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("__ws") - 1, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("__ws", i), F.element_at("__ws", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    ).where(F.col("bigram") != "")
+    cnt = bigrams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    )
+    return cnt.withColumn("__rn", rn).where(F.col("__rn") <= 5).drop("__rn")
+
+
+# Canary phrases for decontamination: phrases that DO occur in the
+# synthetic corpus, standing in for benchmark strings.
+_CANARIES = ("slow fast table", "batch window spark", "key agg row")
+
+
+@query(
+    "train_contamination",
+    oracle=f"""
+    WITH canary(phrase) AS (
+        VALUES {', '.join(f"('{c}')" for c in _CANARIES)}
+    )
+    SELECT d.doc_id, c.phrase
+    FROM documents d JOIN canary c
+      ON position(c.phrase IN d.text) > 0
+    """,
+    tags=("llm", "training"),
+)
+def train_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: find documents containing any
+    canary phrase (one row per doc × matching phrase). The canary list
+    is broadcast (tiny literal dim), so the scan stays a single pass
+    over the corpus with the `contains` predicate evaluated JVM-side —
+    the decontamination shape used before training runs."""
+    d = load_table(spark, sf_dir, "documents")
+    canary = d.sparkSession.createDataFrame(
+        [(c,) for c in _CANARIES], "phrase string"
+    )
+    return d.join(
+        F.broadcast(canary), F.col("text").contains(F.col("phrase"))
+    ).select("doc_id", "phrase")
