@@ -28,22 +28,28 @@ from dataclasses import dataclass
 # zero / negative ints, empty + quoted + unicode + padded strings,
 # fractional doubles (no -0.0: engines legitimately disagree on its
 # textual form), and a stable unique id for deterministic ordering.
+import datetime as _dt
+
+_TS = lambda *a: _dt.datetime(*a)  # noqa: E731
 T_ROWS = [
-    (1, 3, 2, "abc", 1.5),
-    (2, -4, 3, "It's", -2.25),
-    (3, 0, -2, "", 0.0),
-    (4, None, 5, "héllo", None),
-    (5, 7, None, " pad ", 3.75),
-    (6, -1, 1, None, -0.5),
-    (7, 12, 4, "ABC", 2.5),
-    (8, 2, -3, "a%b_c", -1.25),
-    (9, None, None, "abcabc", 10.0),
-    (10, 5, 2, "xyz", None),
-    (11, -9, 7, "Abc", 0.25),
-    (12, 8, -5, "it''s", -3.5),
+    (1, 3, 2, "abc", 1.5, _TS(2023, 1, 15, 10, 30, 0)),
+    (2, -4, 3, "It's", -2.25, _TS(2023, 2, 28, 23, 59, 59)),
+    (3, 0, -2, "", 0.0, _TS(2024, 2, 29, 0, 0, 0)),
+    (4, None, 5, "héllo", None, None),
+    (5, 7, None, " pad ", 3.75, _TS(2022, 12, 31, 12, 0, 0)),
+    (6, -1, 1, None, -0.5, _TS(2023, 1, 1, 0, 0, 1)),
+    (7, 12, 4, "ABC", 2.5, _TS(2023, 7, 4, 18, 45, 30)),
+    (8, 2, -3, "a%b_c", -1.25, None),
+    (9, None, None, "abcabc", 10.0, _TS(2000, 1, 1, 0, 0, 0)),
+    (10, 5, 2, "xyz", None, _TS(2023, 6, 15, 6, 15, 0)),
+    (11, -9, 7, "Abc", 0.25, _TS(1999, 12, 31, 23, 59, 59)),
+    (12, 8, -5, "it''s", -3.5, _TS(2023, 3, 12, 2, 30, 0)),
 ]
-T_SPARK_SCHEMA = "id int, a int, b int, s string, d double"
-T_DUCK_DDL = "CREATE TABLE t(id INTEGER, a INTEGER, b INTEGER, s VARCHAR, d DOUBLE)"
+T_SPARK_SCHEMA = "id int, a int, b int, s string, d double, ts timestamp"
+T_DUCK_DDL = (
+    "CREATE TABLE t(id INTEGER, a INTEGER, b INTEGER, s VARCHAR, "
+    "d DOUBLE, ts TIMESTAMP)"
+)
 
 U_ROWS = [(1, 10, "x"), (2, 20, "y"), (3, 30, None), (5, None, "x"), (7, 50, "z")]
 U_SPARK_SCHEMA = "k int, v int, tag string"
@@ -66,6 +72,14 @@ _STR = ["s", "upper(s)", "lower(s)", "trim(s)", "(s || 'x')",
         "reverse(s)", "repeat(s, 2)", "ltrim(s)", "rtrim(s)"]
 _NUM = ["d", "(d + 0.5)", "(d * 2)", "abs(d)", "(a / nullif(b, 0))",
         "coalesce(d, -1.0)", "floor(d)", "ceil(d)", "sqrt(abs(d))"]
+_TSX = ["extract(year FROM ts)", "extract(month FROM ts)",
+        "extract(day FROM ts)", "extract(hour FROM ts)",
+        # date_trunc to day-or-coarser: DuckDB returns DATE, Spark
+        # TIMESTAMP — align with an explicit cast (documented divergence)
+        "CAST(ts AS DATE)", "CAST(date_trunc('month', ts) AS TIMESTAMP)",
+        "CAST(date_trunc('day', ts) AS TIMESTAMP)", "(ts + INTERVAL 3 DAY)",
+        "(ts - INTERVAL 2 HOUR)", "(ts > TIMESTAMP '2023-01-01 00:00:00')",
+        "coalesce(CAST(ts AS DATE), DATE '1970-01-01')"]
 _BOOL = ["(a > b)", "(a >= 0)", "(a = b)", "(a <> b)", "(a IS NULL)",
          "(s IS NOT NULL)", "(a BETWEEN -2 AND 5)", "(a IN (1, 2, 5, 7))",
          "(s LIKE 'a%')", "(s LIKE '%b_c')", "(a IS DISTINCT FROM b)",
@@ -75,7 +89,7 @@ _BOOL = ["(a > b)", "(a >= 0)", "(a = b)", "(a <> b)", "(a IS NULL)",
 
 def _templates() -> list[str]:
     out: list[str] = []
-    out += _INT + _STR + _NUM + _BOOL
+    out += _INT + _STR + _NUM + _BOOL + _TSX
     for i in _INT[:8]:
         for j in _INT[:6]:
             out.append(f"({i} + {j})")
@@ -99,6 +113,11 @@ def _templates() -> list[str]:
     out.append("(a % nullif(b, 0))")
     out.append("mod(a, nullif(b, 0))")
     out.append("((a % nullif(abs(b), 0)))")
+    for x in _TSX[:5]:
+        out.append(f"CASE WHEN ts IS NULL THEN NULL ELSE {x} END")
+    out.append("(CAST(ts AS DATE) = DATE '2023-01-15')")
+    out.append("extract(minute FROM ts)")
+    out.append("extract(second FROM CAST(ts AS TIMESTAMP))")
     return out
 
 
@@ -158,6 +177,35 @@ def slt_statements(seed: int = 0) -> list[str]:
         "SELECT sum(CASE WHEN a > 0 THEN a ELSE 0 END) AS pos_sum FROM t",
         "SELECT coalesce(sum(a), 0) AS s0 FROM t WHERE a > 1000",
         "SELECT max(s) AS ms, min(s) AS mns FROM t",
+        # windows — deterministic: every ORDER BY includes unique id
+        "SELECT id, row_number() OVER (ORDER BY id) AS rn FROM t",
+        "SELECT id, rank() OVER (ORDER BY coalesce(a, -999), id) AS rk FROM t",
+        "SELECT id, sum(a) OVER (ORDER BY id ROWS BETWEEN 2 PRECEDING "
+        "AND CURRENT ROW) AS s2 FROM t",
+        "SELECT id, lag(a, 1) OVER (ORDER BY id) AS la, "
+        "lead(b, 1, -1) OVER (ORDER BY id) AS lb FROM t",
+        "SELECT id, avg(d) OVER (PARTITION BY (a IS NULL) ORDER BY id "
+        "ROWS UNBOUNDED PRECEDING) AS ad FROM t",
+        "SELECT id, count(*) OVER (PARTITION BY (b > 0)) AS n FROM t",
+        # grouping sets
+        "SELECT (a % 3) AS g, count(*) AS n, sum(b) AS sb FROM t "
+        "GROUP BY ROLLUP ((a % 3))",
+        "SELECT (a > 0) AS p, (b > 0) AS q, count(*) AS n FROM t "
+        "GROUP BY CUBE ((a > 0), (b > 0))",
+        # order-by + limit with a total order
+        "SELECT id, a FROM t ORDER BY coalesce(a, -999) DESC, id LIMIT 5",
+        "SELECT id, s FROM t ORDER BY coalesce(s, ''), id LIMIT 4",
+        # scalar subquery in the select list
+        "SELECT id, (SELECT count(*) FROM u WHERE u.k = t.id) AS nu FROM t",
+        "SELECT id, (SELECT max(v) FROM u WHERE u.k <= t.id) AS mv FROM t",
+        # datetime statements
+        "SELECT extract(year FROM ts) AS y, count(*) AS n FROM t "
+        "WHERE ts IS NOT NULL GROUP BY extract(year FROM ts)",
+        "SELECT id, CAST(ts AS DATE) AS dt FROM t "
+        "WHERE ts >= TIMESTAMP '2023-01-01 00:00:00'",
+        "SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS m, "
+        "count(*) AS n FROM t WHERE ts IS NOT NULL "
+        "GROUP BY date_trunc('month', ts)",
     ]
     return stmts
 
@@ -208,12 +256,10 @@ class SltMismatch:
 def make_fixture(spark, con) -> None:
     """Register identical t/u tables in a SparkSession and a DuckDB
     connection."""
-    spark.createDataFrame(
-        [(i, a, b, s, d) for i, a, b, s, d in T_ROWS], T_SPARK_SCHEMA
-    ).createOrReplaceTempView("t")
+    spark.createDataFrame(list(T_ROWS), T_SPARK_SCHEMA).createOrReplaceTempView("t")
     spark.createDataFrame(U_ROWS, U_SPARK_SCHEMA).createOrReplaceTempView("u")
     con.execute(T_DUCK_DDL)
-    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", T_ROWS)
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?,?)", T_ROWS)
     con.execute(U_DUCK_DDL)
     con.executemany("INSERT INTO u VALUES (?,?,?)", U_ROWS)
 

@@ -70,7 +70,7 @@ def test_slt_views_through_program_frontend(spark, duck):
         "v_case": "SELECT id, CASE WHEN a > b THEN 'gt' WHEN a = b THEN 'eq' ELSE 'lt' END AS cmp FROM t WHERE a IS NOT NULL AND b IS NOT NULL",
     }
     ddl = (
-        "CREATE TABLE t(id INTEGER, a INTEGER, b INTEGER, s VARCHAR(20), d DOUBLE);\n"
+        "CREATE TABLE t(id INTEGER, a INTEGER, b INTEGER, s VARCHAR(20), d DOUBLE, ts TIMESTAMP);\n"
         "CREATE TABLE u(k INTEGER, v INTEGER, tag VARCHAR(5));\n"
         + "\n".join(
             f"CREATE VIEW {name} AS {to_spark_dialect(sql)};" for name, sql in views.items()
@@ -81,7 +81,7 @@ def test_slt_views_through_program_frontend(spark, duck):
         "t": ZSet(
             spark.createDataFrame(
                 [(*r, 1) for r in T_ROWS],
-                "id int, a int, b int, s string, d double, __weight long",
+                "id int, a int, b int, s string, d double, ts timestamp, __weight long",
             )
         ),
         "u": ZSet(
