@@ -979,20 +979,31 @@ class _SemiAntiOp:
 
 
 @dataclass
-class _ScalarSubqueryOp:
-    """Correlated scalar-aggregate subquery in the SELECT list,
-    decorrelated to grouped-aggregate → left-outer-join (reference
-    visitCorrelate lowers these to aggregate+join circuits). COUNT
-    coalesces NULL (no matching group) to 0 — SQL's scalar-subquery
-    semantics over an empty set."""
+class _ScalarSub:
+    """One decorrelated scalar-aggregate subquery: its source table,
+    the key+arg pre-projection of that delta, and the aggregate +
+    left-outer-join operators that maintain it."""
 
-    src_a: str
     src_b: str
     b_sel: "list[str]"  # pre-projection of the B delta (__bk keys + __arg)
     b_where: "str | None"
-    a_where: "str | None"
     agg_op: object  # IncrementalLinearAgg | IncrementalGroupRecomputeAgg
     join_op: object  # IncrementalOuterJoin (left)
+
+
+@dataclass
+class _ScalarSubqueryOp:
+    """Correlated scalar-aggregate subqueries in the SELECT list,
+    decorrelated to grouped-aggregate → left-outer-join (reference
+    visitCorrelate lowers these to aggregate+join circuits). COUNT
+    coalesces NULL (no matching group) to 0 — SQL's scalar-subquery
+    semantics over an empty set. Multiple subqueries chain: the k-th
+    join's outer side is the (k-1)-th join's output delta, each join
+    projecting the plain columns plus every alias produced so far."""
+
+    src_a: str
+    subs: "list[_ScalarSub]"
+    a_where: "str | None"
     out_exprs_sql: "list[str]"  # post-join projection (coalesce for COUNT)
     out_cols: "list[str]"
 
@@ -1664,68 +1675,74 @@ def _recognize_scalar_subq(sql: str, known: set[str], cols_of: dict[str, list[st
     items = [s.strip() for s in _split_top_level_commas(sel)]
     plain: list[str] = []
     out_cols: list[str] = []
-    sub = None
+    sub_items: "list[re.Match]" = []
     for item in items:
         sm = _SCALAR_SUBQ_ITEM_RE.match(item)
         if sm:
-            if sub is not None:
-                return None  # one scalar subquery per view
-            sub = sm
+            sub_items.append(sm)
             out_cols.append(sm.group("alias").lower())
         elif re.fullmatch(r"\w+", item) and item.lower() in cols_a:
             plain.append(item.lower())
             out_cols.append(item.lower())
         else:
             return None
-    if sub is None or not plain:
+    if not sub_items or not plain:
         return None
-    b = sub.group("b").lower()
-    if b not in cols_of or b == a:
-        return None
-    alias = sub.group("alias").lower()
-    if alias in cols_a:
-        return None  # would be ambiguous in the joined projection
-    corr = _split_correlation(sub.group("cond"), a, b, cols_a, cols_of[b])
-    if corr is None:
-        return None
-    keys_a, keys_b, b_where = corr
-    if not set(keys_a) <= set(plain):
-        return None  # join keys must pass through for the outer join
-    fn = sub.group("fn").lower()
-    arg = sub.group("arg").strip()
-    if arg != "*":
-        arg = re.sub(rf"\b{re.escape(b)}\s*\.\s*", "", arg, flags=re.IGNORECASE)
-        if _FORBIDDEN_LINEAR.search(arg):
+    aliases = [sm.group("alias").lower() for sm in sub_items]
+    if len(set(aliases)) != len(aliases) or any(al in cols_a for al in aliases):
+        return None  # duplicate or column-shadowing aliases → naive
+
+    subs: list[_ScalarSub] = []
+    count_aliases: set[str] = set()
+    carried = list(plain)  # columns available to each successive join
+    for k, sm in enumerate(sub_items):
+        b = sm.group("b").lower()
+        if b not in cols_of or b == a:
             return None
-    bks = [f"__bk{i}" for i in range(len(keys_b))]
-    b_sel = [f"{kb} AS {bk}" for kb, bk in zip(keys_b, bks)]
-    if arg != "*":
-        b_sel.append(f"{arg} AS __arg")
-    if fn in ("min", "max"):
-        agg_op = IncrementalGroupRecomputeAgg(
-            keys=bks, aggs=[F.expr(f"{fn}(__arg)").alias(alias)]
-        )
-    else:
-        if fn == "count" and arg == "*":
-            spec = AggSpec(alias, "count")
-        elif fn == "count":
-            spec = AggSpec(alias, "count", F.col("__arg"))
+        alias = aliases[k]
+        corr = _split_correlation(sm.group("cond"), a, b, cols_a, cols_of[b])
+        if corr is None:
+            return None
+        keys_a, keys_b, b_where = corr
+        if not set(keys_a) <= set(plain):
+            return None  # join keys must pass through for the outer join
+        fn = sm.group("fn").lower()
+        arg = sm.group("arg").strip()
+        if arg != "*":
+            arg = re.sub(rf"\b{re.escape(b)}\s*\.\s*", "", arg, flags=re.IGNORECASE)
+            if _FORBIDDEN_LINEAR.search(arg):
+                return None
+        bks = [f"__bk{i}" for i in range(len(keys_b))]
+        b_sel = [f"{kb} AS {bk}" for kb, bk in zip(keys_b, bks)]
+        if arg != "*":
+            b_sel.append(f"{arg} AS __arg")
+        if fn in ("min", "max"):
+            agg_op = IncrementalGroupRecomputeAgg(
+                keys=bks, aggs=[F.expr(f"{fn}(__arg)").alias(alias)]
+            )
         else:
-            spec = AggSpec(alias, fn if fn != "avg" else "avg", F.col("__arg"))
-        agg_op = IncrementalLinearAgg(keys=bks, specs=[spec])
-    join_op = IncrementalOuterJoin(
-        key_a=keys_a,
-        key_b=bks,
-        project=[F.col(c) for c in plain] + [F.col(alias)],
-        how="left",
-    )
+            if fn == "count" and arg == "*":
+                spec = AggSpec(alias, "count")
+            elif fn == "count":
+                spec = AggSpec(alias, "count", F.col("__arg"))
+            else:
+                spec = AggSpec(alias, fn if fn != "avg" else "avg", F.col("__arg"))
+            agg_op = IncrementalLinearAgg(keys=bks, specs=[spec])
+        if fn == "count":
+            count_aliases.add(alias)
+        join_op = IncrementalOuterJoin(
+            key_a=keys_a,
+            key_b=bks,
+            project=[F.col(c) for c in carried] + [F.col(alias)],
+            how="left",
+        )
+        carried = carried + [alias]
+        subs.append(_ScalarSub(b, b_sel, b_where, agg_op, join_op))
     out_exprs = [
-        (f"coalesce({c}, 0) AS {c}" if (c == alias and fn == "count") else c)
+        (f"coalesce({c}, 0) AS {c}" if c in count_aliases else c)
         for c in out_cols
     ]
-    return _ScalarSubqueryOp(
-        a, b, b_sel, b_where, a_where, agg_op, join_op, out_exprs, out_cols
-    )
+    return _ScalarSubqueryOp(a, subs, a_where, out_exprs, out_cols)
 
 
 def _recognize_grouping_sets(sql: str, known: set[str]):
@@ -2500,18 +2517,19 @@ class IncrementalProgram:
                 if op.sel_items is not None:
                     d = d.map(*[F.expr(i) for i in op.sel_items])
             elif isinstance(op, _ScalarSubqueryOp):
-                db = ZSet(
-                    _apply_linear(delta_of(op.src_b).df, op.b_sel, op.b_where)
-                ).consolidate()
-                # checkpoint the (delta-sized) aggregate output before
-                # the outer join: its touched-key union over this
-                # lineage trips Spark's Union constraint rewrite
-                # (AttributeMap "key not found") on upstream attrs
-                jd = ZSet(op.agg_op.step(db).df.localCheckpoint(eager=False))
-                da = ZSet(
+                d = ZSet(
                     _apply_linear(delta_of(op.src_a).df, None, op.a_where)
                 ).consolidate()
-                d = op.join_op.step(da, jd)
+                for sub in op.subs:
+                    db = ZSet(
+                        _apply_linear(delta_of(sub.src_b).df, sub.b_sel, sub.b_where)
+                    ).consolidate()
+                    # checkpoint the (delta-sized) aggregate output
+                    # before the outer join: its touched-key union over
+                    # this lineage trips Spark's Union constraint
+                    # rewrite ("key not found") on upstream attrs
+                    jd = ZSet(sub.agg_op.step(db).df.localCheckpoint(eager=False))
+                    d = sub.join_op.step(d, jd)
                 d = ZSet(d.df.selectExpr(*op.out_exprs_sql, WEIGHT)).consolidate()
             elif isinstance(op, _GroupingSetsOp):
                 src_z = delta_of(op.src)

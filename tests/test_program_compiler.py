@@ -1076,6 +1076,10 @@ CREATE VIEW v_in AS SELECT id, val FROM ta
     WHERE id IN (SELECT ref FROM tb WHERE bval > 5);
 CREATE VIEW v_scalar AS SELECT id, grp,
     (SELECT COUNT(*) FROM tb WHERE tb.ref = ta.id) AS n FROM ta;
+CREATE VIEW v_scalar2 AS SELECT id,
+    (SELECT COUNT(*) FROM tb WHERE tb.ref = ta.id) AS n1,
+    (SELECT SUM(bval) FROM tb WHERE tb.ref = ta.id) AS n2,
+    (SELECT MAX(bval) FROM tb WHERE tb.ref = ta.id) AS m1 FROM ta;
 CREATE VIEW v_rollup AS SELECT grp, id, SUM(val) AS s, COUNT(*) AS c,
     GROUPING(grp) AS g_grp FROM ta GROUP BY ROLLUP (grp, id);
 CREATE VIEW v_cube AS SELECT grp, id, SUM(val) AS s FROM ta
@@ -1099,6 +1103,7 @@ def test_recognizer_round3_shapes_not_naive(spark):
     assert plan["v_notexists"] == "anti-join-decorrelated"
     assert plan["v_in"] == "semi-join-decorrelated"
     assert plan["v_scalar"] == "scalar-agg-join"
+    assert plan["v_scalar2"] == "scalar-agg-join"
     assert plan["v_rollup"] == "rollup-aggregate"
     assert plan["v_cube"] == "cube-aggregate"
     assert plan["v_gsets"] == "grouping-sets-aggregate"
@@ -1168,8 +1173,7 @@ def test_round3_recognizer_conservative_fallbacks(spark):
     CREATE VIEW f_nonequi AS SELECT id FROM ta
         WHERE EXISTS (SELECT 1 FROM tb WHERE tb.ref > ta.id);
     CREATE VIEW f_two AS SELECT id,
-        (SELECT COUNT(*) FROM tb WHERE tb.ref = ta.id) AS n1,
-        (SELECT SUM(bval) FROM tb WHERE tb.ref = ta.id) AS n2 FROM ta;
+        (SELECT MAX(bval) FROM tb) AS mglob FROM ta;
     CREATE VIEW f_minset AS SELECT grp, MIN(val) AS m FROM ta GROUP BY ROLLUP (grp);
     CREATE VIEW f_self AS SELECT id FROM ta
         WHERE EXISTS (SELECT 1 FROM ta WHERE ta.id = ta.id);
@@ -1185,4 +1189,39 @@ def test_round3_recognizer_conservative_fallbacks(spark):
             [(1, 3, 1)], "ref int, bval int, __weight long")),
     })
     assert _zrows(d["f_notin"]) == {(2, 1)}
-    assert _zrows(d["f_two"]) == {(1, 1, 3, 1), (2, 0, None, 1)}
+    assert _zrows(d["f_two"]) == {(1, 3, 1), (2, 3, 1)}
+
+
+def test_multi_scalar_subquery_matches_batch(spark):
+    """Chained decorrelated scalar subqueries (COUNT + SUM + MAX over
+    the same correlated key) maintained incrementally, including a
+    B-side delete that flips a COUNT back to 0."""
+    prog = """
+    CREATE TABLE ta(id INTEGER, grp VARCHAR(10));
+    CREATE TABLE tb(ref INTEGER, bval INTEGER);
+    CREATE VIEW v AS SELECT id,
+        (SELECT COUNT(*) FROM tb WHERE tb.ref = ta.id) AS n,
+        (SELECT SUM(bval) FROM tb WHERE tb.ref = ta.id) AS sb,
+        (SELECT MAX(bval) FROM tb WHERE tb.ref = ta.id) AS mb FROM ta;
+    """
+    inc = IncrementalProgram(spark, prog, optimize=True)
+    assert inc.plan()["v"] == "scalar-agg-join"
+    naive = IncrementalProgram(spark, prog, optimize=False)
+
+    steps = [
+        {"ta": [(1, "a", 1), (2, "b", 1)], "tb": [(1, 5, 1), (1, 7, 1)]},
+        {"tb": [(2, 3, 1), (1, 5, -1)]},
+        {"ta": [(3, "c", 1)], "tb": [(2, 3, -1)]},
+    ]
+    for i, st in enumerate(steps):
+        deltas_o = {}
+        if "ta" in st:
+            deltas_o["ta"] = ZSet(spark.createDataFrame(
+                st["ta"], "id int, grp string, __weight long"))
+        if "tb" in st:
+            deltas_o["tb"] = ZSet(spark.createDataFrame(
+                st["tb"], "ref int, bval int, __weight long"))
+        deltas_n = {n: ZSet(z.df) for n, z in deltas_o.items()}
+        out_o, out_n = inc.step(deltas_o), naive.step(deltas_n)
+        assert _zrows(out_o["v"]) == _zrows(out_n["v"]), f"step {i}"
+    assert _zrows(inc.snapshot("v")) == _zrows(naive.snapshot("v"))
