@@ -110,3 +110,41 @@ def test_srp_lsh_filters_candidates_inside_bucket(spark, sf_dir):
     # mentions bit_count.
     gen_sections = [s for s in plan.split("\n\n") if "Generate" in s]
     assert any("bit_count" in s for s in gen_sections), "filter not fused into pair enumeration"
+
+
+def test_stratified_sample_is_shuffle_free(spark, sf_dir):
+    """Hash-bucket sampling is a pure filter+projection: no Exchange
+    anywhere — the property that makes it free at 100 TB."""
+    plan = _plan(spark, sf_dir, "train_sample_stratified")
+    assert "Exchange" not in plan
+    assert "codegen id" in plan  # whole-stage codegen spans the filter
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir):
+    """Concat-then-chunk packing is one hash exchange on the shard key
+    plus a per-shard sort — never a self-join or global sort."""
+    import re
+
+    plan = _plan(spark, sf_dir, "train_pack_sequences")
+    # one Exchange node in the plan tree (it also appears once more in
+    # the formatted detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_contamination_broadcasts_canaries(spark, sf_dir):
+    """The canary phrase list must broadcast; the corpus is scanned
+    once with the contains predicate evaluated stream-side."""
+    plan = _plan(spark, sf_dir, "train_contamination")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_ngrams_group_limit_below_exchange(spark, sf_dir):
+    """Per-language top-5 must use WindowGroupLimit so only each
+    partition's top rows reach the final window sort."""
+    plan = _plan(spark, sf_dir, "train_topk_ngrams")
+    assert "WindowGroupLimit" in plan
+    # counting is a real aggregate with map-side combine
+    assert "partial_count" in plan or "partial" in plan
