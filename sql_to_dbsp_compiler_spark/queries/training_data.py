@@ -243,3 +243,103 @@ def train_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(
         F.broadcast(canary), F.col("text").contains(F.col("phrase"))
     ).select("doc_id", "phrase")
+
+
+_DUCK_WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
+_DUCK_RATE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _RATES.items())
+    + f" ELSE {_RATE_DEFAULT} END"
+)
+
+
+@query(
+    "train_pipeline_end2end",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, source, text, {_DUCK_WORDS} AS words
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, lang, source,
+               len(words) AS n_words,
+               len(list_distinct(words)) * 1.0 / len(words) AS distinct_ratio,
+               md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fp
+        FROM w
+    ),
+    f AS (SELECT * FROM q WHERE n_words >= 20 AND distinct_ratio >= 0.4),
+    k AS (
+        SELECT * FROM f
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+    ),
+    s AS (
+        SELECT * FROM k
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 100 < {_DUCK_RATE}
+    ),
+    c AS (
+        SELECT doc_id, lang, source, n_words,
+               SUM(n_words) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM s
+    )
+    SELECT doc_id, lang, source,
+           CAST(n_words AS BIGINT) AS n_tokens,
+           CAST((cum - n_words) // {_PACK_BUDGET} AS BIGINT) AS chunk_id,
+           CAST((cum - n_words) % {_PACK_BUDGET} AS BIGINT) AS chunk_offset
+    FROM c
+    """,
+    tags=("llm", "training"),
+)
+def train_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE curation pipeline, end to end in one plan: quality filter
+    (length + repetition) → exact dedup (bag-of-words fingerprint,
+    keep min doc_id) → stratified hash sampling → sequence packing.
+    Two shuffles total at any corpus size — one window over the
+    fingerprint for the dedup keep-decision, one window over the shard
+    key for packing; the quality and sampling stages are pure column
+    predicates fused into the scan. This is the composition a user
+    runs nightly over the whole corpus, so the whole chain being
+    oracle-verified (not just each stage) is the point."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " ", -1), lambda w: w != "")
+    q = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(ws).cast("bigint").alias("n_words"),
+        (F.size(F.array_distinct(ws)).cast("double") / F.size(ws)).alias(
+            "distinct_ratio"
+        ),
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(ws)), " ").cast("binary")
+        ).alias("fp"),
+    ).where((F.col("n_words") >= 20) & (F.col("distinct_ratio") >= 0.4))
+    keep = q.withColumn(
+        "__mn", F.min("doc_id").over(W.partitionBy("fp"))
+    ).where(F.col("doc_id") == F.col("__mn"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.lit(_RATE_DEFAULT)
+    for kk, v in _RATES.items():
+        rate = F.when(F.col("lang") == kk, v).otherwise(rate)
+    sampled = keep.where(bucket < rate)
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = (F.sum("n_words").over(w) - F.col("n_words")).alias("__start")
+    return sampled.select("doc_id", "lang", "source", "n_words", start).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_words").alias("n_tokens"),
+        F.floor(F.col("__start") / _PACK_BUDGET).alias("chunk_id"),
+        (F.col("__start") % _PACK_BUDGET).alias("chunk_offset"),
+    )
