@@ -70,3 +70,103 @@ def streaming_dedup_first_per_key(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming MinHash-LSH near-dup candidates
+# ---------------------------------------------------------------------------
+
+LSH_PAIR_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+    ]
+)
+
+LSH_STATE_SCHEMA = StructType([StructField("members", ArrayType(LongType()))])
+
+
+def streaming_lsh_neardup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Streaming MinHash-LSH candidate pairs: the batch cascade's
+    banding run continuously. Signatures and band keys are the SAME
+    pure column expressions as the batch path (`minhash_signature` +
+    xxhash64 band slices), so a doc hashes to identical buckets in
+    both modes; the stateful stage keeps each bucket's member ids and
+    emits (old, new) pairs the moment a new member lands — near-dup
+    alerts with per-micro-batch latency instead of a nightly job.
+
+    State per key is one id array, bounded by ``max_bucket``: a bucket
+    that grows past the cap stops emitting (the batch path's
+    hot-bucket guard applied PROSPECTIVELY — already-emitted pairs
+    cannot be retracted in append mode; cross-band duplicate pairs are
+    likewise left to the consumer to `distinct`, exactly what the
+    batch path's final distinct does).
+
+    At scale the shuffle key is (band_id, band_hash) — the same
+    linear-in-corpus banding shuffle as batch LSH; state volume is the
+    corpus id-list partitioned across buckets."""
+    from pyspark.sql import functions as F
+
+    from sql_to_dbsp_compiler_spark.llm.dedup import minhash_signature
+
+    rows = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(F.slice(F.col("__sig"), b * rows + 1, rows)).alias(
+                        "band_hash"
+                    ),
+                ),
+            )
+        ).alias("band"),
+    ).select("__id", "band.band_id", "band.band_hash")
+
+    def emit(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        members: list[int] = list(state.get[0]) if state.exists else []
+        known = set(members)
+        out = []
+        for pdf in pdfs:
+            for doc in pdf["__id"]:
+                doc = int(doc)
+                if doc in known or len(members) > max_bucket:
+                    continue
+                if members:
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": [min(m, doc) for m in members],
+                                "id_b": [max(m, doc) for m in members],
+                            }
+                        )
+                    )
+                members.append(doc)
+                known.add(doc)
+        state.update((members,))
+        if out:
+            yield pd.concat(out)
+
+    return banded.groupBy("band_id", "band_hash").applyInPandasWithState(
+        emit,
+        outputStructType=LSH_PAIR_SCHEMA,
+        stateStructType=LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -313,3 +313,45 @@ def test_stream_stream_left_outer_join(spark, events_schema, tmp_path):
     assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
     # the outer part is non-trivial: some purchases really are unmatched
     assert batch.where(F.col("c_id").isNull()).count() > 0
+
+
+def test_streaming_lsh_neardup_matches_batch(spark, tmp_path_factory):
+    """Streaming MinHash-LSH candidates == batch lsh_candidate_pairs
+    on the same corpus: identical signature family and band geometry,
+    so the distinct union of streamed pairs over all micro-batches
+    must equal the batch pair set (no bucket exceeds the cap here)."""
+    import glob
+    import shutil
+
+    from sql_to_dbsp_compiler_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from sql_to_dbsp_compiler_spark.streaming.stateful import streaming_lsh_neardup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    sigs = docs.select(
+        "doc_id", minhash_signature(F.col("text"), 16, 3).alias("sig")
+    )
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", "sig", bands=4).collect()
+    }
+    assert expected, "fixture must contain at least one near-dup pair"
+
+    # split into 2 micro-batch files
+    base = str(tmp_path_factory.mktemp("doc_stream_raw"))
+    out = str(tmp_path_factory.mktemp("doc_stream"))
+    for i, pred in enumerate([F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1]):
+        docs.where(pred).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"b{i}")
+        )
+        src = glob.glob(os.path.join(base, f"b{i}", "*.parquet"))[0]
+        shutil.copy(src, os.path.join(out, f"batch_{i}.parquet"))
+
+    stream = stream_from_dir(spark, out, docs.schema)
+    result = run_incremental(stream, streaming_lsh_neardup, output_mode="append")
+    got = {(r["id_a"], r["id_b"]) for r in result.collect()}
+    assert got == expected
