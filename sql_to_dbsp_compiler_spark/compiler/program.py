@@ -52,10 +52,14 @@ from ..plans.zset import WEIGHT, ZSet
 
 @dataclass(frozen=True)
 class TableDef:
-    """A program input: name + (column, SQL type) pairs."""
+    """A program input: name + (column, SQL type) pairs, plus the
+    declared per-column nullability (reference doc/sql/types.rst:37 —
+    a ``NULL`` suffix makes a column nullable; the DEFAULT with no
+    suffix is NOT nullable, unlike most SQL engines)."""
 
     name: str
     columns: tuple[tuple[str, str], ...]  # (col_name, sql_type) in DDL order
+    nullability: tuple[bool, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -89,7 +93,11 @@ class SqlProgram:
             if m:
                 name = _ident(m.group("name"))
                 cols = _parse_columns(m.group("cols"))
-                prog.tables[name] = TableDef(name, tuple(cols))
+                prog.tables[name] = TableDef(
+                    name,
+                    tuple((c, t) for c, t, _ in cols),
+                    tuple(nu for _, _, nu in cols),
+                )
                 continue
             m = _CREATE_VIEW_RE.match(stmt)
             if m:
@@ -273,8 +281,12 @@ _CONSTRAINT_TOKENS = re.compile(
 )
 
 
-def _parse_columns(cols_sql: str) -> list[tuple[str, str]]:
-    cols: list[tuple[str, str]] = []
+def _parse_columns(cols_sql: str) -> list[tuple[str, str, bool]]:
+    """→ (name, type_sql, nullable) triples. Nullability follows the
+    reference's rule (doc/sql/types.rst:37): explicit ``NOT NULL`` →
+    False, explicit ``NULL`` suffix → True, no suffix → False (the
+    reference's not-nullable default)."""
+    cols: list[tuple[str, str, bool]] = []
     for part in _split_top_level_commas(cols_sql):
         part = part.strip()
         if not part or re.match(r"^(PRIMARY|FOREIGN|UNIQUE|CHECK|CONSTRAINT)\b", part, re.IGNORECASE):
@@ -283,8 +295,13 @@ def _parse_columns(cols_sql: str) -> list[tuple[str, str]]:
         if not m:
             raise ValueError(f"cannot parse column definition: {part!r}")
         name = _ident(m.group(1))
-        type_sql = _CONSTRAINT_TOKENS.sub("", m.group(2)).strip()
-        cols.append((name, type_sql))
+        raw = m.group(2)
+        if re.search(r"\bNOT\s+NULL\b", raw, re.IGNORECASE):
+            nullable = False
+        else:
+            nullable = re.search(r"\bNULL\b", raw, re.IGNORECASE) is not None
+        type_sql = _CONSTRAINT_TOKENS.sub("", raw).strip()
+        cols.append((name, type_sql, nullable))
     return cols
 
 
@@ -346,6 +363,66 @@ def _cast_to_schema(df: DataFrame, table: TableDef) -> DataFrame:
     return df.select(
         *[F.col(df.columns[i]).cast(spark_type(t)).alias(c) for i, (c, t) in enumerate(table.columns)]
     )
+
+
+def _declared_empty_table(spark: SparkSession, table: TableDef) -> DataFrame:
+    """Empty frame carrying the DECLARED per-column nullability, so
+    Spark's type inference over views sees the same input contract the
+    reference compiler does."""
+    nus = table.nullability or tuple(False for _ in table.columns)
+    schema = ", ".join(
+        f"`{c}` {spark_type(t)}" + ("" if nu else " NOT NULL")
+        for (c, t), nu in zip(table.columns, nus)
+    )
+    return spark.createDataFrame([], schema)
+
+
+def schema_json(spark: SparkSession, program: "SqlProgram | str") -> dict:
+    """The reference compiler's ``-js`` schema emission
+    (CompilerMain.java:105, CreateRelationStatement.java:121,
+    OtherTests.java:331 testSchema): ``{"inputs": [...], "outputs":
+    [...]}`` where each relation is ``{"name", "fields": [{"name",
+    "type", "nullable"}]}``. Input nullability is the DECLARED
+    contract (NULL suffix / NOT NULL / not-nullable default); output
+    nullability is INFERRED by analyzing each view over inputs that
+    carry the declared contract — the doc/sql/types.rst:45-48 rule,
+    supplied here by Catalyst's analysis instead of Calcite's."""
+    if isinstance(program, str):
+        program = SqlProgram.parse(program)
+    inputs = []
+    for t in program.tables.values():
+        nus = t.nullability or tuple(False for _ in t.columns)
+        inputs.append(
+            {
+                "name": t.name,
+                "fields": [
+                    {"name": c, "type": ty, "nullable": nu}
+                    for (c, ty), nu in zip(t.columns, nus)
+                ],
+            }
+        )
+    for name, table in program.tables.items():
+        _declared_empty_table(spark, table).createOrReplaceTempView(name)
+    outputs = []
+    for v in program.views:
+        df = spark.sql(v.sql)
+        if v.columns is not None:
+            df = df.toDF(*v.columns)
+        outputs.append(
+            {
+                "name": v.name,
+                "fields": [
+                    {
+                        "name": f.name,
+                        "type": f.dataType.simpleString(),
+                        "nullable": bool(f.nullable),
+                    }
+                    for f in df.schema.fields
+                ],
+            }
+        )
+        df.createOrReplaceTempView(v.name)  # later views may reference it
+    return {"inputs": inputs, "outputs": outputs}
 
 
 def bind_sources(

@@ -1225,3 +1225,39 @@ def test_multi_scalar_subquery_matches_batch(spark):
         out_o, out_n = inc.step(deltas_o), naive.step(deltas_n)
         assert _zrows(out_o["v"]) == _zrows(out_n["v"]), f"step {i}"
     assert _zrows(inc.snapshot("v")) == _zrows(naive.snapshot("v"))
+
+
+def test_schema_json_contract(spark):
+    """The reference's -js schema emission (OtherTests.java:331
+    testSchema; CreateRelationStatement.java:121): inputs carry
+    DECLARED nullability (NULL suffix / NOT NULL / the reference's
+    not-nullable default, doc/sql/types.rst:37), outputs carry
+    INFERRED nullability over those declared contracts — aggregates
+    over a NOT NULL column can still be NULL on empty groups, COUNT
+    never is, COALESCE with a literal default is not."""
+    from sql_to_dbsp_compiler_spark.compiler.program import schema_json
+
+    prog = """
+    CREATE TABLE t(a INT NOT NULL, b INT NULL, c INT, s VARCHAR(5));
+    CREATE VIEW v1 AS SELECT a, b, a + 1 AS a1, a + b AS ab FROM t;
+    CREATE VIEW v2 AS SELECT a, COUNT(*) AS n, SUM(b) AS sb,
+        COALESCE(SUM(b), 0) AS sb0 FROM t GROUP BY a;
+    """
+    js = schema_json(spark, prog)
+    t = {f["name"]: f for f in js["inputs"][0]["fields"]}
+    assert t["a"]["nullable"] is False
+    assert t["b"]["nullable"] is True
+    assert t["c"]["nullable"] is False  # reference default: NOT nullable
+    assert t["s"]["nullable"] is False and t["s"]["type"] == "VARCHAR(5)"
+    v1 = {f["name"]: f for f in js["outputs"][0]["fields"]}
+    assert v1["a"]["nullable"] is False      # NOT NULL flows through
+    assert v1["a1"]["nullable"] is False     # literal arithmetic too
+    assert v1["ab"]["nullable"] is True      # nullable operand infects
+    v2 = {f["name"]: f for f in js["outputs"][1]["fields"]}
+    assert v2["n"]["nullable"] is False      # COUNT(*) never NULL
+    assert v2["sb"]["nullable"] is True      # SUM over nullable
+    assert v2["sb0"]["nullable"] is False    # COALESCE(_, literal)
+    # shape matches the reference JSON: {"inputs": [...], "outputs": [...]}
+    assert set(js) == {"inputs", "outputs"}
+    assert all(set(f) == {"name", "type", "nullable"}
+               for rel in js["inputs"] + js["outputs"] for f in rel["fields"])
