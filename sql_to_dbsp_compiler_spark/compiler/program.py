@@ -1105,6 +1105,7 @@ class _GroupingSetsOp:
     sub_ops: "list[object]"  # parallel to sets (empty set keyed by __g)
     kindword: str  # rollup | cube | grouping-sets
     items: "list[tuple[str, str, str]]"  # (fn, arg, alias)
+    recompute: bool = False  # MIN/MAX present → per-set recompute
 
 
 def _parse_join_projection(
@@ -1823,7 +1824,11 @@ def _recognize_scalar_subq(sql: str, known: set[str], cols_of: dict[str, list[st
 
 
 def _recognize_grouping_sets(sql: str, known: set[str]):
-    from ..plans.incremental import AggSpec, IncrementalLinearAgg
+    from ..plans.incremental import (
+        AggSpec,
+        IncrementalGroupRecomputeAgg,
+        IncrementalLinearAgg,
+    )
 
     m = _GROUPING_AGG_RE.match(sql)
     if not m or m.group("src").lower() not in known:
@@ -1882,8 +1887,6 @@ def _recognize_grouping_sets(sql: str, known: set[str]):
             out_cols.append(alias)
         elif am:
             fn = am.group("fn").lower()
-            if fn in ("min", "max"):
-                return None  # non-linear per set → naive
             arg = am.group("arg").strip()
             if arg != "*" and _FORBIDDEN_LINEAR.search(arg):
                 return None
@@ -1910,14 +1913,33 @@ def _recognize_grouping_sets(sql: str, known: set[str]):
         return specs
 
     cond = F.expr(where) if where else None
-    sub_ops = [
-        IncrementalLinearAgg(keys=(gset if gset else ["__g"]), specs=_specs(), cond=cond)
-        for gset in sets
-    ]
+    # MIN/MAX have no subtraction rule → per-set affected-group
+    # recompute, the same strategy as the single-group-by path
+    # (aggregate-recompute); linear-only views keep the cheaper
+    # delta-aggregate per set.
+    recompute = any(fn in ("min", "max") for fn, _, _ in items)
+    if recompute:
+        def _agg_cols() -> list:
+            return [
+                F.expr(f"{fn}({arg})").alias(alias) for fn, arg, alias in items
+            ]
+
+        sub_ops = [
+            IncrementalGroupRecomputeAgg(
+                keys=(gset if gset else ["__g"]), aggs=_agg_cols(), cond=cond
+            )
+            for gset in sets
+        ]
+    else:
+        sub_ops = [
+            IncrementalLinearAgg(keys=(gset if gset else ["__g"]), specs=_specs(), cond=cond)
+            for gset in sets
+        ]
     kindword = {"ROLLUP": "rollup", "CUBE": "cube", "GROUPING SETS": "grouping-sets"}[kind]
     return _GroupingSetsOp(
         src, where, sets, all_keys, grouping_aliases,
         [al for _, _, al in items], out_cols, sub_ops, kindword, items,
+        recompute,
     )
 
 
@@ -2458,7 +2480,8 @@ class IncrementalProgram:
             if isinstance(op, _ScalarSubqueryOp):
                 return "scalar-agg-join"
             if isinstance(op, _GroupingSetsOp):
-                return f"{op.kindword}-aggregate"
+                suffix = "-recompute" if op.recompute else ""
+                return f"{op.kindword}-aggregate{suffix}"
             return "naive"
 
         return {name: kind(op) for name, op in self._ops.items()}

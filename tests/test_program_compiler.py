@@ -1086,6 +1086,8 @@ CREATE VIEW v_cube AS SELECT grp, id, SUM(val) AS s FROM ta
     GROUP BY CUBE (grp, id);
 CREATE VIEW v_gsets AS SELECT grp, id, COUNT(*) AS c FROM ta
     GROUP BY GROUPING SETS ((grp), (id), ());
+CREATE VIEW v_gsets_mm AS SELECT grp, MIN(val) AS mn, MAX(val) AS mx,
+    COUNT(*) AS c FROM ta GROUP BY ROLLUP (grp);
 """
 
 
@@ -1107,6 +1109,8 @@ def test_recognizer_round3_shapes_not_naive(spark):
     assert plan["v_rollup"] == "rollup-aggregate"
     assert plan["v_cube"] == "cube-aggregate"
     assert plan["v_gsets"] == "grouping-sets-aggregate"
+    # MIN/MAX per grouping set → per-set affected-group recompute
+    assert plan["v_gsets_mm"] == "rollup-aggregate-recompute"
 
 
 def test_recognizer_round3_shapes_match_naive(spark):
@@ -1174,13 +1178,12 @@ def test_round3_recognizer_conservative_fallbacks(spark):
         WHERE EXISTS (SELECT 1 FROM tb WHERE tb.ref > ta.id);
     CREATE VIEW f_two AS SELECT id,
         (SELECT MAX(bval) FROM tb) AS mglob FROM ta;
-    CREATE VIEW f_minset AS SELECT grp, MIN(val) AS m FROM ta GROUP BY ROLLUP (grp);
     CREATE VIEW f_self AS SELECT id FROM ta
         WHERE EXISTS (SELECT 1 FROM ta WHERE ta.id = ta.id);
     """
     inc = IncrementalProgram(spark, prog, optimize=True)
     plan = inc.plan()
-    for v in ("f_notin", "f_nonequi", "f_two", "f_minset", "f_self"):
+    for v in ("f_notin", "f_nonequi", "f_two", "f_self"):
         assert plan[v] == "naive", v
     d = inc.step({
         "ta": ZSet(spark.createDataFrame(
