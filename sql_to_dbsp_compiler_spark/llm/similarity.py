@@ -423,3 +423,106 @@ def ivf_query_store(
     return topk_per_group(
         scored, [query_id_col], [F.col("sim").desc(), F.col(id_col)], k
     ).withColumn("rn", F.col("rn").cast("bigint"))
+
+
+def l2(a: Column, b: Column) -> Column:
+    """Euclidean distance as a sequential fold (sum of squares left to
+    right, then sqrt) — the same operation order as DuckDB's
+    ``list_distance``, so values are bit-identical across engines."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    m: int = 8,
+    k: int = 16,
+    topk: int = 10,
+) -> DataFrame:
+    """Product-quantization ANN: each vector is compressed to ``m``
+    subspace codes (argmin-L2 against a per-subspace codebook of ``k``
+    centroids), and queries rank the corpus by the asymmetric distance
+    Σ_j d(q_j, codebook[j][code_j]) computed from codes alone — the
+    memory-bound regime of billion-vector ANN (m bytes/vector instead
+    of dim floats; here the sub-distance metric is per-subspace L2,
+    summed in fixed j order so the fold is engine-reproducible).
+
+    Codebooks are HEAD-INIT (subvectors of the k lowest-id corpus
+    vectors) — deterministic and reproducible in the DuckDB oracle,
+    the same trick as the head-init IVF. A trained variant would swap
+    in k-means sub-codebooks without changing the query plan.
+
+    Plan shape at scale: the codebook is a driver-side literal
+    (k·m·subdim doubles, broadcast in the expression tree), encoding
+    is a pure projection over the corpus (no shuffle, no UDF), and the
+    query phase is corpus-codes × broadcast-queries with one window
+    shuffle for the per-query top-k. Cost per query is linear in the
+    corpus CODE table — dim/ (m·1) times less data than raw vectors."""
+    spark = corpus.sparkSession
+    head = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(as_double_array(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    dim = len(head[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    # cb[j][cid] = centroid subvector (tiny: k*m*sub doubles as literals)
+    cb = [
+        [list(row["v"][j * sub : (j + 1) * sub]) for row in head] for j in range(m)
+    ]
+    CB = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in cvec]) for cvec in cb_j])
+            for cb_j in cb
+        ]
+    )
+
+    def encode(v: Column) -> Column:
+        def code_at(j: Column) -> Column:
+            sv = F.slice(v, j * sub + 1, sub)
+            dists = F.transform(
+                F.element_at(CB, j + 1), lambda cvec: l2(sv, cvec)
+            )
+            # first position of the minimum → lowest cid on ties
+            return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+        return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_at)
+
+    codes = corpus.select(
+        F.col(id_col), encode(as_double_array(F.col(vec_col))).alias("codes")
+    )
+    qv = as_double_array(F.col(vec_col)).alias("qv")
+    q = queries.select(F.col(query_id_col), qv)
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + l2(
+            F.slice(F.col("qv"), j * sub + 1, sub),
+            F.element_at(F.element_at(CB, j + 1), F.element_at(F.col("codes"), j + 1) + 1),
+        ),
+    )
+    scored = codes.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col), F.col(id_col), adc.alias("dist")
+    )
+    return topk_per_group(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.col("dist").asc(), F.col(id_col).asc()],
+        k=topk,
+        rank_col="rn",
+    ).select(
+        query_id_col, id_col, "dist", F.col("rn").cast("bigint").alias("rn")
+    )

@@ -194,3 +194,42 @@ def test_srp_wide_bands_high_threshold_regime(spark):
     # not every planted pair survives the 0.9 cosine threshold; of
     # those that do, banding theory says ~96% collide in ≥1 band
     assert hit >= int(0.6 * npairs), f"only {hit}/{npairs} planted pairs found"
+
+
+def test_pq_topk_recall_vs_exact_l2(spark, sf_correct_dir):
+    """PQ ANN (m=32 subspaces, k=64 head-init centroids, 8x memory
+    compression) must keep recall@10 >= 0.5 against exact L2 on the
+    structureless synthetic embeddings — the worst case for
+    quantization (no cluster structure to exploit). Ties and the
+    distance fold are deterministic, so this is a stable bound, not a
+    flaky sample."""
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        as_double_array,
+        l2,
+        pq_topk,
+    )
+
+    e = load_table(spark, sf_correct_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 10)
+    got = pq_topk(corpus, queries, m=32, k=64, topk=10).collect()
+    q = queries.select("query_id", as_double_array(F.col("embedding")).alias("qv"))
+    c = corpus.select("vec_id", as_double_array(F.col("embedding")).alias("cv"))
+    ex = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", l2(F.col("qv"), F.col("cv")).alias("d")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d"), F.col("vec_id"))
+    exact = ex.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10).collect()
+    g, x = defaultdict(set), defaultdict(set)
+    for r in got:
+        g[r["query_id"]].add(r["vec_id"])
+    for r in exact:
+        x[r["query_id"]].add(r["vec_id"])
+    recalls = [len(g[k] & x[k]) / 10 for k in x]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
