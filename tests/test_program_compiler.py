@@ -1033,7 +1033,10 @@ def test_window_and_joinagg_views_driven_by_stream(spark, tmp_path):
                      FROM ev"""),
         ("v_ja", "SELECT label, SUM(v) AS sv, COUNT(*) AS n FROM ev JOIN dim ON ev.k = dim.kk GROUP BY label"),
     ]:
-        expect = {(*r, 1) for r in spark.sql(sql).collect()}
+        from collections import Counter
+
+        cnt = Counter(tuple(r) for r in spark.sql(sql).collect())
+        expect = {(*k, w) for k, w in cnt.items()}
         assert _zrows(inc.snapshot(vname)) == expect, vname
 
 
@@ -1264,3 +1267,79 @@ def test_schema_json_contract(spark):
     assert set(js) == {"inputs", "outputs"}
     assert all(set(f) == {"name", "type", "nullable"}
                for rel in js["inputs"] + js["outputs"] for f in rel["fields"])
+
+
+def test_round3_ops_driven_by_stream(spark, tmp_path):
+    """Round-3 circuit ops (UNNEST flatmap, decorrelated EXISTS,
+    scalar-agg subquery, ROLLUP) fed by a real Structured Streaming
+    source: after consuming all micro-batches, every view snapshot
+    equals batch evaluation over the full streamed data — with the
+    subquery's B side as a STATIC source so the semi-join state sees
+    the full key set from step one."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql.types import StructType
+
+    from sql_to_dbsp_compiler_spark.streaming.incremental import (
+        run_program_on_stream,
+        stream_from_dir,
+    )
+
+    prog = """
+    CREATE TABLE ta(id INTEGER, grp VARCHAR(5), val INTEGER, arr INTEGER ARRAY);
+    CREATE TABLE tb(ref INTEGER, bval INTEGER);
+    CREATE VIEW s_unnest AS SELECT id, e FROM ta, UNNEST(arr) AS t(e);
+    CREATE VIEW s_exists AS SELECT id, grp FROM ta
+        WHERE EXISTS (SELECT 1 FROM tb WHERE tb.ref = ta.id AND tb.bval > 0);
+    CREATE VIEW s_scalar AS SELECT id, grp,
+        (SELECT COUNT(*) FROM tb WHERE tb.ref = ta.id) AS n FROM ta;
+    CREATE VIEW s_rollup AS SELECT grp, SUM(val) AS s, COUNT(*) AS c
+        FROM ta GROUP BY ROLLUP (grp);
+    """
+    rows = [(i, "ab"[i % 2], i * 3, [i % 3, i % 5]) for i in range(12)]
+    schema_str = "id int, grp string, val int, arr array<int>"
+    full = spark.createDataFrame(rows, schema_str)
+    base, flat = str(tmp_path / "s"), str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        spark.createDataFrame(rows[i * 4 : (i + 1) * 4], schema_str).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(base, f"b{i}"))
+        shutil.copy(
+            glob.glob(os.path.join(base, f"b{i}", "*.parquet"))[0],
+            os.path.join(flat, f"batch_{i}.parquet"),
+        )
+    tb = spark.createDataFrame(
+        [(1, 5), (1, -2), (3, 7), (5, 0), (7, 9), (7, 1)], "ref int, bval int"
+    )
+    inc = run_program_on_stream(
+        spark,
+        prog,
+        "ta",
+        stream_from_dir(spark, flat, StructType.fromDDL(schema_str)),
+        static_sources={"tb": tb},
+    )
+    plan = inc.plan()
+    assert plan["s_unnest"] == "flatmap"
+    assert plan["s_exists"] == "semi-join-decorrelated"
+    assert plan["s_scalar"] == "scalar-agg-join"
+    assert plan["s_rollup"] == "rollup-aggregate"
+
+    full.createOrReplaceTempView("ta")
+    tb.createOrReplaceTempView("tb")
+    for vname, sql in [
+        ("s_unnest", "SELECT id, e FROM ta LATERAL VIEW explode(arr) t AS e"),
+        ("s_exists", "SELECT id, grp FROM ta WHERE EXISTS "
+                     "(SELECT 1 FROM tb WHERE tb.ref = ta.id AND tb.bval > 0)"),
+        ("s_scalar", "SELECT id, grp, (SELECT COUNT(*) FROM tb "
+                     "WHERE tb.ref = ta.id) AS n FROM ta"),
+        ("s_rollup", "SELECT grp, SUM(val) AS s, COUNT(*) AS c "
+                     "FROM ta GROUP BY ROLLUP (grp)"),
+    ]:
+        from collections import Counter
+
+        cnt = Counter(tuple(r) for r in spark.sql(sql).collect())
+        expect = {(*k, w) for k, w in cnt.items()}
+        assert _zrows(inc.snapshot(vname)) == expect, vname
