@@ -438,6 +438,65 @@ def l2(a: Column, b: Column) -> Column:
     )
 
 
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample_n: int = 100_000,
+    iters: int = 10,
+) -> DataFrame:
+    """Train per-subspace PQ codebooks: returns ``(j, cid, cvec)`` with
+    ``m`` independent k-means fits, one per subspace.
+
+    Scale shape: codebooks are trained on a BOUNDED head sample
+    (standard PQ practice — quantizers are trained on ~10⁵–10⁶ sampled
+    vectors regardless of corpus size, then applied to the full
+    corpus), so training cost is independent of corpus size. The
+    sample is exploded once into ``(j, subvector)`` rows and shuffled
+    once; each subspace's Lloyd fit runs independently inside one
+    ``applyInPandas`` group (numpy, deterministic: rows sorted by id,
+    head-init, fixed iteration count, empty clusters keep their old
+    centroid) — m-way parallel training with a single shuffle and no
+    driver-side loop over subspaces."""
+    import numpy as np
+    import pandas as pd
+
+    dim = len(corpus.select(as_double_array(F.col(vec_col)).alias("v")).first()["v"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    v = as_double_array(F.col(vec_col))
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)), lambda j: F.slice(v, j * sub + 1, sub)
+    )
+    sample = (
+        corpus.orderBy(id_col)
+        .limit(sample_n)
+        .select(F.col(id_col).alias("__id"), F.posexplode(subs).alias("j", "sv"))
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id")
+        X = np.asarray(list(pdf["sv"]), dtype=np.float64)
+        kk = min(k, len(X))
+        C = X[:kk].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(kk):
+                mask = assign == c
+                if mask.any():
+                    C[c] = X[mask].mean(axis=0)
+        j = int(pdf["j"].iloc[0])
+        return pd.DataFrame(
+            {"j": j, "cid": range(kk), "cvec": [list(map(float, c)) for c in C]}
+        )
+
+    return sample.groupBy("j").applyInPandas(fit, "j int, cid int, cvec array<double>")
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -447,6 +506,7 @@ def pq_topk(
     m: int = 8,
     k: int = 16,
     topk: int = 10,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN: each vector is compressed to ``m``
     subspace codes (argmin-L2 against a per-subspace codebook of ``k``
@@ -456,10 +516,14 @@ def pq_topk(
     of dim floats; here the sub-distance metric is per-subspace L2,
     summed in fixed j order so the fold is engine-reproducible).
 
-    Codebooks are HEAD-INIT (subvectors of the k lowest-id corpus
-    vectors) — deterministic and reproducible in the DuckDB oracle,
-    the same trick as the head-init IVF. A trained variant would swap
-    in k-means sub-codebooks without changing the query plan.
+    Codebooks default to HEAD-INIT (subvectors of the k lowest-id
+    corpus vectors) — deterministic and reproducible in the DuckDB
+    oracle, the same trick as the head-init IVF. Pass
+    ``codebooks=pq_train_codebooks(...)`` (a ``(j, cid, cvec)``
+    DataFrame, e.g. read back from parquet) to rank against trained
+    sub-codebooks with an identical query plan; persisting the trained
+    table keeps the search math oracle-verifiable (the oracle
+    recomputes encode+ADC from the persisted float64 values).
 
     Plan shape at scale: the codebook is a driver-side literal
     (k·m·subdim doubles, broadcast in the expression tree), encoding
@@ -468,20 +532,31 @@ def pq_topk(
     shuffle for the per-query top-k. Cost per query is linear in the
     corpus CODE table — dim/ (m·1) times less data than raw vectors."""
     spark = corpus.sparkSession
-    head = (
-        corpus.orderBy(id_col)
-        .limit(k)
-        .select(as_double_array(F.col(vec_col)).alias("v"))
-        .collect()
-    )
-    dim = len(head[0]["v"])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    # cb[j][cid] = centroid subvector (tiny: k*m*sub doubles as literals)
-    cb = [
-        [list(row["v"][j * sub : (j + 1) * sub]) for row in head] for j in range(m)
-    ]
+    if codebooks is not None:
+        # trained (or otherwise external) codebooks: tiny (m·k rows),
+        # collected into the same expression-tree literal as head-init
+        rows = codebooks.select("j", "cid", "cvec").collect()
+        k = max(r["cid"] for r in rows) + 1
+        m = max(r["j"] for r in rows) + 1
+        sub = len(rows[0]["cvec"])
+        cb = [[None] * k for _ in range(m)]
+        for r in rows:
+            cb[r["j"]][r["cid"]] = list(r["cvec"])
+    else:
+        head = (
+            corpus.orderBy(id_col)
+            .limit(k)
+            .select(as_double_array(F.col(vec_col)).alias("v"))
+            .collect()
+        )
+        dim = len(head[0]["v"])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        # cb[j][cid] = centroid subvector (tiny: k*m*sub doubles as literals)
+        cb = [
+            [list(row["v"][j * sub : (j + 1) * sub]) for row in head] for j in range(m)
+        ]
     CB = F.array(
         *[
             F.array(*[F.array(*[F.lit(float(x)) for x in cvec]) for cvec in cb_j])

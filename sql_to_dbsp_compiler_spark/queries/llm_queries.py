@@ -736,3 +736,77 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.where(F.col("vec_id") >= 10)
     return pq_topk(corpus, queries, m=32, k=64, topk=10)
+
+
+_PQ_CODEBOOK_PATH = "/root/repo/.artifacts/pq_kmeans_codebooks.parquet"
+
+
+@query(
+    "ann_pq_kmeans_topk",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id >= 10),
+    cb AS (SELECT j, cid, CAST(cvec AS DOUBLE[]) AS cvec
+           FROM read_parquet('{_PQ_CODEBOOK_PATH}/*.parquet')),
+    ex AS (SELECT c.vec_id, t.j, c.v[t.j*2+1 : t.j*2+2] AS sv
+           FROM corpus c CROSS JOIN range(32) t(j)),
+    codes AS (
+        SELECT vec_id, j, cid AS code FROM (
+            SELECT ex.vec_id, ex.j, cb.cid,
+                   ROW_NUMBER() OVER (PARTITION BY ex.vec_id, ex.j
+                       ORDER BY list_distance(ex.sv, cb.cvec), cb.cid) AS r
+            FROM ex JOIN cb ON cb.j = ex.j
+        ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 10),
+    terms AS (
+        SELECT q.query_id, codes.vec_id, codes.j,
+               list_distance(q.qv[codes.j*2+1 : codes.j*2+2], cb.cvec) AS term
+        FROM q CROSS JOIN codes
+        JOIN cb ON cb.j = codes.j AND cb.cid = codes.code
+    ),
+    adc AS (
+        SELECT query_id, vec_id,
+               list_reduce(list(term ORDER BY j), (a, b) -> a + b) AS dist
+        FROM terms GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, dist, rn FROM (
+        SELECT query_id, vec_id, dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dist, vec_id) AS BIGINT) AS rn
+        FROM adc
+    ) WHERE rn <= 10
+    """,
+    tags=("llm", "similarity"),
+)
+def ann_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with TRAINED sub-codebooks: m=32
+    per-subspace k-means fits (numpy Lloyd inside one applyInPandas —
+    a single shuffle trains all subspaces in parallel on a bounded
+    head sample, the standard PQ practice at any corpus size), then
+    the identical code/ADC query plan as `ann_pq_topk`.
+
+    Oracle-gated despite trained codebooks, via the persisted-parquet
+    trick (same as `ann_ivf_kmeans_topk`): the trained ``(j, cid,
+    cvec)`` table is written to parquet and BOTH engines recompute
+    encoding (argmin-L2 with cid tie-break) and the fixed-order
+    asymmetric-distance fold from the persisted float64 values — the
+    training output is the shared input, the search math is verified
+    bit-for-bit. Recall@10 vs exact L2 asserted ≥ the head-init
+    variant in tests/test_similarity.py."""
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 10)
+    cbs = pq_train_codebooks(corpus, m=32, k=64)
+    cbs.write.mode("overwrite").parquet(_PQ_CODEBOOK_PATH)
+    return pq_topk(
+        corpus, queries, topk=10, codebooks=spark.read.parquet(_PQ_CODEBOOK_PATH)
+    )
