@@ -163,6 +163,18 @@ def translate_view_sql(sql: str) -> str:
     sql = _WIN_BOUND_RE.sub(lambda m: f"window.{m.group(1).lower()}", sql)
     # Calcite UNNEST (reference doc/sql/grammar + visitUncollect,
     # CalciteToDBSPCompiler.java:274) → Spark LATERAL VIEW explode.
+    # WITH ORDINALITY (reference doc/sql/array.rst: second column is
+    # the 1-based element index) → inline over an index-carrying
+    # transform; empty and NULL arrays both yield zero rows, matching
+    # UNNEST semantics (verified: explode/inline of NULL emits none).
+    sql = _UNNEST_ORDINAL_RE.sub(
+        lambda m: (
+            f" LATERAL VIEW inline(transform({m.group(1)}, "
+            f"(__x, __i) -> struct(__x, CAST(__i + 1 AS BIGINT)))) "
+            f"{m.group(2) or '__unnest'} AS {m.group(3)}, {m.group(4)}"
+        ),
+        sql,
+    )
     sql = _UNNEST_FROM_RE.sub(
         lambda m: (
             f" LATERAL VIEW explode({m.group(1)}) "
@@ -179,6 +191,13 @@ def translate_view_sql(sql: str) -> str:
 _UNNEST_FROM_RE = re.compile(
     r"(?:,|\bCROSS\s+JOIN\b)\s*UNNEST\s*\(\s*(.+?)\s*\)\s+AS\s+"
     r"(?:(\w+)\s*\(\s*(\w+)\s*\)|(\w+))",
+    re.IGNORECASE | re.DOTALL,
+)
+# ``, UNNEST(arr) WITH ORDINALITY AS t(c, o)`` — the two-column alias
+# form is required (the element and the 1-based ordinal).
+_UNNEST_ORDINAL_RE = re.compile(
+    r"(?:,|\bCROSS\s+JOIN\b)\s*UNNEST\s*\(\s*(.+?)\s*\)\s+WITH\s+ORDINALITY\s+AS\s+"
+    r"(\w+)\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -871,6 +890,17 @@ _LATERAL_EXPLODE_RE = re.compile(
     r"(?:WHERE\s+(?P<where>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# The exact LATERAL VIEW shape translate_view_sql emits for UNNEST
+# WITH ORDINALITY (inline over an index-carrying transform).
+_LATERAL_ORDINAL_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>\w+)\s+LATERAL\s+VIEW\s+"
+    r"inline\s*\(\s*transform\s*\(\s*(?P<arr>.+?)\s*,\s*"
+    r"\(\s*__x\s*,\s*__i\s*\)\s*->\s*struct\s*\(\s*__x\s*,\s*"
+    r"CAST\s*\(\s*__i\s*\+\s*1\s+AS\s+BIGINT\s*\)\s*\)\s*\)\s*\)\s+"
+    r"(?P<tab>\w+)\s+AS\s+(?P<col>\w+)\s*,\s*(?P<ord>\w+)\s*"
+    r"(?:WHERE\s+(?P<where>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _EXISTS_CONJ_RE = re.compile(
     r"^\s*(?P<neg>NOT\s+)?EXISTS\s*\(\s*(?P<inner>SELECT\b.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -1037,6 +1067,7 @@ class _FlatMapOp:
     sel_items: "list[str] | None"
     where: "str | None"
     out_cols: "list[str] | None"
+    ord_col: "str | None" = None  # WITH ORDINALITY output column
 
 
 @dataclass
@@ -1593,7 +1624,12 @@ def _recognize_agg_join(m: "re.Match", cols_of: dict[str, list[str]]):
 
 
 def _recognize_flatmap(sql: str, known: set[str]):
-    m = _LATERAL_EXPLODE_RE.match(sql)
+    ord_col = None
+    m = _LATERAL_ORDINAL_RE.match(sql)
+    if m:
+        ord_col = m.group("ord").lower()
+    else:
+        m = _LATERAL_EXPLODE_RE.match(sql)
     if not m or m.group("src").lower() not in known:
         return None
     src = m.group("src").lower()
@@ -1605,7 +1641,7 @@ def _recognize_flatmap(sql: str, known: set[str]):
     if parsed is None:
         return None
     sel_items, names = parsed
-    return _FlatMapOp(src, arr, elem, sel_items, where, names)
+    return _FlatMapOp(src, arr, elem, sel_items, where, names, ord_col)
 
 
 def _recognize_semi_anti(sql: str, known: set[str], cols_of: dict[str, list[str]]):
@@ -2596,7 +2632,12 @@ class IncrementalProgram:
                 )
                 op.prev = cur
             elif isinstance(op, _FlatMapOp):
-                z = delta_of(op.src).flat_map(F.expr(op.arr_expr), op.elem)
+                if op.ord_col is not None:
+                    z = delta_of(op.src).flat_map_ordinal(
+                        F.expr(op.arr_expr), op.elem, op.ord_col
+                    )
+                else:
+                    z = delta_of(op.src).flat_map(F.expr(op.arr_expr), op.elem)
                 if op.where:
                     z = z.filter(F.expr(op.where))
                 if op.sel_items is not None:

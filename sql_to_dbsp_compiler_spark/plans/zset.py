@@ -63,6 +63,20 @@ class ZSet:
         payload = [c for c in self.df.columns if c != WEIGHT]
         return ZSet(self.df.select(*payload, F.explode(col).alias(alias), F.col(WEIGHT)))
 
+    def flat_map_ordinal(self, col: Column, alias: str, ord_alias: str) -> "ZSet":
+        """DBSPFlatMapOperator for UNNEST WITH ORDINALITY: explode an
+        array payload column keeping the 1-based element index
+        (reference doc/sql/array.rst; still linear — each output row
+        inherits its source weight)."""
+        payload = [c for c in self.df.columns if c != WEIGHT]
+        return ZSet(
+            self.df.select(
+                *payload, F.posexplode(col).alias("__pos", alias), F.col(WEIGHT)
+            )
+            .withColumn(ord_alias, (F.col("__pos") + 1).cast("bigint"))
+            .select(*payload, alias, ord_alias, WEIGHT)
+        )
+
     def join(self, other: "ZSet", on: Column) -> "ZSet":
         """DBSPJoinOperator: weights multiply (bilinear)."""
         a = self.df.withColumnRenamed(WEIGHT, "__wa")

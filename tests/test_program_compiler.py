@@ -1071,6 +1071,7 @@ ROUND3_PROGRAM = """
 CREATE TABLE ta(id INTEGER, grp VARCHAR(10), val INTEGER, arr INTEGER ARRAY);
 CREATE TABLE tb(ref INTEGER, bval INTEGER, tag VARCHAR(10));
 CREATE VIEW v_unnest AS SELECT id, e FROM ta, UNNEST(arr) AS t(e);
+CREATE VIEW v_ordinal AS SELECT id, e, o FROM ta, UNNEST(arr) WITH ORDINALITY AS t(e, o);
 CREATE VIEW v_exists AS SELECT id, grp FROM ta
     WHERE EXISTS (SELECT 1 FROM tb WHERE tb.ref = ta.id AND tb.bval > 0);
 CREATE VIEW v_notexists AS SELECT id, grp FROM ta
@@ -1104,6 +1105,7 @@ def test_recognizer_round3_shapes_not_naive(spark):
     inc = IncrementalProgram(spark, ROUND3_PROGRAM, optimize=True)
     plan = inc.plan()
     assert plan["v_unnest"] == "flatmap"
+    assert plan["v_ordinal"] == "flatmap"
     assert plan["v_exists"] == "semi-join-decorrelated"
     assert plan["v_notexists"] == "anti-join-decorrelated"
     assert plan["v_in"] == "semi-join-decorrelated"
