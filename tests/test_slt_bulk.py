@@ -5,7 +5,10 @@ JDBC-validated executor; README.md:252). A seeded grammar generates
 subset; every one executes on both engines over identical fixture
 tables and must agree value-for-value. A third pass routes a bulk of
 CREATE VIEW programs through the incremental program frontend and
-checks each view snapshot against DuckDB."""
+checks each view snapshot against DuckDB. A fourth pass routes the
+ENTIRE statement bank through the incremental frontend and re-checks
+every snapshot after a delete+insert mutation step — incremental
+maintenance under retraction at SLT breadth."""
 
 from __future__ import annotations
 
@@ -103,3 +106,76 @@ def test_slt_views_through_program_frontend(spark, duck):
         if got != want:
             fails.append(f"{name}: spark={got[:3]} duck={want[:3]}")
     assert not fails, "\n".join(fails)
+
+
+def test_slt_statements_through_program_incremental(spark):
+    """The WHOLE generated SLT statement bank as CREATE VIEWs through
+    the incremental program frontend (optimized recognizers + naive
+    D∘Q∘I fallback), checked against DuckDB TWICE: after the initial
+    insert step and again after a mutation step (deletes + inserts on
+    both base tables, mirrored on the DuckDB side). This is the SLT ×
+    incremental gate: every statement shape must be maintained
+    correctly under retraction, whichever circuit the recognizer
+    picked."""
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+    from sql_to_dbsp_compiler_spark.compiler.slt import _row_key
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+
+    con = duckdb.connect()
+    make_fixture(spark, con)
+    stmts = slt_statements(seed=11)
+    views = {f"v{i}": sql for i, sql in enumerate(stmts)}
+    ddl = (
+        "CREATE TABLE t(id INTEGER, a INTEGER, b INTEGER, s VARCHAR(20), "
+        "d DOUBLE, ts TIMESTAMP);\n"
+        "CREATE TABLE u(k INTEGER, v INTEGER, tag VARCHAR(5));\n"
+        + "\n".join(
+            f"CREATE VIEW {n} AS {to_spark_dialect(sql)};" for n, sql in views.items()
+        )
+    )
+    inc = IncrementalProgram(spark, ddl, optimize=True, checkpoint_every=1)
+
+    t_schema = "id int, a int, b int, s string, d double, ts timestamp, __weight long"
+    u_schema = "k int, v int, tag string, __weight long"
+
+    def check(tag):
+        fails = []
+        for name, sql in views.items():
+            got = sorted(
+                (tuple(r) for r in inc.snapshot(name).to_multiset_df().collect()),
+                key=_row_key,
+            )
+            want = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=_row_key)
+            if got != want:
+                fails.append(f"[{tag}] {name} ({sql[:60]}...): spark={got[:3]} duck={want[:3]}")
+        assert not fails, f"{len(fails)} divergences:\n" + "\n".join(fails[:8])
+
+    inc.step({
+        "t": ZSet(spark.createDataFrame([(*r, 1) for r in T_ROWS], t_schema)),
+        "u": ZSet(spark.createDataFrame([(*r, 1) for r in U_ROWS], u_schema)),
+    })
+    check("insert")
+
+    # mutation: retract three t rows and one u row, add fresh rows
+    # (NULL-bearing and group-flipping) — mirror on DuckDB
+    import datetime as dt
+
+    t_del = [r for r in T_ROWS if r[0] in (2, 5, 9)]
+    t_new = [
+        (13, None, -2, "zz''q", 0.5, dt.datetime(2023, 8, 1, 1, 2, 3)),
+        (14, 3, 3, None, None, None),
+    ]
+    u_del = [r for r in U_ROWS if r[0] == 3]
+    u_new = [(9, 90, "w"), (4, None, None)]
+    inc.step({
+        "t": ZSet(spark.createDataFrame(
+            [(*r, -1) for r in t_del] + [(*r, 1) for r in t_new], t_schema)),
+        "u": ZSet(spark.createDataFrame(
+            [(*r, -1) for r in u_del] + [(*r, 1) for r in u_new], u_schema)),
+    })
+    con.execute("DELETE FROM t WHERE id IN (2, 5, 9)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?,?)", t_new)
+    con.execute("DELETE FROM u WHERE k = 3")
+    con.executemany("INSERT INTO u VALUES (?,?,?)", u_new)
+    check("mutate")
+    con.close()
