@@ -343,3 +343,71 @@ def train_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("__start") / _PACK_BUDGET).alias("chunk_id"),
         (F.col("__start") % _PACK_BUDGET).alias("chunk_offset"),
     )
+
+
+_MIX_TARGETS = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}  # /100
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in _MIX_TARGETS.items())
+
+
+@query(
+    "train_domain_mix",
+    oracle=f"""
+    WITH w(lang, tw) AS (VALUES {_MIX_VALUES}),
+    n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n.cnt * 100 // w.tw) AS mt
+          FROM n JOIN w ON n.lang = w.lang),
+    b AS (SELECT w.lang, (w.tw * m.mt) // 100 AS budget
+          FROM w CROSS JOIN m),
+    r AS (SELECT doc_id, lang,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                      AS BIGINT) AS rn
+          FROM documents)
+    SELECT r.doc_id, r.lang, r.rn
+    FROM r JOIN b ON r.lang = b.lang WHERE r.rn <= b.budget
+    """,
+    tags=("llm", "training"),
+)
+def train_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota corpus mixing: given target mixture weights per
+    language, compute the largest total corpus that respects the
+    target proportions given what each language actually has
+    (M = min_g floor(100·count_g / weight_g), budget_g =
+    floor(weight_g·M / 100) — ALL INTEGER arithmetic, so both engines
+    agree exactly), then keep each language's first budget_g documents
+    in deterministic md5 order. This is the exact-quota counterpart of
+    `train_sample_stratified` (shuffle-free hash-rate sampling,
+    approximate proportions): one tiny count aggregate, a broadcast of
+    the 5-row budget table, and ONE window shuffle partitioned by
+    lang.
+
+    Scale note: at 100 TB a single dominant language makes the
+    per-lang window partition hot; the md5 sort key makes any
+    partial-rank optimization safe, and when exact quotas aren't
+    required the hash-rate path (no shuffle at all) is the production
+    default. Languages without a target weight are dropped (inner
+    join), matching a curated-mixture spec."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("cnt"))
+    tw = F.lit(None).cast("long")
+    for k, v in _MIX_TARGETS.items():
+        tw = F.when(F.col("lang") == k, F.lit(v).cast("long")).otherwise(tw)
+    n = counts.select("lang", "cnt", tw.alias("tw")).where(F.col("tw").isNotNull())
+    m = n.agg(F.min(F.expr("cnt * 100 div tw")).alias("mt"))
+    budgets = (
+        spark.createDataFrame(
+            [(k, v) for k, v in _MIX_TARGETS.items()], "lang string, tw long"
+        )
+        .crossJoin(F.broadcast(m))
+        .select("lang", F.expr("tw * mt div 100").alias("budget"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rn")
+    )
+    return ranked.join(F.broadcast(budgets), "lang").where(
+        F.col("rn") <= F.col("budget")
+    ).select("doc_id", "lang", "rn")
