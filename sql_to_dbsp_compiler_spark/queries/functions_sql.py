@@ -382,3 +382,36 @@ def json_extract_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 1000)
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return e.select("event_id", k.alias("k_val"), (k % 10).alias("k_bucket"))
+
+
+@query(
+    "datetime_subsecond",
+    oracle="""
+    SELECT event_id,
+           CAST(EXTRACT(millisecond FROM ts) AS BIGINT) AS ms_in_min,
+           CAST(EXTRACT(microsecond FROM ts) AS BIGINT) AS us_in_min,
+           CAST(EXTRACT(second FROM ts) AS BIGINT) AS sec_whole,
+           CAST(epoch_us(ts) AS BIGINT) AS epoch_us
+    FROM events WHERE event_id < 500
+    """,
+    tags=("functions", "datetime"),
+)
+def datetime_subsecond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-second EXTRACT units (reference doc/sql/datetime.rst:
+    MILLISECOND and MICROSECOND are within-the-MINUTE values — seconds
+    × 1000 / × 1e6 plus the fraction, ranges 0..59_999 and
+    0..59_999_999). Spark has no MILLISECOND extract unit, so both
+    derive from date_part('SECOND') (a DECIMAL with the full
+    microsecond fraction — exact integer arithmetic after scaling, no
+    float rounding); epoch microseconds via unix_micros."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    sec = F.expr("date_part('SECOND', ts)")  # DECIMAL(8,6) within minute
+    return e.select(
+        "event_id",
+        F.floor(sec * 1000).cast("bigint").alias("ms_in_min"),
+        (sec * 1000000).cast("bigint").alias("us_in_min"),
+        F.floor(sec).cast("bigint").alias("sec_whole"),
+        # parquet reads as TIMESTAMP_NTZ; session tz is pinned UTC so
+        # the cast to TIMESTAMP is the identity instant
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("epoch_us"),
+    )
