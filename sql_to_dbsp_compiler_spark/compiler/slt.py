@@ -321,3 +321,104 @@ def run_statements(spark, con, stmts: list[str]) -> list[SltMismatch]:
             )
             mismatches.append(SltMismatch(sql, diff))
     return mismatches
+
+
+def slt_random_statements(seed: int = 0, n: int = 150) -> list[str]:
+    """SQLsmith-lite: compose n random-but-valid statements from the
+    shared-dialect pools — random filters, group keys, aggregates,
+    HAVING, join types, window functions (always ordered by the
+    unique id for determinism), set ops and scalar subqueries. Every
+    statement is valid and equivalent on both engines; the seed makes
+    a failure reproducible by name."""
+    rng = random.Random(seed)
+    keys = ["(a % 3)", "sign(a)", "(b > 0)", "substring(coalesce(s, ''), 1, 1)",
+            "(a IS NULL)", "abs(coalesce(b, 0)) % 2"]
+    aggs = ["sum({x})", "count({x})", "min({x})", "max({x})", "avg({x})",
+            "count(DISTINCT {x})"]
+    xs = ["a", "b", "a + b", "abs(a)", "d", "coalesce(a, 0) * 2"]
+    filters = ["a > 0", "b < 3", "a IS NOT NULL", "s IS NOT NULL",
+               "coalesce(a, 0) <> coalesce(b, 0)", "d > -1.0",
+               "s LIKE '%b%'", "a BETWEEN -4 AND 8", "TRUE"]
+    winfns = ["row_number()", "rank()", "dense_rank()",
+              "sum(coalesce(a, 0))", "count(*)", "min(coalesce(b, 99))"]
+
+    def rf():
+        return rng.choice(filters)
+
+    out: list[str] = []
+    while len(out) < n:
+        kind = rng.randrange(6)
+        if kind == 0:  # grouped aggregate (+ optional HAVING)
+            k = rng.choice(keys)
+            picked = rng.sample(aggs, rng.randint(1, 3))
+            cols = ", ".join(
+                f"{t.format(x=rng.choice(xs))} AS c{i}" for i, t in enumerate(picked)
+            )
+            having = rng.choice(["", f" HAVING count(*) >= {rng.randint(1, 3)}"])
+            out.append(
+                f"SELECT {k} AS g, {cols} FROM t WHERE {rf()} GROUP BY {k}{having}"
+            )
+        elif kind == 1:  # join + optional aggregate
+            how = rng.choice(["JOIN", "LEFT JOIN"])
+            on = rng.choice(["t.a = u.k", "t.id = u.k", "t.b = u.k"])
+            if rng.random() < 0.5:
+                a = rng.choice(aggs).format(x=rng.choice(["t.a", "t.b", "u.v"]))
+                out.append(
+                    f"SELECT u.tag AS g, {a} AS c0, count(*) AS n FROM t "
+                    f"{how} u ON {on} WHERE {rf()} GROUP BY u.tag"
+                )
+            else:
+                out.append(
+                    f"SELECT t.id, t.a, u.v, u.tag FROM t {how} u ON {on} "
+                    f"WHERE {rf()}"
+                )
+        elif kind == 2:  # window over deterministic order
+            w = rng.choice(winfns)
+            part = rng.choice(["", f"PARTITION BY {rng.choice(keys)} "])
+            frame = (
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                if w.startswith(("sum", "count", "min"))
+                else ""
+            )
+            out.append(
+                f"SELECT id, {w} OVER ({part}ORDER BY id{frame}) AS wv "
+                f"FROM t WHERE {rf()}"
+            )
+        elif kind == 3:  # set op between compatible selects
+            op = rng.choice(["UNION", "UNION ALL", "EXCEPT", "INTERSECT"])
+            l = rng.choice(["SELECT id FROM t WHERE " + rf(),
+                            "SELECT a FROM t WHERE a IS NOT NULL"])
+            r = rng.choice(["SELECT k FROM u", "SELECT v / 10 FROM u WHERE v IS NOT NULL"])
+            out.append(f"{l} {op} {r}")
+        elif kind == 4:  # scalar subquery / [NOT] EXISTS / IN
+            form = rng.randrange(4)
+            if form == 0:
+                a = rng.choice(["count(*)", "max(v)", "min(v)", "sum(v)"])
+                out.append(
+                    f"SELECT id, (SELECT {a} FROM u WHERE u.k = t.id) AS sv "
+                    f"FROM t WHERE {rf()}"
+                )
+            elif form == 1:
+                out.append(
+                    f"SELECT id FROM t WHERE EXISTS "
+                    f"(SELECT 1 FROM u WHERE u.k = t.id AND {rng.choice(['v > 10', 'tag IS NOT NULL'])})"
+                )
+            elif form == 2:
+                out.append(
+                    "SELECT id FROM t WHERE NOT EXISTS "
+                    "(SELECT 1 FROM u WHERE u.k = t.id)"
+                )
+            else:
+                out.append(
+                    "SELECT id, a FROM t WHERE a IN "
+                    "(SELECT v / 10 FROM u WHERE v IS NOT NULL)"
+                )
+        else:  # ordered limit with a total order + expressions
+            e1 = rng.choice(xs)
+            out.append(
+                f"SELECT id, ({e1}) AS e FROM t WHERE {rf()} "
+                f"ORDER BY coalesce({e1}, -999999) {rng.choice(['ASC', 'DESC'])}, id "
+                f"LIMIT {rng.randint(3, 9)}"
+            )
+    # dedupe while preserving order (random composition repeats)
+    return list(dict.fromkeys(out))[:n]

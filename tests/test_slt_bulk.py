@@ -179,3 +179,16 @@ def test_slt_statements_through_program_incremental(spark):
     con.executemany("INSERT INTO u VALUES (?,?,?)", u_new)
     check("mutate")
     con.close()
+
+
+def test_slt_random_statement_bulk(spark, duck):
+    """SQLsmith-lite pass: 150 seeded random statements composed from
+    the shared-dialect pools, each run on both engines and compared
+    value-for-value (order-insensitive with a total-order key)."""
+    from sql_to_dbsp_compiler_spark.compiler.slt import slt_random_statements
+
+    stmts = slt_random_statements(seed=23, n=150)
+    assert len(stmts) >= 100
+    mism = run_statements(spark, duck, stmts)
+    msg = "\n".join(f"  {m.sql}: {m.detail}" for m in mism[:10])
+    assert not mism, f"{len(mism)} random-statement divergences:\n{msg}"
