@@ -604,7 +604,7 @@ _SELECT_FROM_RE = re.compile(
 )
 _AGG_SELECT_RE = re.compile(
     r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<src>\w+)\s*"
-    r"(?:WHERE\s+(?P<where>.+?))?\s*GROUP\s+BY\s+(?P<keys>[\w\s,]+?)\s*"
+    r"(?:WHERE\s+(?P<where>.+?))?\s*GROUP\s+BY\s+(?P<keys>.+?)\s*"
     r"(?:HAVING\s+(?P<having>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -859,8 +859,8 @@ _DISTINCT_RE = re.compile(
 # SELECT * FROM src ORDER BY o [ASC|DESC], ... LIMIT k — the global
 # topK view shape (DBSPIndexedTopKOperator with a unit key).
 _GLOBAL_TOPK_RE = re.compile(
-    r"^\s*SELECT\s+\*\s+FROM\s+(?P<src>\w+)\s+ORDER\s+BY\s+(?P<order>[\w\s,]+?)\s+"
-    r"LIMIT\s+(?P<k>\d+)\s*$",
+    r"^\s*SELECT\s+(?P<sel>\*|[\w\s,]+?)\s+FROM\s+(?P<src>\w+)\s+ORDER\s+BY\s+"
+    r"(?P<order>[\w\s,]+?)\s+LIMIT\s+(?P<k>\d+)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 # SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) AS rn
@@ -1320,6 +1320,26 @@ class _AggOp:
     op: "object"  # IncrementalLinearAgg / IncrementalGroupRecomputeAgg
     out_cols: list[str]
     having: "Column | None" = None
+    # computed / renamed GROUP BY keys: a linear pre-projection of the
+    # delta (all source columns + key-expression aliases)
+    pre_sel: "list[str] | None" = None
+
+
+@dataclass
+class _DistinctAggOp:
+    """COUNT(DISTINCT col) GROUP BY keys — composed circuit: linear
+    pre-projection to (keys, col) → IncrementalDistinct (multiplicity
+    zero-crossing state) → linear COUNT per key (reference compiles
+    DISTINCT aggregates the same way: a distinct stage feeding a
+    non-distinct aggregate)."""
+
+    src: str
+    where: "str | None"
+    dist_sel: "list[str]"  # projection feeding the distinct state
+    distinct_op: object  # IncrementalDistinct
+    agg_op: object  # IncrementalLinearAgg (count over the arg)
+    out_cols: list[str]
+    having: "Column | None" = None
 
 
 @dataclass
@@ -1381,6 +1401,7 @@ class _GlobalTopKOp:
     src: str
     op: "object"  # IncrementalTopK keyed by __g
     out_cols: "list[str]"
+    sel: "list[str] | None" = None  # plain-column pre-projection
 
 
 @dataclass
@@ -2062,15 +2083,32 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
             return op
 
     m = _AGG_SELECT_RE.match(sql)
+    if m and re.search(
+        r"\bwindow\s*\(|\b(ROLLUP|CUBE|GROUPING)\b", m.group("keys"), re.IGNORECASE
+    ):
+        # event-time windows belong to the _WIN_AGG_RE path below;
+        # grouping-set keys were already declined above → fall through
+        m = None
     if m and m.group("src").lower() in known:
         sel, src = m.group("sel"), m.group("src").lower()
         where = m.group("where")
-        keys = [k.strip().lower() for k in m.group("keys").split(",") if k.strip()]
+        key_exprs = [
+            k.strip() for k in _split_top_level_commas(m.group("keys")) if k.strip()
+        ]
+        if not key_exprs:
+            return None
+        if any(_FORBIDDEN_LINEAR.search(k) for k in key_exprs):
+            return None
         if where and _FORBIDDEN_LINEAR.search(where):
             return None
+
+        def norm(e: str) -> str:
+            return re.sub(r"\s+", "", e.lower())
+
+        key_norms = [norm(k) for k in key_exprs]
         items: list[tuple[str, str, str]] = []  # (fn, arg, alias)
         out_cols: list[str] = []
-        seen_keys: set[str] = set()
+        key_alias: dict[str, str] = {}  # norm(key expr) → output alias
         for item in _split_top_level_commas(sel):
             item = item.strip()
             am = _AGG_ITEM_RE.match(item)
@@ -2078,17 +2116,51 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
                 fn = am.group("fn").lower()
                 arg = am.group("arg").strip()
                 alias = am.group("alias").lower()
-                if arg != "*" and _FORBIDDEN_LINEAR.search(arg):
+                dm = re.fullmatch(r"DISTINCT\s+(?P<col>\w+)", arg, re.IGNORECASE)
+                if dm and fn == "count":
+                    items.append(("count_distinct", dm.group("col").lower(), alias))
+                elif arg != "*" and _FORBIDDEN_LINEAR.search(arg):
                     return None
-                items.append((fn, arg, alias))
+                else:
+                    items.append((fn, arg, alias))
                 out_cols.append(alias)
-            elif re.fullmatch(r"\w+", item) and item.lower() in keys:
-                seen_keys.add(item.lower())
+            elif re.fullmatch(r"\w+", item) and norm(item) in key_norms:
+                key_alias[norm(item)] = item.lower()
                 out_cols.append(item.lower())
             else:
-                return None  # expressions over keys, aliased keys … → naive
-        if not items or seen_keys != set(keys):
+                km = re.fullmatch(
+                    r"(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)", item, re.IGNORECASE | re.DOTALL
+                )
+                if km and norm(km.group("expr")) in key_norms:
+                    # computed or renamed GROUP BY key selected with an alias
+                    key_alias[norm(km.group("expr"))] = km.group("alias").lower()
+                    out_cols.append(km.group("alias").lower())
+                else:
+                    return None  # non-key expressions → naive
+        if not items:
             return None
+        # resolve each GROUP BY key to an operator key column; computed,
+        # renamed, or UNSELECTED-non-column keys need a pre-projection
+        src_cols = cols_of.get(src)
+        op_keys: list[str] = []
+        pre_extra: list[str] = []
+        for i, (ke, kn) in enumerate(zip(key_exprs, key_norms)):
+            alias = key_alias.get(kn)
+            plain = re.fullmatch(r"\w+", ke) is not None
+            if alias is None and plain:
+                op_keys.append(ke.lower())  # unselected plain column key
+                continue
+            if alias is None:
+                alias = f"__k{i}"  # unselected expression key (hidden)
+            if plain and alias == ke.lower():
+                op_keys.append(alias)
+                continue
+            if src_cols is None or alias in src_cols:
+                return None  # need the schema; alias must not collide
+            pre_extra.append(f"{ke} AS {alias}")
+            op_keys.append(alias)
+        keys = op_keys
+        pre_sel = (list(src_cols) + pre_extra) if pre_extra else None
         having_sql = m.group("having")
         if having_sql is not None:
             # HAVING over aggregates not in the select list compiles to
@@ -2112,6 +2184,33 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
         having = F.expr(having_sql) if having_sql else None
         cond = F.expr(where) if where else None
 
+        if any(fn == "count_distinct" for fn, _, _ in items):
+            # distinct aggregate: supported as the SOLE aggregate item
+            # (mixing with plain aggregates needs a second parallel
+            # state + key join — naive handles those)
+            if len(items) != 1:
+                return None
+            from ..plans.incremental import IncrementalDistinct
+
+            _fn, arg, alias = items[0]
+            if arg in keys:
+                return None  # COUNT(DISTINCT key) — degenerate, naive
+            dist_sel = []
+            for ke, k in zip(key_exprs, keys):
+                dist_sel.append(ke if norm(ke) == k else f"{ke} AS {k}")
+            dist_sel.append(arg)
+            return _DistinctAggOp(
+                src,
+                where,
+                dist_sel,
+                IncrementalDistinct(),
+                IncrementalLinearAgg(
+                    keys=keys, specs=[AggSpec(alias, "count", F.col(arg))]
+                ),
+                out_cols,
+                having,
+            )
+
         if any(fn in ("min", "max") for fn, _, _ in items):
             # non-linear aggregates: affected-group recompute keeps
             # per-step cost bounded by the touched groups
@@ -2126,6 +2225,7 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
                 IncrementalGroupRecomputeAgg(keys=keys, aggs=aggs, cond=cond),
                 out_cols,
                 having,
+                pre_sel,
             )
 
         specs: list = []
@@ -2143,6 +2243,7 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
             IncrementalLinearAgg(keys=keys, specs=specs, cond=cond),
             out_cols,
             having,
+            pre_sel,
         )
 
     m = _AGG_JOIN_RE.match(sql)
@@ -2186,10 +2287,24 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
         src_cols = cols_of.get(src)
         if src_cols is None:
             return None  # need the schema to drop the rank/key columns
+        sel_txt = m.group("sel").strip()
+        if sel_txt == "*":
+            sel_cols = list(src_cols)
+            pre = None
+        else:
+            # plain-column projection: applied to the delta BEFORE the
+            # topk state (sound when the ORDER BY only uses selected
+            # columns — rows identical on them are interchangeable)
+            sel_cols = [c.strip().lower() for c in sel_txt.split(",") if c.strip()]
+            if not sel_cols or any(
+                not re.fullmatch(r"\w+", c) or c not in src_cols for c in sel_cols
+            ):
+                return None
+            pre = sel_cols
         order: list[Column] = []
         for o in m.group("order").split(","):
             om = re.fullmatch(r"(?P<col>\w+)(?:\s+(?P<dir>ASC|DESC))?", o.strip(), re.IGNORECASE)
-            if not om or om.group("col").lower() not in src_cols:
+            if not om or om.group("col").lower() not in sel_cols:
                 return None
             c = F.col(om.group("col").lower())
             order.append(c.desc() if (om.group("dir") or "").upper() == "DESC" else c.asc())
@@ -2198,7 +2313,8 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
         return _GlobalTopKOp(
             src,
             IncrementalTopK(keys=["__g"], order=order, k=int(m.group("k")), rank_alias="__rn"),
-            list(src_cols),
+            sel_cols,
+            pre,
         )
 
     m = _DISTINCT_RE.match(sql)
@@ -2355,7 +2471,7 @@ def _out_cols_of(
             else:
                 return None
         return cols
-    if isinstance(op, _AggOp):
+    if isinstance(op, (_AggOp, _DistinctAggOp)):
         return list(op.out_cols)
     if isinstance(op, (_JoinOp, _OuterJoinOp)):
         return list(op.aliases) if op.aliases is not None else None
@@ -2481,6 +2597,8 @@ class IncrementalProgram:
                 if isinstance(op.op, IncrementalGroupRecomputeAgg):
                     return "aggregate-recompute"
                 return "aggregate"
+            if isinstance(op, _DistinctAggOp):
+                return "distinct-count-aggregate"
             if isinstance(op, _JoinOp):
                 return "join"
             if isinstance(op, _OuterJoinOp):
@@ -2560,9 +2678,20 @@ class IncrementalProgram:
             if isinstance(op, _LinearOp):
                 d = ZSet(_apply_linear(delta_of(op.src).df, op.sel, op.where)).consolidate()
             elif isinstance(op, _AggOp):
-                d = op.op.step(delta_of(op.src))
+                z = delta_of(op.src)
+                if op.pre_sel is not None:
+                    z = ZSet(_apply_linear(z.df, op.pre_sel, None))
+                d = op.op.step(z)
                 # having may reference hidden __hN aggregate columns:
                 # filter before projecting them away
+                if op.having is not None:
+                    d = d.filter(op.having)
+                d = d.map(*[F.col(c) for c in op.out_cols])
+            elif isinstance(op, _DistinctAggOp):
+                z = ZSet(
+                    _apply_linear(delta_of(op.src).df, op.dist_sel, op.where)
+                ).consolidate()
+                d = op.agg_op.step(op.distinct_op.step(z))
                 if op.having is not None:
                     d = d.filter(op.having)
                 d = d.map(*[F.col(c) for c in op.out_cols])
@@ -2586,7 +2715,10 @@ class IncrementalProgram:
             elif isinstance(op, _TopKOp):
                 d = op.op.step(delta_of(op.src))
             elif isinstance(op, _GlobalTopKOp):
-                dd = delta_of(op.src).df.withColumn("__g", F.lit(0))
+                src_z = delta_of(op.src)
+                if op.sel is not None:
+                    src_z = ZSet(_apply_linear(src_z.df, op.sel, None)).consolidate()
+                dd = src_z.df.withColumn("__g", F.lit(0))
                 d = op.op.step(ZSet(dd))
                 d = d.map(*[F.col(c) for c in op.out_cols])
             elif isinstance(op, _WinAggOp):

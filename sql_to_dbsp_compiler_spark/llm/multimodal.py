@@ -98,3 +98,67 @@ def decode_real(media: DataFrame) -> DataFrame:
         "image/audio codecs unavailable in this environment; "
         "use decode_features (deterministic fake) for pipeline tests"
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("t_ms", LongType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled
+    timestamp on a fixed grid (t = 0, every_ms, 2·every_ms, … <
+    duration_ms). The frame GRID is pure column expressions
+    (sequence + posexplode — a Generate node, no UDF, no shuffle);
+    only the per-frame decode is a kernel concern. REAL FRAME DECODE
+    IS STUBBED (no ffmpeg in this environment): the deterministic
+    fake reports the byte-span each frame would decode from, so the
+    row-expansion shape, grid arithmetic and downstream joins are
+    testable end-to-end."""
+    v = media.where(F.col("media_type") == "video").where(F.col("duration_ms") > 0)
+    n_frames = (
+        F.floor((F.col("duration_ms") - 1) / F.lit(every_ms)).cast("long") + 1
+    )
+    grid = F.sequence(F.lit(0).cast("long"), n_frames - 1)
+    return v.select(
+        "media_id",
+        F.length("payload").alias("__n"),
+        F.posexplode(grid).alias("__p", "frame_idx"),
+    ).select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        (F.col("frame_idx") * every_ms).cast("long").alias("t_ms"),
+        # fake "decoded frame size": bytes the frame window covers
+        # (explicit floor: Spark casts double→long by truncation but
+        # DuckDB rounds, so the oracle floors too)
+        F.floor(F.greatest(F.col("__n") / F.lit(16.0), F.lit(1.0)))
+        .cast("long")
+        .alias("frame_bytes"),
+    )
+
+
+def resize_plan(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Aspect-preserving resize TARGETS for image payloads — the
+    metadata half of a resize stage, pure column expressions (the
+    pixel kernel itself would be a mapInPandas over the payloads,
+    stubbed here like decode_real). Downscale-only: images already
+    within max_dim keep their dimensions (scale clamped to 1)."""
+    i = media.where(F.col("media_type") == "image").where(
+        (F.col("width") > 0) & (F.col("height") > 0)
+    )
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_dim)) / F.greatest(F.col("width"), F.col("height")),
+    )
+    return i.select(
+        "media_id",
+        "width",
+        "height",
+        F.floor(F.col("width") * scale).cast("long").alias("target_w"),
+        F.floor(F.col("height") * scale).cast("long").alias("target_h"),
+    )

@@ -810,3 +810,63 @@ def ann_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         corpus, queries, topk=10, codebooks=spark.read.parquet(_PQ_CODEBOOK_PATH)
     )
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS mt,
+                      n_chars * 7 AS duration_ms,
+                      octet_length(CAST(text AS BLOB)) AS n
+               FROM documents),
+    v AS (SELECT * FROM m WHERE mt = 2 AND duration_ms > 0),
+    g AS (SELECT media_id, n,
+                 unnest(range((duration_ms - 1) // 1000 + 1)) AS frame_idx
+          FROM v)
+    SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * 1000 AS BIGINT) AS t_ms,
+           CAST(floor(greatest(n / 16.0, 1.0)) AS BIGINT) AS frame_bytes
+    FROM g
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling GRID (llm/multimodal.py::frame_sample):
+    one row per sampled timestamp per video — sequence+posexplode
+    row expansion with zero UDFs and zero shuffles; the per-frame
+    pixel decode stays a stubbed kernel (no ffmpeg here) but the grid
+    arithmetic, filter pushdown and expansion shape are the real
+    100 TB plumbing and are fully oracle-checked."""
+    from sql_to_dbsp_compiler_spark.llm.multimodal import frame_sample, media_table
+
+    return frame_sample(
+        media_table(load_table(spark, sf_dir, "documents")), every_ms=1000
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, doc_id % 3 AS mt,
+                      n_chars % 1920 AS width, n_chars % 1080 AS height
+               FROM documents)
+    SELECT media_id, CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(floor(width * least(1.0, 256.0 / greatest(width, height)))
+                AS BIGINT) AS target_w,
+           CAST(floor(height * least(1.0, 256.0 / greatest(width, height)))
+                AS BIGINT) AS target_h
+    FROM m WHERE mt = 0 AND width > 0 AND height > 0
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize targets (llm/multimodal.py::
+    resize_plan): the metadata half of an image-resize stage as pure
+    column expressions (downscale-only, scale clamped to 1); the
+    pixel kernel itself is the stubbed mapInPandas path."""
+    from sql_to_dbsp_compiler_spark.llm.multimodal import media_table, resize_plan
+
+    return resize_plan(
+        media_table(load_table(spark, sf_dir, "documents")), max_dim=256
+    )

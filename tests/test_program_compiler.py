@@ -1345,3 +1345,94 @@ def test_round3_ops_driven_by_stream(spark, tmp_path):
         cnt = Counter(tuple(r) for r in spark.sql(sql).collect())
         expect = {(*k, w) for k, w in cnt.items()}
         assert _zrows(inc.snapshot(vname)) == expect, vname
+
+
+ROUND3B_PROGRAM = """
+CREATE TABLE ta(id INTEGER, grp VARCHAR(10), val INTEGER);
+CREATE VIEW e_expr_key AS SELECT grp, val % 3 AS k, SUM(val) AS s
+    FROM ta GROUP BY grp, val % 3;
+CREATE VIEW e_renamed_key AS SELECT grp AS g, COUNT(*) AS n FROM ta GROUP BY grp;
+CREATE VIEW e_hidden_key AS SELECT SUM(val) AS s FROM ta GROUP BY grp;
+CREATE VIEW e_expr_key_mm AS SELECT val % 2 AS k, MAX(val) AS mx
+    FROM ta GROUP BY val % 2;
+CREATE VIEW e_cd AS SELECT grp, COUNT(DISTINCT val) AS cd FROM ta GROUP BY grp;
+CREATE VIEW e_cd_where AS SELECT grp, COUNT(DISTINCT val) AS cd FROM ta
+    WHERE val > 0 GROUP BY grp;
+CREATE VIEW e_ol AS SELECT id, val FROM ta ORDER BY val DESC, id LIMIT 4;
+"""
+
+
+def test_recognizer_expression_keys_and_count_distinct(spark):
+    """Expression / renamed / unselected GROUP BY keys compile to the
+    aggregate circuits behind a linear key pre-projection, and
+    COUNT(DISTINCT col) compiles to distinct→count (the reference
+    compiles DISTINCT aggregates as a distinct stage feeding a plain
+    aggregate). Optimized == naive per step under inserts+deletes with
+    NULL keys and NULL values."""
+    import random
+
+    opt = IncrementalProgram(spark, ROUND3B_PROGRAM, optimize=True, checkpoint_every=2)
+    naive = IncrementalProgram(spark, ROUND3B_PROGRAM, optimize=False, checkpoint_every=2)
+    plan = opt.plan()
+    assert plan["e_expr_key"] == "aggregate"
+    assert plan["e_renamed_key"] == "aggregate"
+    assert plan["e_hidden_key"] == "aggregate"
+    assert plan["e_expr_key_mm"] == "aggregate-recompute"
+    assert plan["e_cd"] == "distinct-count-aggregate"
+    assert plan["e_cd_where"] == "distinct-count-aggregate"
+    assert plan["e_ol"] == "topk-global"
+
+    rng = random.Random(3)
+    live = []
+    for step in range(4):
+        d = []
+        for _ in range(rng.randint(2, 5)):
+            if live and rng.random() < 0.35:
+                row = live.pop(rng.randrange(len(live)))
+                d.append((*row, -1))
+            else:
+                row = (
+                    rng.randrange(8),
+                    rng.choice(["a", "b", None]),
+                    rng.choice([None, rng.randrange(-3, 6)]),
+                )
+                live.append(row)
+                d.append((*row, 1))
+        schema = "id int, grp string, val int, __weight long"
+        oo = opt.step({"ta": ZSet(spark.createDataFrame(d, schema))})
+        nn = naive.step({"ta": ZSet(spark.createDataFrame(d, schema))})
+        for v in oo:
+            a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
+            b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
+            assert a == b, f"{v} step {step}: {a} vs {b}"
+
+
+def test_recognizer_expression_key_conservative_fallbacks(spark):
+    """Shapes the widened aggregate recognizer must NOT claim: a
+    non-key expression in the select list, COUNT(DISTINCT) mixed with
+    a plain aggregate, COUNT(DISTINCT) of a grouping key, and a key
+    alias colliding with a source column. All naive — and correct."""
+    prog = """
+    CREATE TABLE ta(id INTEGER, grp VARCHAR(10), val INTEGER);
+    CREATE VIEW f_nonkey AS SELECT grp, val + 1 AS v1, COUNT(*) AS n
+        FROM ta GROUP BY grp, val;
+    CREATE VIEW f_mixed AS SELECT grp, COUNT(DISTINCT val) AS cd, SUM(val) AS s
+        FROM ta GROUP BY grp;
+    CREATE VIEW f_cd_key AS SELECT grp, COUNT(DISTINCT grp) AS cd
+        FROM ta GROUP BY grp;
+    CREATE VIEW f_collide AS SELECT val % 2 AS id, COUNT(*) AS n
+        FROM ta GROUP BY val % 2;
+    """
+    inc = IncrementalProgram(spark, prog, optimize=True)
+    plan = inc.plan()
+    for v in ("f_nonkey", "f_mixed", "f_cd_key"):
+        assert plan[v] == "naive", (v, plan[v])
+    d = inc.step({
+        "ta": ZSet(spark.createDataFrame(
+            [(1, "a", 5, 1), (2, "a", 5, 1), (3, "b", 2, 1)],
+            "id int, grp string, val int, __weight long"))
+    })
+    rows = {v: sorted((tuple(r) for r in d[v].to_multiset_df().collect()), key=repr)
+            for v in d}
+    assert rows["f_mixed"] == [("a", 1, 10), ("b", 1, 2)]
+    assert rows["f_cd_key"] == [("a", 1), ("b", 1)]

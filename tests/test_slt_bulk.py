@@ -181,14 +181,21 @@ def test_slt_statements_through_program_incremental(spark):
     con.close()
 
 
-def test_slt_random_statement_bulk(spark, duck):
+def test_slt_random_statement_bulk(spark):
     """SQLsmith-lite pass: 150 seeded random statements composed from
     the shared-dialect pools, each run on both engines and compared
-    value-for-value (order-insensitive with a total-order key)."""
+    value-for-value (order-insensitive with a total-order key).
+
+    Self-contained fixture (not the module one): earlier tests route
+    programs through IncrementalProgram, which re-binds the t/u Spark
+    temp views; make_fixture restores them."""
     from sql_to_dbsp_compiler_spark.compiler.slt import slt_random_statements
 
+    con = duckdb.connect()
+    make_fixture(spark, con)
     stmts = slt_random_statements(seed=23, n=150)
     assert len(stmts) >= 100
-    mism = run_statements(spark, duck, stmts)
+    mism = run_statements(spark, con, stmts)
     msg = "\n".join(f"  {m.sql}: {m.detail}" for m in mism[:10])
     assert not mism, f"{len(mism)} random-statement divergences:\n{msg}"
+    con.close()
