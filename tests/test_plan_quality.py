@@ -148,3 +148,31 @@ def test_topk_ngrams_group_limit_below_exchange(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     # counting is a real aggregate with map-side combine
     assert "partial_count" in plan or "partial" in plan
+
+
+def test_domain_mix_broadcasts_budgets_single_window(spark, sf_dir):
+    """Exact-quota domain mixing: the 5-row budget table must join by
+    broadcast (never shuffle the corpus for it) and the quota fill is
+    ONE lang-partitioned window pass."""
+    plan = _plan(spark, sf_dir, "train_domain_mix")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Window") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_multimodal_frames_no_udf_generate_only(spark, sf_dir):
+    """The frame-sampling grid is a Generate (posexplode) over column
+    expressions: no Python UDF, no shuffle anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "multimodal_frames")
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan, "frame grid must not shuffle"
+
+
+def test_pq_encode_is_pure_projection(spark, sf_dir):
+    """PQ corpus encoding must stay an expression-tree projection:
+    the only Python stage allowed is none (codebook is a literal) and
+    the only exchange is the final per-query top-k window."""
+    plan = _plan(spark, sf_dir, "ann_pq_topk")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
