@@ -1436,3 +1436,70 @@ def test_recognizer_expression_key_conservative_fallbacks(spark):
             for v in d}
     assert rows["f_mixed"] == [("a", 1, 10), ("b", 1, 2)]
     assert rows["f_cd_key"] == [("a", 1), ("b", 1)]
+
+
+def test_round3b_ops_driven_by_stream(spark, tmp_path):
+    """The widened-aggregate circuit ops (expression keys, ordinality
+    flatmap, COUNT DISTINCT, projected global top-k) fed by a real
+    Structured Streaming source: after all micro-batches, every view
+    snapshot equals batch evaluation over the full streamed data."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql.types import StructType
+
+    from sql_to_dbsp_compiler_spark.streaming.incremental import (
+        run_program_on_stream,
+        stream_from_dir,
+    )
+
+    prog = """
+    CREATE TABLE ta(id INTEGER, grp VARCHAR(5), val INTEGER, arr INTEGER ARRAY);
+    CREATE VIEW b_expr_key AS SELECT grp, val % 3 AS k, SUM(val) AS s
+        FROM ta GROUP BY grp, val % 3;
+    CREATE VIEW b_cd AS SELECT grp, COUNT(DISTINCT val) AS cd FROM ta GROUP BY grp;
+    CREATE VIEW b_ord AS SELECT id, e, o FROM ta,
+        UNNEST(arr) WITH ORDINALITY AS t(e, o);
+    CREATE VIEW b_ol AS SELECT id, val FROM ta ORDER BY val DESC, id LIMIT 5;
+    """
+    rows = [(i, "ab"[i % 2], (i * 7) % 5, [i % 3, i % 5]) for i in range(12)]
+    schema_str = "id int, grp string, val int, arr array<int>"
+    full = spark.createDataFrame(rows, schema_str)
+    base, flat = str(tmp_path / "s"), str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        spark.createDataFrame(rows[i * 4 : (i + 1) * 4], schema_str).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(base, f"b{i}"))
+        shutil.copy(
+            glob.glob(os.path.join(base, f"b{i}", "*.parquet"))[0],
+            os.path.join(flat, f"batch_{i}.parquet"),
+        )
+    inc = run_program_on_stream(
+        spark,
+        prog,
+        "ta",
+        stream_from_dir(spark, flat, StructType.fromDDL(schema_str)),
+    )
+    plan = inc.plan()
+    assert plan["b_expr_key"] == "aggregate"
+    assert plan["b_cd"] == "distinct-count-aggregate"
+    assert plan["b_ord"] == "flatmap"
+    assert plan["b_ol"] == "topk-global"
+
+    full.createOrReplaceTempView("ta")
+    from collections import Counter
+
+    for vname, sql in [
+        ("b_expr_key", "SELECT grp, val % 3 AS k, SUM(val) AS s "
+                       "FROM ta GROUP BY grp, val % 3"),
+        ("b_cd", "SELECT grp, COUNT(DISTINCT val) AS cd FROM ta GROUP BY grp"),
+        ("b_ord", "SELECT id, e, o FROM ta LATERAL VIEW "
+                  "inline(transform(arr, (__x, __i) -> "
+                  "struct(__x, CAST(__i + 1 AS BIGINT)))) t AS e, o"),
+        ("b_ol", "SELECT id, val FROM ta ORDER BY val DESC, id LIMIT 5"),
+    ]:
+        cnt = Counter(tuple(r) for r in spark.sql(sql).collect())
+        expect = {(*k, w) for k, w in cnt.items()}
+        assert _zrows(inc.snapshot(vname)) == expect, vname
