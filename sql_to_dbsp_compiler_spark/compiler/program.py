@@ -890,6 +890,108 @@ _LATERAL_EXPLODE_RE = re.compile(
     r"(?:WHERE\s+(?P<where>.+?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALIAS_JOIN_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<a>\w+)\s+(?P<aa>\w+)\s+JOIN\s+"
+    r"(?P<b>\w+)\s+(?P<ba>\w+)\s+ON\s+(?P<on>.+?)\s*(?:WHERE\s+(?P<where>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _recognize_alias_join(sql: str, cols_of: dict[str, list[str]]):
+    """Aliased two-table inner join (incl. self-join) → _AliasJoinOp.
+    Conservative: both sides must carry an explicit alias, every
+    column reference must be alias-qualified, ON must be an
+    equi-conjunction."""
+    from ..plans.incremental import IncrementalJoin
+
+    m = _ALIAS_JOIN_RE.match(sql)
+    if not m:
+        return None
+    a, b = m.group("a").lower(), m.group("b").lower()
+    aa, ba = m.group("aa").lower(), m.group("ba").lower()
+    if aa == ba or {aa, ba} & {"join", "on", "where", "inner", "left", "right", "full", "cross", "outer"}:
+        return None
+    if a not in cols_of or b not in cols_of:
+        return None
+    cols_a, cols_b = cols_of[a], cols_of[b]
+
+    def rewrite(text: str) -> "str | None":
+        # alias-qualified refs → prefixed names; any remaining bare
+        # source-column token means an unqualified (ambiguous) ref
+        bad = False
+
+        def sub_q(alias: str, cols: list[str]):
+            def repl(mm: "re.Match") -> str:
+                nonlocal bad
+                c = mm.group(1).lower()
+                if c not in cols:
+                    bad = True
+                    return mm.group(0)
+                return f"__{alias}_{c}"
+
+            return repl
+
+        text = re.sub(rf"\b{aa}\.(\w+)", sub_q(aa, cols_a), text)
+        text = re.sub(rf"\b{ba}\.(\w+)", sub_q(ba, cols_b), text)
+        if bad:
+            return None
+        stripped = _strip_string_literals(text)
+        for c in set(cols_a) | set(cols_b):
+            if re.search(rf"(?<!_)\b{c}\b", stripped, re.IGNORECASE):
+                return None  # bare/unqualified column reference
+        return text
+
+    on = rewrite(m.group("on"))
+    if on is None or _FORBIDDEN_LINEAR.search(on):
+        return None
+    on_col = None
+    for conj in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+        cm = re.fullmatch(r"\s*(__\w+)\s*=\s*(__\w+)\s*", conj)
+        if not cm:
+            return None
+        l, r = cm.group(1), cm.group(2)
+        if l.startswith(f"__{aa}_") and r.startswith(f"__{ba}_"):
+            eq = F.col(l) == F.col(r)
+        elif l.startswith(f"__{ba}_") and r.startswith(f"__{aa}_"):
+            eq = F.col(r) == F.col(l)
+        else:
+            return None
+        on_col = eq if on_col is None else (on_col & eq)
+    if on_col is None:
+        return None
+
+    where = m.group("where")
+    if where is not None:
+        where = rewrite(where)
+        if where is None or _FORBIDDEN_LINEAR.search(where):
+            return None
+
+    sel_items: list[str] = []
+    out_cols: list[str] = []
+    for item in _split_top_level_commas(m.group("sel")):
+        item = item.strip()
+        im = re.fullmatch(
+            r"(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)", item, re.IGNORECASE | re.DOTALL
+        )
+        if im:
+            expr, out = im.group("expr"), im.group("alias").lower()
+        else:
+            qm = re.fullmatch(r"(\w+)\.(\w+)", item)
+            if not qm:
+                return None
+            expr, out = item, qm.group(2).lower()
+        expr = rewrite(expr)
+        if expr is None or _FORBIDDEN_LINEAR.search(expr) or out in out_cols:
+            return None
+        sel_items.append(f"{expr} AS {out}")
+        out_cols.append(out)
+    pre_a = [f"{c} AS __{aa}_{c}" for c in cols_a]
+    pre_b = [f"{c} AS __{ba}_{c}" for c in cols_b]
+    return _AliasJoinOp(
+        a, b, pre_a, pre_b, IncrementalJoin(on=on_col), where, sel_items, out_cols
+    )
+
+
 # The exact LATERAL VIEW shape translate_view_sql emits for UNNEST
 # WITH ORDINALITY (inline over an index-carrying transform).
 _LATERAL_ORDINAL_RE = re.compile(
@@ -1356,6 +1458,29 @@ class _OuterJoinOp:
     src_b: str
     op: "object"  # IncrementalOuterJoin
     aliases: "list[str] | None" = None
+
+
+@dataclass
+class _AliasJoinOp:
+    """Aliased two-table inner equi-join, including SELF-joins
+    (``FROM a x JOIN a y ON x.c = y.d``): each side's delta is
+    pre-projected to alias-prefixed column names (so a self-join's
+    two legs never collide), then the standard bilinear
+    IncrementalJoin applies — a self-join is just the bilinear rule
+    with the same source feeding both legs (2× state, reference
+    visitJoin places no distinctness requirement on the inputs).
+    All column references must be alias-qualified (self-joins make
+    bare names ambiguous); WHERE is linear and filters the joined
+    delta."""
+
+    src_a: str
+    src_b: str
+    pre_a: "list[str]"  # c AS __<alias>_c per source column
+    pre_b: "list[str]"
+    op: object  # IncrementalJoin over the renamed columns
+    where: "str | None"
+    sel_items: "list[str]"
+    out_cols: "list[str]"
 
 
 @dataclass
@@ -2364,6 +2489,12 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
             aliases,
         )
 
+    op = _recognize_alias_join(sql, cols_of)
+    if op is not None:
+        if op.src_a in known and op.src_b in known:
+            return op
+        return None
+
     m = _SELECT_FROM_RE.match(sql)
     if m and m.group("src").lower() in known:
         sel, src = m.group("sel").strip(), m.group("src").lower()
@@ -2475,6 +2606,8 @@ def _out_cols_of(
         return list(op.out_cols)
     if isinstance(op, (_JoinOp, _OuterJoinOp)):
         return list(op.aliases) if op.aliases is not None else None
+    if isinstance(op, _AliasJoinOp):
+        return list(op.out_cols)
     if isinstance(op, _TopKOp):
         src_cols = cols_of.get(op.src)
         return src_cols + [op.op.rank_alias] if src_cols else None
@@ -2601,6 +2734,8 @@ class IncrementalProgram:
                 return "distinct-count-aggregate"
             if isinstance(op, _JoinOp):
                 return "join"
+            if isinstance(op, _AliasJoinOp):
+                return "self-join" if op.src_a == op.src_b else "join"
             if isinstance(op, _OuterJoinOp):
                 return f"{op.op.how}-outer-join"
             if isinstance(op, _DistinctOp):
@@ -2706,6 +2841,13 @@ class IncrementalProgram:
                 d = d.map(*[F.col(c) for c in op.out_cols])
             elif isinstance(op, _JoinOp):
                 d = op.op.step(delta_of(op.src_a), delta_of(op.src_b))
+            elif isinstance(op, _AliasJoinOp):
+                da = ZSet(_apply_linear(delta_of(op.src_a).df, op.pre_a, None))
+                db = ZSet(_apply_linear(delta_of(op.src_b).df, op.pre_b, None))
+                d = op.op.step(da, db)
+                if op.where:
+                    d = d.filter(F.expr(op.where))
+                d = d.map(*[F.expr(i) for i in op.sel_items]).consolidate()
             elif isinstance(op, _OuterJoinOp):
                 d = op.op.step(delta_of(op.src_a), delta_of(op.src_b))
             elif isinstance(op, _DistinctOp):

@@ -1503,3 +1503,65 @@ def test_round3b_ops_driven_by_stream(spark, tmp_path):
         cnt = Counter(tuple(r) for r in spark.sql(sql).collect())
         expect = {(*k, w) for k, w in cnt.items()}
         assert _zrows(inc.snapshot(vname)) == expect, vname
+
+
+def test_recognizer_alias_and_self_joins(spark):
+    """Aliased two-table joins — including SELF-joins — compile to the
+    bilinear IncrementalJoin behind alias-prefixed pre-projections
+    (reference visitJoin places no distinctness requirement on the
+    inputs; a self-join is the bilinear rule with one source feeding
+    both legs). Optimized == naive per step under inserts+deletes.
+    Conservative fallbacks: bare (unqualified) column refs, non-equi
+    ON, and aliased OUTER joins all stay naive."""
+    import random
+
+    prog = """
+    CREATE TABLE ta(id INTEGER, grp VARCHAR(10), val INTEGER);
+    CREATE TABLE tb(ref INTEGER, bval INTEGER);
+    CREATE VIEW j_self AS SELECT x.id AS id_x, y.id AS id_y, x.val
+        FROM ta x JOIN ta y ON x.val = y.val WHERE x.id < y.id;
+    CREATE VIEW j_ab AS SELECT x.id, y.bval FROM ta x JOIN tb y ON x.id = y.ref;
+    CREATE VIEW j_expr AS SELECT x.id, x.val + y.bval AS tot
+        FROM ta x JOIN tb y ON x.id = y.ref WHERE y.bval > 0;
+    CREATE VIEW j_bare AS SELECT x.id, bval FROM ta x JOIN tb y ON x.id = y.ref;
+    CREATE VIEW j_nonequi AS SELECT x.id, y.ref FROM ta x JOIN tb y ON x.id < y.ref;
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=2)
+    naive = IncrementalProgram(spark, prog, optimize=False, checkpoint_every=2)
+    plan = opt.plan()
+    assert plan["j_self"] == "self-join"
+    assert plan["j_ab"] == "join"
+    assert plan["j_expr"] == "join"
+    assert plan["j_bare"] == "naive"
+    assert plan["j_nonequi"] == "naive"
+
+    rng = random.Random(9)
+    ta_live, tb_live = [], []
+    for step in range(4):
+        ta_d, tb_d = [], []
+        for _ in range(rng.randint(2, 5)):
+            if ta_live and rng.random() < 0.35:
+                row = ta_live.pop(rng.randrange(len(ta_live)))
+                ta_d.append((*row, -1))
+            else:
+                row = (rng.randrange(10), rng.choice(["a", "b"]), rng.randrange(4))
+                ta_live.append(row)
+                ta_d.append((*row, 1))
+        for _ in range(rng.randint(1, 3)):
+            if tb_live and rng.random() < 0.35:
+                row = tb_live.pop(rng.randrange(len(tb_live)))
+                tb_d.append((*row, -1))
+            else:
+                row = (rng.randrange(10), rng.randrange(-2, 6))
+                tb_live.append(row)
+                tb_d.append((*row, 1))
+        ts = "id int, grp string, val int, __weight long"
+        us = "ref int, bval int, __weight long"
+        oo = opt.step({"ta": ZSet(spark.createDataFrame(ta_d, ts)),
+                       "tb": ZSet(spark.createDataFrame(tb_d, us))})
+        nn = naive.step({"ta": ZSet(spark.createDataFrame(ta_d, ts)),
+                         "tb": ZSet(spark.createDataFrame(tb_d, us))})
+        for v in oo:
+            a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
+            b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
+            assert a == b, f"{v} step {step}"
