@@ -164,6 +164,15 @@ def slt_statements(seed: int = 0) -> list[str]:
             f"FROM t {how} u ON t.id = u.k GROUP BY u.tag"
         )
     stmts += [
+        # aliased + self joins (alias-qualified references only)
+        "SELECT x.id AS id_x, y.id AS id_y FROM t x JOIN t y "
+        "ON x.a = y.b WHERE x.id <> y.id",
+        "SELECT x.id, y.v AS v2 FROM t x JOIN u y ON x.id = y.k "
+        "WHERE y.v IS NOT NULL",
+        "SELECT x.k AS k1, y.k AS k2, x.v FROM u x JOIN u y ON x.v = y.v "
+        "WHERE x.k < y.k",
+    ]
+    stmts += [
         "SELECT a FROM t WHERE a IS NOT NULL UNION SELECT v FROM u",
         "SELECT a FROM t UNION ALL SELECT k FROM u",
         "SELECT id FROM t EXCEPT SELECT k FROM u",
