@@ -897,27 +897,18 @@ _ALIAS_JOIN_RE = re.compile(
 )
 
 
-def _recognize_alias_join(sql: str, cols_of: dict[str, list[str]]):
-    """Aliased two-table inner join (incl. self-join) → _AliasJoinOp.
-    Conservative: both sides must carry an explicit alias, every
-    column reference must be alias-qualified, ON must be an
-    equi-conjunction."""
-    from ..plans.incremental import IncrementalJoin
+_RESERVED_ALIASES = {
+    "join", "on", "where", "inner", "left", "right", "full", "cross", "outer",
+    "group", "order", "having",
+}
 
-    m = _ALIAS_JOIN_RE.match(sql)
-    if not m:
-        return None
-    a, b = m.group("a").lower(), m.group("b").lower()
-    aa, ba = m.group("aa").lower(), m.group("ba").lower()
-    if aa == ba or {aa, ba} & {"join", "on", "where", "inner", "left", "right", "full", "cross", "outer"}:
-        return None
-    if a not in cols_of or b not in cols_of:
-        return None
-    cols_a, cols_b = cols_of[a], cols_of[b]
+
+def _make_alias_rewriter(aa: str, cols_a: list[str], ba: str, cols_b: list[str]):
+    """Build a rewriter mapping alias-qualified refs (``x.col``) to
+    prefixed names (``__x_col``); returns None for texts with unknown
+    qualified columns or bare (ambiguous) source-column references."""
 
     def rewrite(text: str) -> "str | None":
-        # alias-qualified refs → prefixed names; any remaining bare
-        # source-column token means an unqualified (ambiguous) ref
         bad = False
 
         def sub_q(alias: str, cols: list[str]):
@@ -941,9 +932,11 @@ def _recognize_alias_join(sql: str, cols_of: dict[str, list[str]]):
                 return None  # bare/unqualified column reference
         return text
 
-    on = rewrite(m.group("on"))
-    if on is None or _FORBIDDEN_LINEAR.search(on):
-        return None
+    return rewrite
+
+
+def _parse_alias_on(on: str, aa: str, ba: str) -> "Column | None":
+    """Equi-conjunction over rewritten names → join condition."""
     on_col = None
     for conj in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
         cm = re.fullmatch(r"\s*(__\w+)\s*=\s*(__\w+)\s*", conj)
@@ -957,6 +950,157 @@ def _recognize_alias_join(sql: str, cols_of: dict[str, list[str]]):
         else:
             return None
         on_col = eq if on_col is None else (on_col & eq)
+    return on_col
+
+
+_ALIAS_AGG_JOIN_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<a>\w+)\s+(?P<aa>\w+)\s+JOIN\s+"
+    r"(?P<b>\w+)\s+(?P<ba>\w+)\s+ON\s+(?P<on>.+?)\s*"
+    r"(?:WHERE\s+(?P<where>.+?))?\s*GROUP\s+BY\s+(?P<keys>.+?)\s*"
+    r"(?:HAVING\s+(?P<having>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _recognize_alias_agg_join(sql: str, cols_of: dict[str, list[str]]):
+    """GROUP BY aggregate over an aliased two-table inner equi-join
+    (incl. self-joins). Keys must be alias-qualified plain columns;
+    HAVING may reference aggregate output aliases only."""
+    from ..plans.incremental import (
+        AggSpec,
+        IncrementalGroupRecomputeAgg,
+        IncrementalJoin,
+        IncrementalLinearAgg,
+    )
+
+    m = _ALIAS_AGG_JOIN_RE.match(sql)
+    if not m:
+        return None
+    a, b = m.group("a").lower(), m.group("b").lower()
+    aa, ba = m.group("aa").lower(), m.group("ba").lower()
+    if aa == ba or {aa, ba} & _RESERVED_ALIASES:
+        return None
+    if a not in cols_of or b not in cols_of:
+        return None
+    cols_a, cols_b = cols_of[a], cols_of[b]
+    rewrite = _make_alias_rewriter(aa, cols_a, ba, cols_b)
+
+    on = rewrite(m.group("on"))
+    if on is None or _FORBIDDEN_LINEAR.search(on):
+        return None
+    on_col = _parse_alias_on(on, aa, ba)
+    if on_col is None:
+        return None
+    where = m.group("where")
+    if where is not None:
+        where = rewrite(where)
+        if where is None or _FORBIDDEN_LINEAR.search(where):
+            return None
+
+    key_map: dict[str, str] = {}  # renamed key col → output name
+    key_order: list[str] = []
+    for k in _split_top_level_commas(m.group("keys")):
+        km = re.fullmatch(r"\s*(\w+)\.(\w+)\s*", k)
+        if not km:
+            return None
+        rk = rewrite(k.strip())
+        if rk is None:
+            return None
+        key_map[rk] = km.group(2).lower()
+        key_order.append(rk)
+
+    items: list[tuple[str, str, str]] = []
+    sel_exprs: list[str] = []
+    out_cols: list[str] = []
+    for item in _split_top_level_commas(m.group("sel")):
+        item = item.strip()
+        am = _AGG_ITEM_RE.match(item)
+        if am:
+            fn = am.group("fn").lower()
+            arg = am.group("arg").strip()
+            alias = am.group("alias").lower()
+            if arg != "*":
+                arg = rewrite(arg)
+                if arg is None or _FORBIDDEN_LINEAR.search(arg):
+                    return None
+                if re.search(r"\bDISTINCT\b", arg, re.IGNORECASE):
+                    return None
+            items.append((fn, arg, alias))
+            sel_exprs.append(alias)
+            out_cols.append(alias)
+        else:
+            im = re.fullmatch(
+                r"(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)", item, re.IGNORECASE | re.DOTALL
+            )
+            if im:
+                expr, out = rewrite(im.group("expr").strip()), im.group("alias").lower()
+            else:
+                expr, out = rewrite(item), None
+            if expr is None or expr not in key_map:
+                return None
+            out = out or key_map[expr]
+            sel_exprs.append(f"{expr} AS {out}")
+            out_cols.append(out)
+    if not items:
+        return None
+    having_sql = m.group("having")
+    if having_sql is not None and not _having_refs_only(
+        having_sql, [al for _, _, al in items]
+    ):
+        return None
+    having = F.expr(having_sql) if having_sql else None
+    cond = F.expr(where) if where else None
+    keys = key_order
+    if any(fn in ("min", "max") for fn, _, _ in items):
+        aggs = [
+            (F.count(F.lit(1)) if (fn == "count" and arg == "*") else F.expr(f"{fn}({arg})")).alias(al)
+            for fn, arg, al in items
+        ]
+        agg_op = IncrementalGroupRecomputeAgg(keys=keys, aggs=aggs, cond=cond)
+    else:
+        specs: list = []
+        for fn, arg, al in items:
+            if fn == "count" and arg == "*":
+                specs.append(AggSpec(al, "count"))
+            elif fn == "count":
+                specs.append(AggSpec(al, "count", F.expr(arg)))
+            elif fn == "sum":
+                specs.append(AggSpec(al, "sum", F.expr(arg)))
+            elif fn == "avg":
+                specs.append(AggSpec(al, "avg", F.expr(arg)))
+            else:
+                return None
+        agg_op = IncrementalLinearAgg(keys=keys, specs=specs, cond=cond)
+    pre_a = [f"{c} AS __{aa}_{c}" for c in cols_a]
+    pre_b = [f"{c} AS __{ba}_{c}" for c in cols_b]
+    return _AliasJoinAggOp(
+        a, b, pre_a, pre_b, IncrementalJoin(on=on_col), agg_op, sel_exprs, out_cols, having
+    )
+
+
+def _recognize_alias_join(sql: str, cols_of: dict[str, list[str]]):
+    """Aliased two-table inner join (incl. self-join) → _AliasJoinOp.
+    Conservative: both sides must carry an explicit alias, every
+    column reference must be alias-qualified, ON must be an
+    equi-conjunction."""
+    from ..plans.incremental import IncrementalJoin
+
+    m = _ALIAS_JOIN_RE.match(sql)
+    if not m:
+        return None
+    a, b = m.group("a").lower(), m.group("b").lower()
+    aa, ba = m.group("aa").lower(), m.group("ba").lower()
+    if aa == ba or {aa, ba} & _RESERVED_ALIASES:
+        return None
+    if a not in cols_of or b not in cols_of:
+        return None
+    cols_a, cols_b = cols_of[a], cols_of[b]
+    rewrite = _make_alias_rewriter(aa, cols_a, ba, cols_b)
+
+    on = rewrite(m.group("on"))
+    if on is None or _FORBIDDEN_LINEAR.search(on):
+        return None
+    on_col = _parse_alias_on(on, aa, ba)
     if on_col is None:
         return None
 
@@ -1481,6 +1625,24 @@ class _AliasJoinOp:
     where: "str | None"
     sel_items: "list[str]"
     out_cols: "list[str]"
+
+
+@dataclass
+class _AliasJoinAggOp:
+    """Aggregate over an aliased two-table join (incl. self-joins):
+    bilinear IncrementalJoin over alias-prefixed pre-projections
+    feeding an incremental aggregate — the aliased spelling of the
+    reference's chained join→aggregate circuit."""
+
+    src_a: str
+    src_b: str
+    pre_a: "list[str]"
+    pre_b: "list[str]"
+    join_op: object  # IncrementalJoin
+    agg_op: object  # IncrementalLinearAgg | IncrementalGroupRecomputeAgg
+    sel_exprs: "list[str]"  # final projection (renames prefixed keys)
+    out_cols: "list[str]"
+    having: "Column | None" = None
 
 
 @dataclass
@@ -2489,7 +2651,7 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
             aliases,
         )
 
-    op = _recognize_alias_join(sql, cols_of)
+    op = _recognize_alias_agg_join(sql, cols_of) or _recognize_alias_join(sql, cols_of)
     if op is not None:
         if op.src_a in known and op.src_b in known:
             return op
@@ -2606,7 +2768,7 @@ def _out_cols_of(
         return list(op.out_cols)
     if isinstance(op, (_JoinOp, _OuterJoinOp)):
         return list(op.aliases) if op.aliases is not None else None
-    if isinstance(op, _AliasJoinOp):
+    if isinstance(op, (_AliasJoinOp, _AliasJoinAggOp)):
         return list(op.out_cols)
     if isinstance(op, _TopKOp):
         src_cols = cols_of.get(op.src)
@@ -2736,6 +2898,11 @@ class IncrementalProgram:
                 return "join"
             if isinstance(op, _AliasJoinOp):
                 return "self-join" if op.src_a == op.src_b else "join"
+            if isinstance(op, _AliasJoinAggOp):
+                kindname = "self-join" if op.src_a == op.src_b else "join"
+                if isinstance(op.agg_op, IncrementalGroupRecomputeAgg):
+                    return f"{kindname}-aggregate-recompute"
+                return f"{kindname}-aggregate"
             if isinstance(op, _OuterJoinOp):
                 return f"{op.op.how}-outer-join"
             if isinstance(op, _DistinctOp):
@@ -2848,6 +3015,13 @@ class IncrementalProgram:
                 if op.where:
                     d = d.filter(F.expr(op.where))
                 d = d.map(*[F.expr(i) for i in op.sel_items]).consolidate()
+            elif isinstance(op, _AliasJoinAggOp):
+                da = ZSet(_apply_linear(delta_of(op.src_a).df, op.pre_a, None))
+                db = ZSet(_apply_linear(delta_of(op.src_b).df, op.pre_b, None))
+                d = op.agg_op.step(op.join_op.step(da, db))
+                if op.having is not None:
+                    d = d.filter(op.having)
+                d = d.map(*[F.expr(i) for i in op.sel_exprs])
             elif isinstance(op, _OuterJoinOp):
                 d = op.op.step(delta_of(op.src_a), delta_of(op.src_b))
             elif isinstance(op, _DistinctOp):

@@ -525,23 +525,29 @@ def pq_topk(
     table keeps the search math oracle-verifiable (the oracle
     recomputes encode+ADC from the persisted float64 values).
 
-    Plan shape at scale: the codebook is a driver-side literal
-    (k·m·subdim doubles, broadcast in the expression tree), encoding
-    is a pure projection over the corpus (no shuffle, no UDF), and the
-    query phase is corpus-codes × broadcast-queries with one window
-    shuffle for the per-query top-k. Cost per query is linear in the
-    corpus CODE table — dim/ (m·1) times less data than raw vectors."""
+    Plan shape at scale — everything is broadcast joins against the
+    TINY codebook (m·k rows), never a literal expression tree (a
+    k=64/m=32 codebook as expression literals blows past the codegen
+    budget and falls back to interpreted evaluation — measured 5×
+    slower):
+
+    1. encode: corpus subvectors (posexplode, m rows per vector) ⨝
+       broadcast codebook on j → per-(vector, j) argmin via a
+       map-side partial ``min(struct(dist, cid))`` (lexicographic =
+       argmin with lowest-cid tie-break, exactly the oracle's ORDER BY
+       dist, cid) — ONE shuffle of |corpus|·m tiny rows.
+    2. ADC: a per-query lookup table (queries × codebook = tiny,
+       broadcast) joined to the codes, then per-(query, vector) the
+       terms are collected and folded IN j ORDER (sort_array +
+       aggregate), bit-identical to the oracle's ordered list_reduce
+       — FP addition is not associative, so a hash-agg SUM would
+       hash-mismatch.
+    3. per-query top-k via WindowGroupLimit."""
     spark = corpus.sparkSession
     if codebooks is not None:
-        # trained (or otherwise external) codebooks: tiny (m·k rows),
-        # collected into the same expression-tree literal as head-init
-        rows = codebooks.select("j", "cid", "cvec").collect()
-        k = max(r["cid"] for r in rows) + 1
-        m = max(r["j"] for r in rows) + 1
-        sub = len(rows[0]["cvec"])
-        cb = [[None] * k for _ in range(m)]
-        for r in rows:
-            cb[r["j"]][r["cid"]] = list(r["cvec"])
+        cb = codebooks.select("j", "cid", F.col("cvec").cast("array<double>"))
+        sub = len(cb.select("cvec").first()["cvec"])
+        m = cb.agg(F.max("j")).first()[0] + 1
     else:
         head = (
             corpus.orderBy(id_col)
@@ -553,47 +559,69 @@ def pq_topk(
         if dim % m != 0:
             raise ValueError(f"dim {dim} not divisible by m={m}")
         sub = dim // m
-        # cb[j][cid] = centroid subvector (tiny: k*m*sub doubles as literals)
-        cb = [
-            [list(row["v"][j * sub : (j + 1) * sub]) for row in head] for j in range(m)
+        rows = [
+            (j, cid, [float(x) for x in row["v"][j * sub : (j + 1) * sub]])
+            for j in range(m)
+            for cid, row in enumerate(head)
         ]
-    CB = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in cvec]) for cvec in cb_j])
-            for cb_j in cb
-        ]
-    )
+        cb = spark.createDataFrame(rows, "j int, cid int, cvec array<double>")
 
-    def encode(v: Column) -> Column:
-        def code_at(j: Column) -> Column:
-            sv = F.slice(v, j * sub + 1, sub)
-            dists = F.transform(
-                F.element_at(CB, j + 1), lambda cvec: l2(sv, cvec)
-            )
-            # first position of the minimum → lowest cid on ties
-            return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    def subvectors(v: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)), lambda j: F.slice(v, j * sub + 1, sub)
+        )
 
-        return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_at)
+    # ENCODE fast path: the relational argmin (explode ⨝ codebook →
+    # min(struct)) materializes |corpus|·m·k rows — linear but heavy.
+    # A vectorized Arrow batch does the same argmin as one numpy
+    # broadcast op per chunk. Bit-compatible with the oracle: squared
+    # L2 accumulated in LEFT-FOLD order (a monotone transform of the
+    # oracle's list_distance, so the argmin and the lowest-cid
+    # tie-break — np.argmin returns the FIRST minimum — are identical).
+    from pyspark.sql.functions import pandas_udf
+
+    cb_rows = cb.collect()
+    kk = max(r["cid"] for r in cb_rows) + 1
+    CB = np.zeros((m, kk, sub), dtype=np.float64)
+    for r in cb_rows:
+        CB[r["j"]][r["cid"]] = r["cvec"]
+
+    @pandas_udf("array<int>")
+    def _enc(vs: pd.Series) -> pd.Series:
+        out = []
+        for lo in range(0, len(vs), 1024):  # bound (chunk·m·k·sub) memory
+            X = np.asarray(list(vs.iloc[lo : lo + 1024]), dtype=np.float64)
+            S = X.reshape(X.shape[0], m, sub)
+            d = np.zeros((X.shape[0], m, kk))
+            for s in range(sub):  # left-fold accumulation order
+                d += (S[:, :, None, s] - CB[None, :, :, s]) ** 2
+            out.extend([int(c) for c in row] for row in d.argmin(axis=2))
+        return pd.Series(out)
 
     codes = corpus.select(
-        F.col(id_col), encode(as_double_array(F.col(vec_col))).alias("codes")
+        F.col(id_col), _enc(as_double_array(F.col(vec_col))).alias("__codes")
+    ).select(F.col(id_col), F.posexplode("__codes").alias("j", "code"))
+    qex = queries.select(
+        F.col(query_id_col),
+        F.posexplode(subvectors(as_double_array(F.col(vec_col)))).alias("j", "qsv"),
     )
-    qv = as_double_array(F.col(vec_col)).alias("qv")
-    q = queries.select(F.col(query_id_col), qv)
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + l2(
-            F.slice(F.col("qv"), j * sub + 1, sub),
-            F.element_at(F.element_at(CB, j + 1), F.element_at(F.col("codes"), j + 1) + 1),
-        ),
+    lut = qex.join(F.broadcast(cb), "j").select(
+        query_id_col, "j", F.col("cid").alias("code"), l2(F.col("qsv"), F.col("cvec")).alias("term")
     )
-    scored = codes.crossJoin(F.broadcast(q)).select(
-        F.col(query_id_col), F.col(id_col), adc.alias("dist")
+    terms = codes.join(F.broadcast(lut), ["j", "code"])
+    adc = (
+        terms.groupBy(query_id_col, id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("j", "term"))).alias("ts"))
+        .select(
+            query_id_col,
+            id_col,
+            F.aggregate(
+                "ts", F.lit(0.0), lambda acc, t: acc + t["term"]
+            ).alias("dist"),
+        )
     )
     return topk_per_group(
-        scored,
+        adc,
         partition_by=[query_id_col],
         order_by=[F.col("dist").asc(), F.col(id_col).asc()],
         k=topk,

@@ -170,9 +170,9 @@ def test_multimodal_frames_no_udf_generate_only(spark, sf_dir):
 
 
 def test_pq_encode_is_pure_projection(spark, sf_dir):
-    """PQ corpus encoding must stay an expression-tree projection:
-    the only Python stage allowed is none (codebook is a literal) and
-    the only exchange is the final per-query top-k window."""
+    """PQ search must stay JVM-side: no Python eval stages anywhere
+    (the codebook is a broadcast-joined table, not a UDF), and the
+    per-query top-k prunes below the exchange."""
     plan = _plan(spark, sf_dir, "ann_pq_topk")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "WindowGroupLimit" in plan

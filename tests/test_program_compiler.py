@@ -1565,3 +1565,62 @@ def test_recognizer_alias_and_self_joins(spark):
             a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
             b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
             assert a == b, f"{v} step {step}"
+
+
+def test_recognizer_alias_agg_join(spark):
+    """GROUP BY aggregates over aliased joins — including self-join
+    aggregates (pair counts) and MIN/MAX via group-recompute — compile
+    to the chained join→aggregate circuits; optimized == naive per
+    step under inserts+deletes."""
+    import random
+
+    prog = """
+    CREATE TABLE ta(id INTEGER, grp VARCHAR(10), val INTEGER);
+    CREATE TABLE tb(ref INTEGER, bval INTEGER, tag VARCHAR(5));
+    CREATE VIEW g_ja AS SELECT y.tag, SUM(x.val) AS sv, COUNT(*) AS n
+        FROM ta x JOIN tb y ON x.id = y.ref GROUP BY y.tag;
+    CREATE VIEW g_self AS SELECT x.grp, COUNT(*) AS pairs
+        FROM ta x JOIN ta y ON x.val = y.val WHERE x.id < y.id GROUP BY x.grp;
+    CREATE VIEW g_mm AS SELECT y.tag, MAX(x.val) AS mx
+        FROM ta x JOIN tb y ON x.id = y.ref GROUP BY y.tag;
+    CREATE VIEW g_hav AS SELECT y.tag, SUM(x.val) AS sv
+        FROM ta x JOIN tb y ON x.id = y.ref GROUP BY y.tag HAVING sv > 5;
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=2)
+    naive = IncrementalProgram(spark, prog, optimize=False, checkpoint_every=2)
+    plan = opt.plan()
+    assert plan["g_ja"] == "join-aggregate"
+    assert plan["g_self"] == "self-join-aggregate"
+    assert plan["g_mm"] == "join-aggregate-recompute"
+    assert plan["g_hav"] == "join-aggregate"
+
+    rng = random.Random(11)
+    ta_live, tb_live = [], []
+    for step in range(4):
+        ta_d, tb_d = [], []
+        for _ in range(rng.randint(2, 5)):
+            if ta_live and rng.random() < 0.35:
+                row = ta_live.pop(rng.randrange(len(ta_live)))
+                ta_d.append((*row, -1))
+            else:
+                row = (rng.randrange(10), rng.choice(["a", "b"]), rng.randrange(5))
+                ta_live.append(row)
+                ta_d.append((*row, 1))
+        for _ in range(rng.randint(1, 3)):
+            if tb_live and rng.random() < 0.35:
+                row = tb_live.pop(rng.randrange(len(tb_live)))
+                tb_d.append((*row, -1))
+            else:
+                row = (rng.randrange(10), rng.randrange(-2, 9), rng.choice(["x", "y"]))
+                tb_live.append(row)
+                tb_d.append((*row, 1))
+        ts = "id int, grp string, val int, __weight long"
+        us = "ref int, bval int, tag string, __weight long"
+        oo = opt.step({"ta": ZSet(spark.createDataFrame(ta_d, ts)),
+                       "tb": ZSet(spark.createDataFrame(tb_d, us))})
+        nn = naive.step({"ta": ZSet(spark.createDataFrame(ta_d, ts)),
+                         "tb": ZSet(spark.createDataFrame(tb_d, us))})
+        for v in oo:
+            a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
+            b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
+            assert a == b, f"{v} step {step}"
