@@ -171,6 +171,13 @@ def slt_statements(seed: int = 0) -> list[str]:
         "WHERE y.v IS NOT NULL",
         "SELECT x.k AS k1, y.k AS k2, x.v FROM u x JOIN u y ON x.v = y.v "
         "WHERE x.k < y.k",
+        # aggregates over aliased / self joins
+        "SELECT y.tag, sum(x.a) AS sa, count(*) AS n FROM t x JOIN u y "
+        "ON x.id = y.k GROUP BY y.tag",
+        "SELECT x.tag, count(*) AS pairs FROM u x JOIN u y ON x.v = y.v "
+        "WHERE x.k < y.k GROUP BY x.tag",
+        "SELECT y.tag, max(x.b) AS mb FROM t x JOIN u y ON x.id = y.k "
+        "GROUP BY y.tag",
     ]
     stmts += [
         "SELECT a FROM t WHERE a IS NOT NULL UNION SELECT v FROM u",
