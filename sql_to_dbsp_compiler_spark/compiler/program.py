@@ -1078,6 +1078,78 @@ def _recognize_alias_agg_join(sql: str, cols_of: dict[str, list[str]]):
     )
 
 
+_ALIAS_OUTER_JOIN_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<a>\w+)\s+(?P<aa>\w+)\s+"
+    r"(?P<how>LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN\s+(?P<b>\w+)\s+(?P<ba>\w+)\s+"
+    r"ON\s+(?P<on>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _recognize_alias_outer_join(sql: str, cols_of: dict[str, list[str]]):
+    """Aliased LEFT/RIGHT/FULL OUTER equi-join → _AliasOuterJoinOp."""
+    from ..plans.incremental import IncrementalOuterJoin
+
+    m = _ALIAS_OUTER_JOIN_RE.match(sql)
+    if not m:
+        return None
+    a, b = m.group("a").lower(), m.group("b").lower()
+    aa, ba = m.group("aa").lower(), m.group("ba").lower()
+    how = m.group("how").lower()
+    if aa == ba or {aa, ba} & _RESERVED_ALIASES:
+        return None
+    if a not in cols_of or b not in cols_of:
+        return None
+    cols_a, cols_b = cols_of[a], cols_of[b]
+    rewrite = _make_alias_rewriter(aa, cols_a, ba, cols_b)
+    on = rewrite(m.group("on"))
+    if on is None or _FORBIDDEN_LINEAR.search(on):
+        return None
+    keys_a: list[str] = []
+    keys_b: list[str] = []
+    for conj in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+        cm = re.fullmatch(r"\s*(__\w+)\s*=\s*(__\w+)\s*", conj)
+        if not cm:
+            return None
+        l, r = cm.group(1), cm.group(2)
+        if l.startswith(f"__{aa}_") and r.startswith(f"__{ba}_"):
+            keys_a.append(l)
+            keys_b.append(r)
+        elif l.startswith(f"__{ba}_") and r.startswith(f"__{aa}_"):
+            keys_a.append(r)
+            keys_b.append(l)
+        else:
+            return None
+    if not keys_a:
+        return None
+    project: "list[Column]" = []
+    out_cols: list[str] = []
+    for item in _split_top_level_commas(m.group("sel")):
+        item = item.strip()
+        im = re.fullmatch(
+            r"(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)", item, re.IGNORECASE | re.DOTALL
+        )
+        if im:
+            expr, out = im.group("expr"), im.group("alias").lower()
+        else:
+            qm = re.fullmatch(r"(\w+)\.(\w+)", item)
+            if not qm:
+                return None
+            expr, out = item, qm.group(2).lower()
+        expr = rewrite(expr)
+        if expr is None or _FORBIDDEN_LINEAR.search(expr) or out in out_cols:
+            return None
+        project.append(F.expr(expr).alias(out))
+        out_cols.append(out)
+    pre_a = [f"{c} AS __{aa}_{c}" for c in cols_a]
+    pre_b = [f"{c} AS __{ba}_{c}" for c in cols_b]
+    return _AliasOuterJoinOp(
+        a, b, pre_a, pre_b,
+        IncrementalOuterJoin(key_a=keys_a, key_b=keys_b, project=project, how=how),
+        out_cols,
+    )
+
+
 def _recognize_alias_join(sql: str, cols_of: dict[str, list[str]]):
     """Aliased two-table inner join (incl. self-join) → _AliasJoinOp.
     Conservative: both sides must carry an explicit alias, every
@@ -1624,6 +1696,20 @@ class _AliasJoinOp:
     op: object  # IncrementalJoin over the renamed columns
     where: "str | None"
     sel_items: "list[str]"
+    out_cols: "list[str]"
+
+
+@dataclass
+class _AliasOuterJoinOp:
+    """Aliased LEFT/RIGHT/FULL OUTER equi-join (incl. self-joins):
+    alias-prefixed pre-projections feeding IncrementalOuterJoin's
+    touched-key recompute (outer joins are not bilinear)."""
+
+    src_a: str
+    src_b: str
+    pre_a: "list[str]"
+    pre_b: "list[str]"
+    op: object  # IncrementalOuterJoin over renamed columns
     out_cols: "list[str]"
 
 
@@ -2651,7 +2737,11 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
             aliases,
         )
 
-    op = _recognize_alias_agg_join(sql, cols_of) or _recognize_alias_join(sql, cols_of)
+    op = (
+        _recognize_alias_agg_join(sql, cols_of)
+        or _recognize_alias_outer_join(sql, cols_of)
+        or _recognize_alias_join(sql, cols_of)
+    )
     if op is not None:
         if op.src_a in known and op.src_b in known:
             return op
@@ -2768,7 +2858,7 @@ def _out_cols_of(
         return list(op.out_cols)
     if isinstance(op, (_JoinOp, _OuterJoinOp)):
         return list(op.aliases) if op.aliases is not None else None
-    if isinstance(op, (_AliasJoinOp, _AliasJoinAggOp)):
+    if isinstance(op, (_AliasJoinOp, _AliasJoinAggOp, _AliasOuterJoinOp)):
         return list(op.out_cols)
     if isinstance(op, _TopKOp):
         src_cols = cols_of.get(op.src)
@@ -2898,6 +2988,8 @@ class IncrementalProgram:
                 return "join"
             if isinstance(op, _AliasJoinOp):
                 return "self-join" if op.src_a == op.src_b else "join"
+            if isinstance(op, _AliasOuterJoinOp):
+                return f"{op.op.how}-outer-join"
             if isinstance(op, _AliasJoinAggOp):
                 kindname = "self-join" if op.src_a == op.src_b else "join"
                 if isinstance(op.agg_op, IncrementalGroupRecomputeAgg):
@@ -3015,6 +3107,10 @@ class IncrementalProgram:
                 if op.where:
                     d = d.filter(F.expr(op.where))
                 d = d.map(*[F.expr(i) for i in op.sel_items]).consolidate()
+            elif isinstance(op, _AliasOuterJoinOp):
+                da = ZSet(_apply_linear(delta_of(op.src_a).df, op.pre_a, None))
+                db = ZSet(_apply_linear(delta_of(op.src_b).df, op.pre_b, None))
+                d = op.op.step(da, db)
             elif isinstance(op, _AliasJoinAggOp):
                 da = ZSet(_apply_linear(delta_of(op.src_a).df, op.pre_a, None))
                 db = ZSet(_apply_linear(delta_of(op.src_b).df, op.pre_b, None))

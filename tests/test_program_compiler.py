@@ -1624,3 +1624,59 @@ def test_recognizer_alias_agg_join(spark):
             a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
             b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
             assert a == b, f"{v} step {step}"
+
+
+def test_recognizer_alias_outer_joins(spark):
+    """Aliased LEFT/FULL OUTER joins — including a LEFT self-join —
+    compile to IncrementalOuterJoin behind alias-prefixed
+    pre-projections; optimized == naive per step under
+    inserts+deletes (null-extension rows appearing/retracting as the
+    other side's support changes)."""
+    import random
+
+    prog = """
+    CREATE TABLE ta(id INTEGER, grp VARCHAR(10), val INTEGER);
+    CREATE TABLE tb(ref INTEGER, bval INTEGER, tag VARCHAR(5));
+    CREATE VIEW o_left AS SELECT x.id, x.grp, y.bval FROM ta x LEFT JOIN tb y ON x.id = y.ref;
+    CREATE VIEW o_full AS SELECT x.id AS ida, y.ref AS idb, y.tag
+        FROM ta x FULL OUTER JOIN tb y ON x.id = y.ref;
+    CREATE VIEW o_selfleft AS SELECT x.id, y.id AS other
+        FROM ta x LEFT JOIN ta y ON x.val = y.val;
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=2)
+    naive = IncrementalProgram(spark, prog, optimize=False, checkpoint_every=2)
+    plan = opt.plan()
+    assert plan["o_left"] == "left-outer-join"
+    assert plan["o_full"] == "full-outer-join"
+    assert plan["o_selfleft"] == "left-outer-join"
+
+    rng = random.Random(13)
+    ta_live, tb_live = [], []
+    for step in range(4):
+        ta_d, tb_d = [], []
+        for _ in range(rng.randint(2, 5)):
+            if ta_live and rng.random() < 0.35:
+                row = ta_live.pop(rng.randrange(len(ta_live)))
+                ta_d.append((*row, -1))
+            else:
+                row = (rng.randrange(10), rng.choice(["a", "b"]), rng.randrange(4))
+                ta_live.append(row)
+                ta_d.append((*row, 1))
+        for _ in range(rng.randint(1, 3)):
+            if tb_live and rng.random() < 0.35:
+                row = tb_live.pop(rng.randrange(len(tb_live)))
+                tb_d.append((*row, -1))
+            else:
+                row = (rng.randrange(10), rng.randrange(-2, 9), rng.choice(["x", "y"]))
+                tb_live.append(row)
+                tb_d.append((*row, 1))
+        ts = "id int, grp string, val int, __weight long"
+        us = "ref int, bval int, tag string, __weight long"
+        oo = opt.step({"ta": ZSet(spark.createDataFrame(ta_d, ts)),
+                       "tb": ZSet(spark.createDataFrame(tb_d, us))})
+        nn = naive.step({"ta": ZSet(spark.createDataFrame(ta_d, ts)),
+                         "tb": ZSet(spark.createDataFrame(tb_d, us))})
+        for v in oo:
+            a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
+            b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
+            assert a == b, f"{v} step {step}"
