@@ -169,10 +169,12 @@ def test_multimodal_frames_no_udf_generate_only(spark, sf_dir):
     assert "Exchange" not in plan, "frame grid must not shuffle"
 
 
-def test_pq_encode_is_pure_projection(spark, sf_dir):
-    """PQ search must stay JVM-side: no Python eval stages anywhere
-    (the codebook is a broadcast-joined table, not a UDF), and the
-    per-query top-k prunes below the exchange."""
+def test_pq_encode_is_vectorized(spark, sf_dir):
+    """PQ encode is the vectorized Arrow fast path (one numpy argmin
+    per batch — ArrowEvalPython is expected), NEVER row-at-a-time
+    Python; the ADC/rank phase stays JVM-side with the per-query
+    top-k pruning below the exchange."""
     plan = _plan(spark, sf_dir, "ann_pq_topk")
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python in PQ path"
+    assert "ArrowEvalPython" in plan, "encode should be the Arrow batch kernel"
     assert "WindowGroupLimit" in plan
