@@ -1078,6 +1078,132 @@ def _recognize_alias_agg_join(sql: str, cols_of: dict[str, list[str]]):
     )
 
 
+def _make_chain_rewriter(alias_cols: "dict[str, list[str]]"):
+    """n-alias generalization of _make_alias_rewriter."""
+
+    def rewrite(text: str) -> "str | None":
+        bad = False
+
+        def sub_q(alias: str, cols: list[str]):
+            def repl(mm: "re.Match") -> str:
+                nonlocal bad
+                c = mm.group(1).lower()
+                if c not in cols:
+                    bad = True
+                    return mm.group(0)
+                return f"__{alias}_{c}"
+
+            return repl
+
+        for alias, cols in alias_cols.items():
+            text = re.sub(rf"\b{alias}\.(\w+)", sub_q(alias, cols), text)
+        if bad:
+            return None
+        stripped = _strip_string_literals(text)
+        all_cols = set()
+        for cols in alias_cols.values():
+            all_cols |= set(cols)
+        for c in all_cols:
+            if re.search(rf"(?<!_)\b{c}\b", stripped, re.IGNORECASE):
+                return None  # bare/unqualified column reference
+        return text
+
+    return rewrite
+
+
+def _parse_alias_join_chain(sql: str, cols_of: dict[str, list[str]]):
+    """Left-deep ALIASED inner-join chain with >= 3 sources —
+    repeated tables and shadowed column names allowed because every
+    leg's delta is pre-projected to alias-prefixed columns (the
+    unaliased chain requires global column uniqueness; this one
+    requires full alias qualification instead)."""
+    from ..plans.incremental import IncrementalJoin
+
+    m = re.match(r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<rest>.+)$", sql, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    sel, rest = m.group("sel"), m.group("rest")
+    if re.search(r"\b(LEFT|RIGHT|FULL|OUTER|CROSS)\b", rest, re.IGNORECASE):
+        return None
+    wm = re.split(r"\bWHERE\b", rest, maxsplit=1, flags=re.IGNORECASE)
+    from_clause, where = wm[0], (wm[1].strip() if len(wm) > 1 else None)
+    parts = re.split(r"\bJOIN\b", from_clause, flags=re.IGNORECASE)
+    if len(parts) < 3:
+        return None
+    hm = re.fullmatch(r"\s*(?P<t>\w+)\s+(?P<q>\w+)\s*", parts[0])
+    if not hm:
+        return None
+    srcs = [hm.group("t").lower()]
+    quals = [hm.group("q").lower()]
+    ons: list[str] = []
+    for p in parts[1:]:
+        pm = re.match(r"^\s*(?P<t>\w+)\s+(?P<q>\w+)\s+ON\s+(?P<on>.+)$", p, re.IGNORECASE | re.DOTALL)
+        if not pm:
+            return None
+        srcs.append(pm.group("t").lower())
+        quals.append(pm.group("q").lower())
+        ons.append(pm.group("on").strip())
+    if len(set(quals)) != len(quals) or set(quals) & _RESERVED_ALIASES:
+        return None
+    if any(s not in cols_of for s in srcs):
+        return None
+    alias_cols = {q: cols_of[s] for q, s in zip(quals, srcs)}
+    rewrite = _make_chain_rewriter(alias_cols)
+
+    def owner(ref: str) -> "str | None":
+        for q in quals:
+            if ref.startswith(f"__{q}_"):
+                return q
+        return None
+
+    ops = []
+    for i, on in enumerate(ons):
+        ron = rewrite(on)
+        if ron is None or _FORBIDDEN_LINEAR.search(ron):
+            return None
+        new_q, prev_qs = quals[i + 1], set(quals[: i + 1])
+        on_col = None
+        for conj in re.split(r"\bAND\b", ron, flags=re.IGNORECASE):
+            cm = re.fullmatch(r"\s*(__\w+)\s*=\s*(__\w+)\s*", conj)
+            if not cm:
+                return None
+            ql, qr = owner(cm.group(1)), owner(cm.group(2))
+            if ql is None or qr is None:
+                return None
+            if not ({ql, qr} <= prev_qs | {new_q} and new_q in {ql, qr} and {ql, qr} & prev_qs):
+                return None  # each conjunct links the new leg to the prefix
+            eq = F.col(cm.group(1)) == F.col(cm.group(2))
+            on_col = eq if on_col is None else (on_col & eq)
+        if on_col is None:
+            return None
+        ops.append(IncrementalJoin(on=on_col, project=None))
+    if where is not None:
+        where = rewrite(where)
+        if where is None or _FORBIDDEN_LINEAR.search(where):
+            return None
+    project: "list[Column]" = []
+    aliases: list[str] = []
+    for item in _split_top_level_commas(sel):
+        item = item.strip()
+        im = re.fullmatch(r"(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)", item, re.IGNORECASE | re.DOTALL)
+        if im:
+            expr, out = im.group("expr"), im.group("alias").lower()
+        else:
+            qm = re.fullmatch(r"(\w+)\.(\w+)", item)
+            if not qm:
+                return None
+            expr, out = item, qm.group(2).lower()
+        expr = rewrite(expr)
+        if expr is None or _FORBIDDEN_LINEAR.search(expr) or out in aliases:
+            return None
+        project.append(F.expr(expr).alias(out))
+        aliases.append(out)
+    pres = [
+        [f"{c} AS __{q}_{c}" for c in cols_of[s]] for q, s in zip(quals, srcs)
+    ]
+    return _MultiJoinOp(srcs, ops, project, aliases, where, pres)
+
+
 _ALIAS_OUTER_JOIN_RE = re.compile(
     r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<a>\w+)\s+(?P<aa>\w+)\s+"
     r"(?P<how>LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN\s+(?P<b>\w+)\s+(?P<ba>\w+)\s+"
@@ -1746,6 +1872,9 @@ class _MultiJoinOp:
     project: "list[Column]"
     aliases: "list[str]"
     where: "str | None" = None
+    # aliased chains: per-source alias-prefix pre-projection (allows
+    # repeated tables and shadowed column names)
+    pres: "list[list[str]] | None" = None
 
 
 @dataclass
@@ -2701,7 +2830,7 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
         sel_items = None if sel == "*" else [s.strip() for s in _split_top_level_commas(sel)]
         return _DistinctOp(src, sel_items, where, IncrementalDistinct())
 
-    chain = _parse_join_chain(sql, cols_of)
+    chain = _parse_join_chain(sql, cols_of) or _parse_alias_join_chain(sql, cols_of)
     if chain is not None:
         return chain
 
@@ -3148,9 +3277,15 @@ class IncrementalProgram:
                 if op.distinct_op is not None:
                     d = op.distinct_op.step(d)
             elif isinstance(op, _MultiJoinOp):
-                d = op.ops[0].step(delta_of(op.srcs[0]), delta_of(op.srcs[1]))
+                def _leg(i):
+                    z = delta_of(op.srcs[i])
+                    if op.pres is not None:
+                        z = ZSet(_apply_linear(z.df, op.pres[i], None))
+                    return z
+
+                d = op.ops[0].step(_leg(0), _leg(1))
                 for j, nxt in enumerate(op.ops[1:], start=2):
-                    d = nxt.step(d, delta_of(op.srcs[j]))
+                    d = nxt.step(d, _leg(j))
                 if op.where:
                     d = ZSet(d.df.where(op.where))
                 d = d.map(*op.project).consolidate()

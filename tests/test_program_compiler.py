@@ -1680,3 +1680,57 @@ def test_recognizer_alias_outer_joins(spark):
             a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
             b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
             assert a == b, f"{v} step {step}"
+
+
+def test_recognizer_alias_join_chain(spark):
+    """Aliased left-deep join chains (3 sources, repeated table,
+    shadowed column names) compile to the IncrementalJoin cascade
+    behind per-leg alias-prefixed pre-projections; optimized == naive
+    per step under inserts+deletes."""
+    import random
+
+    prog = """
+    CREATE TABLE ta(id INTEGER, grp VARCHAR(10), val INTEGER);
+    CREATE TABLE tb(ref INTEGER, bval INTEGER);
+    CREATE VIEW c3 AS SELECT x.id, y.bval, z.grp AS zg
+        FROM ta x JOIN tb y ON x.id = y.ref JOIN ta z ON z.id = y.bval;
+    CREATE VIEW c3w AS SELECT x.id, z.val AS zv
+        FROM ta x JOIN tb y ON x.id = y.ref JOIN ta z ON z.val = x.val
+        WHERE z.id <> x.id;
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=2)
+    naive = IncrementalProgram(spark, prog, optimize=False, checkpoint_every=2)
+    plan = opt.plan()
+    assert plan["c3"] == "join-chain-3"
+    assert plan["c3w"] == "join-chain-3"
+
+    rng = random.Random(17)
+    ta_live, tb_live = [], []
+    for step in range(4):
+        ta_d, tb_d = [], []
+        for _ in range(rng.randint(2, 5)):
+            if ta_live and rng.random() < 0.35:
+                row = ta_live.pop(rng.randrange(len(ta_live)))
+                ta_d.append((*row, -1))
+            else:
+                row = (rng.randrange(8), rng.choice(["a", "b"]), rng.randrange(5))
+                ta_live.append(row)
+                ta_d.append((*row, 1))
+        for _ in range(rng.randint(1, 3)):
+            if tb_live and rng.random() < 0.35:
+                row = tb_live.pop(rng.randrange(len(tb_live)))
+                tb_d.append((*row, -1))
+            else:
+                row = (rng.randrange(8), rng.randrange(8))
+                tb_live.append(row)
+                tb_d.append((*row, 1))
+        ts = "id int, grp string, val int, __weight long"
+        us = "ref int, bval int, __weight long"
+        oo = opt.step({"ta": ZSet(spark.createDataFrame(ta_d, ts)),
+                       "tb": ZSet(spark.createDataFrame(tb_d, us))})
+        nn = naive.step({"ta": ZSet(spark.createDataFrame(ta_d, ts)),
+                         "tb": ZSet(spark.createDataFrame(tb_d, us))})
+        for v in oo:
+            a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
+            b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
+            assert a == b, f"{v} step {step}"
