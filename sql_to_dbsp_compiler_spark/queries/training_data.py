@@ -411,3 +411,44 @@ def train_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(budgets), "lang").where(
         F.col("rn") <= F.col("budget")
     ).select("doc_id", "lang", "rn")
+
+
+@query(
+    "train_dedup_report",
+    oracle="""
+    WITH f AS (
+        SELECT lang,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split(text, ' '), w -> w <> ''))), ' '))
+                   AS fp
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dups,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM f GROUP BY lang
+    """,
+    tags=("llm", "training", "dedup"),
+)
+def train_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: per-language exact-duplication report
+    (docs, unique content fingerprints, duplicate count and rate) —
+    the summary a curation run logs before deciding dedup thresholds.
+    One hash-groupBy over the 32-byte fingerprint; COUNT(DISTINCT)
+    over a pre-hashed key is the cheap spelling of the dedup volume
+    estimate at any scale."""
+    from sql_to_dbsp_compiler_spark.llm.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", fingerprint(F.col("text")).alias("fp")
+    )
+    n = F.count("*").cast("long")
+    u = F.count_distinct(F.col("fp")).cast("long")
+    return d.groupBy("lang").agg(
+        n.alias("n_docs"),
+        u.alias("n_unique"),
+        (n - u).alias("n_dups"),
+        ((n - u).cast("double") / n).alias("dup_rate"),
+    )
