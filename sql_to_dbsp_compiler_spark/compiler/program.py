@@ -2607,6 +2607,28 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
         def norm(e: str) -> str:
             return re.sub(r"\s+", "", e.lower())
 
+        # GROUP BY <select-alias> (e.g. SELECT a % 3 AS k … GROUP BY k):
+        # substitute the aliased expression — but only when the key
+        # word is NOT a source column (SQL resolves columns before
+        # aliases) and the schema is statically known to decide that.
+        alias_exprs = {}
+        for it in _split_top_level_commas(sel):
+            am2 = re.fullmatch(
+                r"(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)", it.strip(), re.IGNORECASE | re.DOTALL
+            )
+            if am2 and not _AGG_ITEM_RE.match(it.strip()):
+                alias_exprs[am2.group("alias").lower()] = am2.group("expr").strip()
+        src_cols0 = cols_of.get(src)
+        if src_cols0 is not None:
+            key_exprs = [
+                alias_exprs[k.lower()]
+                if re.fullmatch(r"\w+", k)
+                and k.lower() not in src_cols0
+                and k.lower() in alias_exprs
+                else k
+                for k in key_exprs
+            ]
+
         key_norms = [norm(k) for k in key_exprs]
         items: list[tuple[str, str, str]] = []  # (fn, arg, alias)
         out_cols: list[str] = []

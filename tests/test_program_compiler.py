@@ -1359,6 +1359,7 @@ CREATE VIEW e_cd AS SELECT grp, COUNT(DISTINCT val) AS cd FROM ta GROUP BY grp;
 CREATE VIEW e_cd_where AS SELECT grp, COUNT(DISTINCT val) AS cd FROM ta
     WHERE val > 0 GROUP BY grp;
 CREATE VIEW e_ol AS SELECT id, val FROM ta ORDER BY val DESC, id LIMIT 4;
+CREATE VIEW e_alias_key AS SELECT val % 3 AS k, COUNT(*) AS n FROM ta GROUP BY k;
 """
 
 
@@ -1381,6 +1382,7 @@ def test_recognizer_expression_keys_and_count_distinct(spark):
     assert plan["e_cd"] == "distinct-count-aggregate"
     assert plan["e_cd_where"] == "distinct-count-aggregate"
     assert plan["e_ol"] == "topk-global"
+    assert plan["e_alias_key"] == "aggregate"
 
     rng = random.Random(3)
     live = []
