@@ -1951,6 +1951,22 @@ class _SetOpOp:
     op: "object"  # IncrementalSetOp
 
 
+@dataclass
+class _SetOpChainOp:
+    """Left-associative chain of 3+ EXCEPT[/ALL] or 3+ INTERSECT[/ALL]
+    branches (`a EXCEPT b EXCEPT c` = `(a EXCEPT b) EXCEPT c`): each
+    stage is one multiplicity-state IncrementalSetOp whose output
+    delta feeds the next stage's left input — the same cascaded
+    composition the reference emits for n-ary set expressions. Only
+    same-precedence families chain (INTERSECT binds tighter than
+    EXCEPT, so a mixed chain is not left-associative and stays
+    naive)."""
+
+    parts: "list[tuple[str, list[str] | None, str | None]]"  # n branches
+    names0: "list[str]"
+    ops: "list[object]"  # n-1 IncrementalSetOp, left-assoc order
+
+
 def _split_setop(sql: str) -> "tuple[list[str], list[str]]":
     """Split on top-level EXCEPT [ALL] / INTERSECT [ALL]; returns
     (parts, seps) with seps[i] an IncrementalSetOp kind string."""
@@ -2546,6 +2562,32 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
         return _UnionAllOp(parsed_parts, names0, distinct)
 
     setop_parts, setop_seps = _split_setop(sql)
+    if len(setop_parts) > 2:
+        # 3+ branch chain: left-assoc is only sound within one
+        # precedence family (INTERSECT binds tighter than EXCEPT)
+        from ..plans.incremental import IncrementalSetOp
+
+        fams = {s.split("_")[0] for s in setop_seps}
+        if len(fams) != 1:
+            return None
+        parsed = [_linear_part(p, known, cols_of) for p in setop_parts]
+        if any(lp is None for lp in parsed):
+            return None
+        names0 = parsed[0][3]
+        if names0 is None:
+            return None
+        for lp in parsed[1:]:
+            src_i, sel_i, where_i, names_i = lp
+            arity = len(sel_i) if sel_i is not None else (
+                len(names_i) if names_i is not None else None
+            )
+            if arity != len(names0):
+                return None
+        return _SetOpChainOp(
+            [(src_i, sel_i, where_i) for src_i, sel_i, where_i, _ in parsed],
+            names0,
+            [IncrementalSetOp(kind) for kind in setop_seps],
+        )
     if len(setop_parts) == 2:
         from ..plans.incremental import IncrementalSetOp
 
@@ -2566,8 +2608,6 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
                     IncrementalSetOp(kind),
                 )
         return None
-    if len(setop_parts) > 2:
-        return None  # chained set ops stay naive
 
     op = _recognize_grouping_sets(sql, known)
     if op is not None:
@@ -2708,31 +2748,79 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
         having = F.expr(having_sql) if having_sql else None
         cond = F.expr(where) if where else None
 
-        if any(fn == "count_distinct" for fn, _, _ in items):
-            # distinct aggregate: supported as the SOLE aggregate item
-            # (mixing with plain aggregates needs a second parallel
-            # state + key join — naive handles those)
-            if len(items) != 1:
-                return None
-            from ..plans.incremental import IncrementalDistinct
-
-            _fn, arg, alias = items[0]
-            if arg in keys:
+        cd_items = [(arg, alias) for fn, arg, alias in items if fn == "count_distinct"]
+        if cd_items:
+            if any(arg in keys for arg, _ in cd_items):
                 return None  # COUNT(DISTINCT key) — degenerate, naive
-            dist_sel = []
-            for ke, k in zip(key_exprs, keys):
-                dist_sel.append(ke if norm(ke) == k else f"{ke} AS {k}")
-            dist_sel.append(arg)
-            return _DistinctAggOp(
+            if len(items) == 1:
+                # sole distinct aggregate: distinct stage feeding a
+                # count (the reference's distinct→aggregate circuit)
+                from ..plans.incremental import IncrementalDistinct
+
+                arg, alias = cd_items[0]
+                dist_sel = []
+                for ke, k in zip(key_exprs, keys):
+                    dist_sel.append(ke if norm(ke) == k else f"{ke} AS {k}")
+                dist_sel.append(arg)
+                return _DistinctAggOp(
+                    src,
+                    where,
+                    dist_sel,
+                    IncrementalDistinct(),
+                    IncrementalLinearAgg(
+                        keys=keys, specs=[AggSpec(alias, "count", F.col(arg))]
+                    ),
+                    out_cols,
+                    having,
+                )
+            plain_items = [
+                (fn, arg, alias) for fn, arg, alias in items if fn != "count_distinct"
+            ]
+            if any(fn in ("min", "max") for fn, _, _ in plain_items):
+                # distinct + non-linear plain items: touched-group
+                # recompute evaluates the whole mix per affected group
+                from ..plans.incremental import IncrementalGroupRecomputeAgg
+
+                aggs = [
+                    (
+                        F.count_distinct(F.col(arg)) if fn == "count_distinct"
+                        else F.count(F.lit(1)) if (fn == "count" and arg == "*")
+                        else F.expr(f"{fn}({arg})")
+                    ).alias(alias)
+                    for fn, arg, alias in items
+                ]
+                return _AggOp(
+                    src,
+                    IncrementalGroupRecomputeAgg(keys=keys, aggs=aggs, cond=cond),
+                    out_cols,
+                    having,
+                    pre_sel,
+                )
+            # linear plain items + distinct counts: per-branch states
+            # recombined on touched keys (O(|delta|) per step)
+            from ..plans.incremental import IncrementalMixedAgg
+
+            plain_specs: list = []
+            for fn, arg, alias in plain_items:
+                if fn == "count" and arg == "*":
+                    plain_specs.append(AggSpec(alias, "count"))
+                elif fn == "count":
+                    plain_specs.append(AggSpec(alias, "count", F.expr(arg)))
+                else:
+                    plain_specs.append(
+                        AggSpec(alias, "sum" if fn == "sum" else "avg", F.expr(arg))
+                    )
+            return _AggOp(
                 src,
-                where,
-                dist_sel,
-                IncrementalDistinct(),
-                IncrementalLinearAgg(
-                    keys=keys, specs=[AggSpec(alias, "count", F.col(arg))]
+                IncrementalMixedAgg(
+                    keys=keys,
+                    plain_specs=plain_specs,
+                    dist_items=cd_items,
+                    cond=cond,
                 ),
                 out_cols,
                 having,
+                pre_sel,
             )
 
         if any(fn in ("min", "max") for fn, _, _ in items):
@@ -3016,7 +3104,7 @@ def _out_cols_of(
         return src_cols + [op.op.rank_alias] if src_cols else None
     if isinstance(op, _UnionAllOp):
         return list(op.names0)
-    if isinstance(op, _SetOpOp):
+    if isinstance(op, (_SetOpOp, _SetOpChainOp)):
         return list(op.names0)
     if isinstance(op, _MultiJoinOp):
         return list(op.aliases)
@@ -3124,7 +3212,7 @@ class IncrementalProgram:
     def plan(self) -> dict[str, str]:
         """Which path each view compiles to — the analogue of the
         reference's circuit dump (incremental operators vs naive)."""
-        from ..plans.incremental import IncrementalGroupRecomputeAgg
+        from ..plans.incremental import IncrementalGroupRecomputeAgg, IncrementalMixedAgg
 
         def kind(op) -> str:
             if isinstance(op, _LinearOp):
@@ -3132,6 +3220,8 @@ class IncrementalProgram:
             if isinstance(op, _AggOp):
                 if isinstance(op.op, IncrementalGroupRecomputeAgg):
                     return "aggregate-recompute"
+                if isinstance(op.op, IncrementalMixedAgg):
+                    return "mixed-distinct-aggregate"
                 return "aggregate"
             if isinstance(op, _DistinctAggOp):
                 return "distinct-count-aggregate"
@@ -3160,6 +3250,8 @@ class IncrementalProgram:
                 return "union-all" if op.distinct_op is None else "union-distinct"
             if isinstance(op, _SetOpOp):
                 return op.op.kind.replace("_", "-")
+            if isinstance(op, _SetOpChainOp):
+                return f"setop-chain-{len(op.parts)}"
             if isinstance(op, _MultiJoinOp):
                 return f"join-chain-{len(op.srcs)}"
             if isinstance(op, _GlobalTopKOp):
@@ -3319,6 +3411,16 @@ class IncrementalProgram:
                 da = ZSet(da_df.select(*pa, WEIGHT).toDF(*op.names0, WEIGHT))
                 db = ZSet(_apply_linear(delta_of(src_b).df, sel_b, where_b))
                 d = op.op.step(da, db)
+            elif isinstance(op, _SetOpChainOp):
+                def _branch(i):
+                    src_i, sel_i, where_i = op.parts[i]
+                    bd = _apply_linear(delta_of(src_i).df, sel_i, where_i)
+                    pc = [c for c in bd.columns if c != WEIGHT]
+                    return ZSet(bd.select(*pc, WEIGHT).toDF(*op.names0, WEIGHT))
+
+                d = op.ops[0].step(_branch(0), _branch(1))
+                for j, nxt in enumerate(op.ops[1:], start=2):
+                    d = nxt.step(d, _branch(j))
             elif isinstance(op, _GlobalAggOp):
                 dd = delta_of(op.src).df.withColumn("__g", F.lit(0))
                 op.op.step(ZSet(dd))

@@ -539,6 +539,102 @@ class IncrementalGroupRecomputeAgg:
         return self._out
 
 
+class IncrementalMixedAgg:
+    """GROUP BY keys mixing linear aggregates (SUM/COUNT/AVG) with one
+    or more COUNT(DISTINCT col) items. The reference expands distinct
+    aggregates into separate grouped branches re-joined on the keys
+    (Calcite AggregateExpandDistinctAggregatesRule feeding
+    DBSPAggregateOperator circuits); the incremental analogue here:
+
+    - one :class:`IncrementalLinearAgg` state for the plain items
+      (plus a hidden COUNT(*) when there are none — it also decides
+      group existence, Σw > 0),
+    - per distinct item, an :class:`IncrementalDistinct` multiplicity
+      state over (keys, col) feeding an :class:`IncrementalLinearAgg`
+      COUNT(col) — the same distinct→count composition the sole-
+      distinct circuit uses,
+    - the output delta is a touched-key recombination: retract the
+      pre-step joined row, insert the post-step joined row, consolidate
+      (unchanged groups cancel).
+
+    Per-step cost ∝ |delta| + |touched keys| state joins — independent
+    of the integrated input size. All joins are null-safe (NULL keys
+    form one SQL group); absent distinct branches coalesce to 0
+    (COUNT(DISTINCT col) of an all-NULL group is 0, but the group
+    itself still exists)."""
+
+    def __init__(
+        self,
+        keys: list[str],
+        plain_specs: list[AggSpec],
+        dist_items: "list[tuple[str, str]]",  # (arg column, output alias)
+        cond: Column | None = None,
+    ):
+        if not dist_items:
+            raise ValueError("need at least one COUNT(DISTINCT) item")
+        self.keys = keys
+        self.cond = cond
+        self._hidden_exist = not plain_specs
+        specs = plain_specs or [AggSpec("__exist", "count")]
+        self.plain = IncrementalLinearAgg(keys=keys, specs=specs)
+        self.branches = [
+            (arg, alias, IncrementalDistinct(), IncrementalLinearAgg(
+                keys=keys, specs=[AggSpec(alias, "count", F.col(arg))]
+            ))
+            for arg, alias in dist_items
+        ]
+        self._stepped = False
+
+    def _combined(self) -> DataFrame:
+        """Current view rows: plain snapshot (group existence) left-
+        joined with each distinct-count branch snapshot, null-safely."""
+        out = self.plain.snapshot()
+        cols = [c for c in out.columns]
+        for i, (_arg, alias, _dist, cnt) in enumerate(self.branches):
+            snap = cnt.snapshot().select(
+                *[F.col(k).alias(f"__b{i}k{j}") for j, k in enumerate(self.keys)],
+                F.col(alias).alias(f"__b{i}v"),
+            )
+            cond = None
+            for j, k in enumerate(self.keys):
+                eq = out[k].eqNullSafe(snap[f"__b{i}k{j}"])
+                cond = eq if cond is None else cond & eq
+            out = out.join(snap, cond, "left").select(
+                *[out[c] for c in cols],
+                F.coalesce(snap[f"__b{i}v"], F.lit(0).cast("long")).alias(alias),
+            )
+            cols.append(alias)
+        if self._hidden_exist:
+            out = out.drop("__exist")
+        return out
+
+    def step(self, delta: ZSet) -> ZSet:
+        z = delta if self.cond is None else delta.filter(self.cond)
+        z = z.consolidate()
+        touched = z.df.select(*self.keys).distinct().localCheckpoint(eager=False)
+        # DataFrames are immutable plans: the pre-step combined view
+        # stays valid (lazily) after the branch states advance.
+        old_rows = (
+            _join_on_keys(self._combined(), self.keys, touched, "leftsemi")
+            if self._stepped
+            else None
+        )
+        self.plain.step(z)
+        for arg, _alias, dist, cnt in self.branches:
+            zi = ZSet(z.df.select(*self.keys, arg, WEIGHT)).consolidate()
+            cnt.step(dist.step(zi))
+        self._stepped = True
+        new_rows = _join_on_keys(self._combined(), self.keys, touched, "leftsemi")
+        if old_rows is None:
+            return ZSet.from_df(new_rows)
+        return ZSet.from_df(new_rows).subtract(ZSet.from_df(old_rows)).consolidate()
+
+    def snapshot(self) -> DataFrame:
+        if not self._stepped:
+            raise ValueError("no steps applied")
+        return self._combined()
+
+
 class IncrementalOuterJoin:
     """LEFT/RIGHT/FULL OUTER equi-join maintained by *touched-key
     recompute* (reference: outer joins lower to join + antijoin-derived

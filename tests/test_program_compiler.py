@@ -1411,15 +1411,15 @@ def test_recognizer_expression_keys_and_count_distinct(spark):
 
 def test_recognizer_expression_key_conservative_fallbacks(spark):
     """Shapes the widened aggregate recognizer must NOT claim: a
-    non-key expression in the select list, COUNT(DISTINCT) mixed with
-    a plain aggregate, COUNT(DISTINCT) of a grouping key, and a key
-    alias colliding with a source column. All naive — and correct."""
+    non-key expression in the select list, COUNT(DISTINCT) of a
+    grouping key, and a key alias colliding with a source column.
+    All naive — and correct. (COUNT(DISTINCT) mixed with plain
+    aggregates is now the mixed-distinct-aggregate circuit, covered
+    by test_recognizer_mixed_distinct_aggregates.)"""
     prog = """
     CREATE TABLE ta(id INTEGER, grp VARCHAR(10), val INTEGER);
     CREATE VIEW f_nonkey AS SELECT grp, val + 1 AS v1, COUNT(*) AS n
         FROM ta GROUP BY grp, val;
-    CREATE VIEW f_mixed AS SELECT grp, COUNT(DISTINCT val) AS cd, SUM(val) AS s
-        FROM ta GROUP BY grp;
     CREATE VIEW f_cd_key AS SELECT grp, COUNT(DISTINCT grp) AS cd
         FROM ta GROUP BY grp;
     CREATE VIEW f_collide AS SELECT val % 2 AS id, COUNT(*) AS n
@@ -1427,7 +1427,7 @@ def test_recognizer_expression_key_conservative_fallbacks(spark):
     """
     inc = IncrementalProgram(spark, prog, optimize=True)
     plan = inc.plan()
-    for v in ("f_nonkey", "f_mixed", "f_cd_key"):
+    for v in ("f_nonkey", "f_cd_key"):
         assert plan[v] == "naive", (v, plan[v])
     d = inc.step({
         "ta": ZSet(spark.createDataFrame(
@@ -1436,8 +1436,127 @@ def test_recognizer_expression_key_conservative_fallbacks(spark):
     })
     rows = {v: sorted((tuple(r) for r in d[v].to_multiset_df().collect()), key=repr)
             for v in d}
-    assert rows["f_mixed"] == [("a", 1, 10), ("b", 1, 2)]
     assert rows["f_cd_key"] == [("a", 1), ("b", 1)]
+
+
+SETOP_CHAIN_PROGRAM = """
+CREATE TABLE sa(x INTEGER, y VARCHAR(5));
+CREATE TABLE sb(x INTEGER, y VARCHAR(5));
+CREATE TABLE sc(x INTEGER, y VARCHAR(5));
+CREATE VIEW c_exc3 AS SELECT x, y FROM sa EXCEPT SELECT x, y FROM sb
+    EXCEPT SELECT x, y FROM sc;
+CREATE VIEW c_excmix AS SELECT x, y FROM sa EXCEPT ALL SELECT x, y FROM sb
+    EXCEPT SELECT x, y FROM sc WHERE x > 0;
+CREATE VIEW c_int3 AS SELECT x, y FROM sa INTERSECT SELECT x, y FROM sb
+    INTERSECT ALL SELECT x, y FROM sc;
+CREATE VIEW c_prec AS SELECT x, y FROM sa EXCEPT SELECT x, y FROM sb
+    INTERSECT SELECT x, y FROM sc;
+"""
+
+
+def test_recognizer_setop_chains(spark):
+    """3+-branch EXCEPT[/ALL] and INTERSECT[/ALL] chains compile to a
+    cascade of multiplicity-state set ops (left-assoc, the reference's
+    n-ary lowering); a chain mixing the two precedence families is NOT
+    left-associative and must stay naive. Optimized == naive per step
+    under inserts+deletes with NULLs and duplicate rows."""
+    import random
+
+    opt = IncrementalProgram(spark, SETOP_CHAIN_PROGRAM, optimize=True, checkpoint_every=2)
+    naive = IncrementalProgram(spark, SETOP_CHAIN_PROGRAM, optimize=False, checkpoint_every=2)
+    plan = opt.plan()
+    assert plan["c_exc3"] == "setop-chain-3"
+    assert plan["c_excmix"] == "setop-chain-3"
+    assert plan["c_int3"] == "setop-chain-3"
+    assert plan["c_prec"] == "naive"
+
+    rng = random.Random(29)
+    live = {t: [] for t in ("sa", "sb", "sc")}
+    schema = "x int, y string, __weight long"
+    for step in range(4):
+        deltas_o, deltas_n = {}, {}
+        for t in live:
+            d = []
+            for _ in range(rng.randint(1, 4)):
+                if live[t] and rng.random() < 0.3:
+                    row = live[t].pop(rng.randrange(len(live[t])))
+                    d.append((*row, -1))
+                else:
+                    row = (rng.choice([None, *range(-1, 4)]), rng.choice(["p", "q", None]))
+                    live[t].append(row)
+                    d.append((*row, 1))
+            deltas_o[t] = ZSet(spark.createDataFrame(d, schema))
+            deltas_n[t] = ZSet(spark.createDataFrame(d, schema))
+        oo = opt.step(deltas_o)
+        nn = naive.step(deltas_n)
+        for v in oo:
+            a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
+            b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
+            assert a == b, f"{v} step {step}: {a} vs {b}"
+
+
+MIXED_CD_PROGRAM = """
+CREATE TABLE ta(id INTEGER, grp VARCHAR(10), val INTEGER);
+CREATE VIEW m_mixed AS SELECT grp, COUNT(DISTINCT val) AS cd, SUM(val) AS s,
+    COUNT(*) AS n FROM ta GROUP BY grp;
+CREATE VIEW m_mixed_where AS SELECT grp, SUM(val) AS s, COUNT(DISTINCT val) AS cd
+    FROM ta WHERE val > 0 GROUP BY grp;
+CREATE VIEW m_two_cd AS SELECT grp, COUNT(DISTINCT val) AS cdv,
+    COUNT(DISTINCT id) AS cdi FROM ta GROUP BY grp;
+CREATE VIEW m_mixed_mm AS SELECT grp, COUNT(DISTINCT val) AS cd, MAX(val) AS mx
+    FROM ta GROUP BY grp;
+CREATE VIEW m_mixed_avg AS SELECT grp, AVG(val) AS av, COUNT(DISTINCT id) AS cdi
+    FROM ta GROUP BY grp;
+CREATE VIEW m_mixed_having AS SELECT grp, COUNT(DISTINCT val) AS cd, SUM(val) AS s
+    FROM ta GROUP BY grp HAVING COUNT(*) > 1;
+CREATE VIEW m_mixed_expr_key AS SELECT val % 2 AS k, COUNT(DISTINCT grp) AS cd,
+    COUNT(val) AS n FROM ta GROUP BY val % 2;
+"""
+
+
+def test_recognizer_mixed_distinct_aggregates(spark):
+    """COUNT(DISTINCT) mixed with linear aggregates compiles to the
+    mixed-distinct-aggregate circuit (per-branch states recombined on
+    touched keys — the reference expands distinct aggregates into
+    grouped branches re-joined on the keys); mixed with MIN/MAX it
+    rides the touched-group recompute. Optimized == naive per step
+    under inserts+deletes with NULL keys and NULL values."""
+    import random
+
+    opt = IncrementalProgram(spark, MIXED_CD_PROGRAM, optimize=True, checkpoint_every=2)
+    naive = IncrementalProgram(spark, MIXED_CD_PROGRAM, optimize=False, checkpoint_every=2)
+    plan = opt.plan()
+    assert plan["m_mixed"] == "mixed-distinct-aggregate"
+    assert plan["m_mixed_where"] == "mixed-distinct-aggregate"
+    assert plan["m_two_cd"] == "mixed-distinct-aggregate"
+    assert plan["m_mixed_mm"] == "aggregate-recompute"
+    assert plan["m_mixed_avg"] == "mixed-distinct-aggregate"
+    assert plan["m_mixed_having"] == "mixed-distinct-aggregate"
+    assert plan["m_mixed_expr_key"] == "mixed-distinct-aggregate"
+
+    rng = random.Random(17)
+    live = []
+    for step in range(4):
+        d = []
+        for _ in range(rng.randint(2, 6)):
+            if live and rng.random() < 0.35:
+                row = live.pop(rng.randrange(len(live)))
+                d.append((*row, -1))
+            else:
+                row = (
+                    rng.randrange(8),
+                    rng.choice(["a", "b", None]),
+                    rng.choice([None, rng.randrange(-3, 6)]),
+                )
+                live.append(row)
+                d.append((*row, 1))
+        schema = "id int, grp string, val int, __weight long"
+        oo = opt.step({"ta": ZSet(spark.createDataFrame(d, schema))})
+        nn = naive.step({"ta": ZSet(spark.createDataFrame(d, schema))})
+        for v in oo:
+            a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
+            b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
+            assert a == b, f"{v} step {step}: {a} vs {b}"
 
 
 def test_round3b_ops_driven_by_stream(spark, tmp_path):
