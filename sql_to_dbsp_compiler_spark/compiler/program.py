@@ -903,36 +903,23 @@ _RESERVED_ALIASES = {
 }
 
 
+# Words that are SQL syntax in expression position: a bare column
+# reference spelled like one of these cannot be rewritten safely
+# (e.g. a column named "day" vs `INTERVAL '1' DAY`) — such names are
+# treated as ambiguous and reject the view to the naive path.
+_BARE_KEYWORDS = frozenset(
+    "day month year hour minute second week quarter date time timestamp "
+    "interval row rows range current user order group select from where "
+    "value values case when then else end cast as and or not in is null "
+    "true false like between exists all any some distinct left right "
+    "inner outer on join union except intersect by asc desc".split()
+)
+
+_STR_LIT_RE = re.compile(r"'(?:[^']|'')*'")
+
+
 def _make_alias_rewriter(aa: str, cols_a: list[str], ba: str, cols_b: list[str]):
-    """Build a rewriter mapping alias-qualified refs (``x.col``) to
-    prefixed names (``__x_col``); returns None for texts with unknown
-    qualified columns or bare (ambiguous) source-column references."""
-
-    def rewrite(text: str) -> "str | None":
-        bad = False
-
-        def sub_q(alias: str, cols: list[str]):
-            def repl(mm: "re.Match") -> str:
-                nonlocal bad
-                c = mm.group(1).lower()
-                if c not in cols:
-                    bad = True
-                    return mm.group(0)
-                return f"__{alias}_{c}"
-
-            return repl
-
-        text = re.sub(rf"\b{aa}\.(\w+)", sub_q(aa, cols_a), text)
-        text = re.sub(rf"\b{ba}\.(\w+)", sub_q(ba, cols_b), text)
-        if bad:
-            return None
-        stripped = _strip_string_literals(text)
-        for c in set(cols_a) | set(cols_b):
-            if re.search(rf"(?<!_)\b{c}\b", stripped, re.IGNORECASE):
-                return None  # bare/unqualified column reference
-        return text
-
-    return rewrite
+    return _make_chain_rewriter({aa: cols_a, ba: cols_b})
 
 
 def _parse_alias_on(on: str, aa: str, ba: str) -> "Column | None":
@@ -1000,13 +987,18 @@ def _recognize_alias_agg_join(sql: str, cols_of: dict[str, list[str]]):
     key_map: dict[str, str] = {}  # renamed key col → output name
     key_order: list[str] = []
     for k in _split_top_level_commas(m.group("keys")):
-        km = re.fullmatch(r"\s*(\w+)\.(\w+)\s*", k)
-        if not km:
+        ks = k.strip()
+        km = re.fullmatch(r"(\w+)\.(\w+)", ks)
+        if km:
+            out_name = km.group(2).lower()
+        elif re.fullmatch(r"\w+", ks):
+            out_name = ks.lower()  # bare key — rewrite resolves the side
+        else:
             return None
-        rk = rewrite(k.strip())
-        if rk is None:
+        rk = rewrite(ks)
+        if rk is None or not re.fullmatch(r"\w+", rk):
             return None
-        key_map[rk] = km.group(2).lower()
+        key_map[rk] = out_name
         key_order.append(rk)
 
     items: list[tuple[str, str, str]] = []
@@ -1079,12 +1071,46 @@ def _recognize_alias_agg_join(sql: str, cols_of: dict[str, list[str]]):
 
 
 def _make_chain_rewriter(alias_cols: "dict[str, list[str]]"):
-    """n-alias generalization of _make_alias_rewriter."""
+    """Rewriter mapping alias-qualified refs (``x.col``) to prefixed
+    names (``__x_col``) across any number of aliases. Bare column
+    references resolve to whichever alias uniquely owns the name (SQL
+    name resolution); names owned by 2+ aliases — every column of a
+    self-join — or spelled like SQL keywords stay ambiguous → None.
+    Rewriting skips string-literal content; qualified refs with an
+    unknown qualifier → None."""
+    lower = {alias: {c.lower() for c in cols} for alias, cols in alias_cols.items()}
+    all_cols: "set[str]" = set()
+    shared: "set[str]" = set()
+    for cols in lower.values():
+        shared |= all_cols & cols
+        all_cols |= cols
+    shared |= all_cols & _BARE_KEYWORDS
+    owner = {
+        c: alias for alias, cols in lower.items() for c in cols if c not in shared
+    }
+    # bare ref: not preceded by [.\w] (qualified/prefixed/mid-word),
+    # not followed by "." (qualifier use) or "(" (function call)
+    bare_re = (
+        re.compile(
+            r"(?<![.\w])(" + "|".join(map(re.escape, sorted(owner))) + r")\b(?!\s*[.(])",
+            re.IGNORECASE,
+        )
+        if owner
+        else None
+    )
+    shared_re = (
+        re.compile(
+            r"(?<![.\w])(" + "|".join(map(re.escape, sorted(shared))) + r")\b(?!\s*[.(])",
+            re.IGNORECASE,
+        )
+        if shared
+        else None
+    )
 
-    def rewrite(text: str) -> "str | None":
+    def _rw_segment(seg: str) -> "str | None":
         bad = False
 
-        def sub_q(alias: str, cols: list[str]):
+        def sub_q(alias: str, cols: "set[str]"):
             def repl(mm: "re.Match") -> str:
                 nonlocal bad
                 c = mm.group(1).lower()
@@ -1095,40 +1121,56 @@ def _make_chain_rewriter(alias_cols: "dict[str, list[str]]"):
 
             return repl
 
-        for alias, cols in alias_cols.items():
-            text = re.sub(rf"\b{alias}\.(\w+)", sub_q(alias, cols), text)
+        for alias, cols in lower.items():
+            seg = re.sub(rf"\b{alias}\.(\w+)", sub_q(alias, cols), seg)
         if bad:
             return None
-        stripped = _strip_string_literals(text)
-        all_cols = set()
-        for cols in alias_cols.values():
-            all_cols |= set(cols)
-        for c in all_cols:
-            if re.search(rf"(?<!_)\b{c}\b", stripped, re.IGNORECASE):
-                return None  # bare/unqualified column reference
-        return text
+        if re.search(r"\b[A-Za-z_]\w*\s*\.\s*[A-Za-z_]", seg):
+            return None  # qualified ref with an unknown qualifier
+        if shared_re is not None and shared_re.search(seg):
+            return None  # ambiguous (or keyword-shaped) bare reference
+        if bare_re is not None:
+            seg = bare_re.sub(
+                lambda mm: f"__{owner[mm.group(1).lower()]}_{mm.group(1).lower()}", seg
+            )
+        return seg
+
+    def rewrite(text: str) -> "str | None":
+        res: list[str] = []
+        pos = 0
+        for lm in _STR_LIT_RE.finditer(text):
+            seg = _rw_segment(text[pos : lm.start()])
+            if seg is None:
+                return None
+            res.append(seg)
+            res.append(lm.group(0))
+            pos = lm.end()
+        seg = _rw_segment(text[pos:])
+        if seg is None:
+            return None
+        res.append(seg)
+        return "".join(res)
 
     return rewrite
 
 
-def _parse_alias_join_chain(sql: str, cols_of: dict[str, list[str]]):
-    """Left-deep ALIASED inner-join chain with >= 3 sources —
-    repeated tables and shadowed column names allowed because every
-    leg's delta is pre-projected to alias-prefixed columns (the
-    unaliased chain requires global column uniqueness; this one
-    requires full alias qualification instead)."""
+def _parse_chain_from(
+    rest: str, cols_of: dict[str, list[str]], min_sources: int = 3
+):
+    """Parse ``<t1> <q1> JOIN <t2> <q2> ON … [JOIN …] [WHERE …]`` (the
+    FROM-onward tail of a left-deep aliased inner-join chain). Returns
+    (srcs, quals, rewrite, join_ops, where, pres) or None. Every leg's
+    delta is pre-projected to alias-prefixed columns, so repeated
+    tables and shadowed column names are fine; each ON conjunct must
+    link the new leg to the already-joined prefix (left-deep)."""
     from ..plans.incremental import IncrementalJoin
 
-    m = re.match(r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<rest>.+)$", sql, re.IGNORECASE | re.DOTALL)
-    if not m:
-        return None
-    sel, rest = m.group("sel"), m.group("rest")
     if re.search(r"\b(LEFT|RIGHT|FULL|OUTER|CROSS)\b", rest, re.IGNORECASE):
         return None
     wm = re.split(r"\bWHERE\b", rest, maxsplit=1, flags=re.IGNORECASE)
     from_clause, where = wm[0], (wm[1].strip() if len(wm) > 1 else None)
     parts = re.split(r"\bJOIN\b", from_clause, flags=re.IGNORECASE)
-    if len(parts) < 3:
+    if len(parts) < min_sources:
         return None
     hm = re.fullmatch(r"\s*(?P<t>\w+)\s+(?P<q>\w+)\s*", parts[0])
     if not hm:
@@ -1181,6 +1223,29 @@ def _parse_alias_join_chain(sql: str, cols_of: dict[str, list[str]]):
         where = rewrite(where)
         if where is None or _FORBIDDEN_LINEAR.search(where):
             return None
+    pres = [
+        [f"{c} AS __{q}_{c}" for c in cols_of[s]] for q, s in zip(quals, srcs)
+    ]
+    return srcs, quals, rewrite, ops, where, pres
+
+
+def _parse_alias_join_chain(sql: str, cols_of: dict[str, list[str]]):
+    """Left-deep ALIASED inner-join chain with >= 3 sources —
+    repeated tables and shadowed column names allowed because every
+    leg's delta is pre-projected to alias-prefixed columns (the
+    unaliased chain requires global column uniqueness; this one
+    allows bare references only where one leg uniquely owns the
+    name)."""
+    m = re.match(r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<rest>.+)$", sql, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    sel, rest = m.group("sel"), m.group("rest")
+    if re.search(r"\bGROUP\s+BY\b", _strip_string_literals(rest), re.IGNORECASE):
+        return None  # → _recognize_chain_agg
+    parsed = _parse_chain_from(rest, cols_of)
+    if parsed is None:
+        return None
+    srcs, quals, rewrite, ops, where, pres = parsed
     project: "list[Column]" = []
     aliases: list[str] = []
     for item in _split_top_level_commas(sel):
@@ -1190,18 +1255,145 @@ def _parse_alias_join_chain(sql: str, cols_of: dict[str, list[str]]):
             expr, out = im.group("expr"), im.group("alias").lower()
         else:
             qm = re.fullmatch(r"(\w+)\.(\w+)", item)
-            if not qm:
+            if qm:
+                expr, out = item, qm.group(2).lower()
+            elif re.fullmatch(r"\w+", item):
+                expr, out = item, item.lower()  # bare column reference
+            else:
                 return None
-            expr, out = item, qm.group(2).lower()
         expr = rewrite(expr)
         if expr is None or _FORBIDDEN_LINEAR.search(expr) or out in aliases:
             return None
         project.append(F.expr(expr).alias(out))
         aliases.append(out)
-    pres = [
-        [f"{c} AS __{q}_{c}" for c in cols_of[s]] for q, s in zip(quals, srcs)
-    ]
     return _MultiJoinOp(srcs, ops, project, aliases, where, pres)
+
+
+_CHAIN_AGG_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<rest>.+?)\s*GROUP\s+BY\s+"
+    r"(?P<keys>.+?)\s*(?:HAVING\s+(?P<having>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _recognize_chain_agg(sql: str, cols_of: dict[str, list[str]]):
+    """GROUP BY over a left-deep aliased join chain of 3+ sources
+    (TPC-H q3/q5/q10 shape: facts joined to dims, then aggregated —
+    the reference emits a cascade of DBSPIncrementalJoinOperators
+    feeding a DBSPIncrementalAggregateOperator): each stage is the
+    bilinear join rule; the final delta feeds one incremental
+    aggregate. MIN/MAX ride touched-group recompute."""
+    from ..plans.incremental import (
+        AggSpec,
+        IncrementalGroupRecomputeAgg,
+        IncrementalLinearAgg,
+    )
+
+    m = _CHAIN_AGG_RE.match(sql)
+    if not m:
+        return None
+    parsed = _parse_chain_from(m.group("rest"), cols_of)
+    if parsed is None:
+        return None
+    srcs, quals, rewrite, join_ops, where, pres = parsed
+
+    key_map: dict[str, str] = {}  # prefixed key col → output name
+    key_order: list[str] = []
+    for k in _split_top_level_commas(m.group("keys")):
+        ks = k.strip()
+        km = re.fullmatch(r"(\w+)\.(\w+)", ks)
+        if km:
+            out_name = km.group(2).lower()
+        elif re.fullmatch(r"\w+", ks):
+            out_name = ks.lower()
+        else:
+            return None
+        rk = rewrite(ks)
+        if rk is None or not re.fullmatch(r"\w+", rk):
+            return None
+        key_map[rk] = out_name
+        key_order.append(rk)
+
+    items: list[tuple[str, str, str]] = []
+    sel_exprs: list[str] = []
+    out_cols: list[str] = []
+    for item in _split_top_level_commas(m.group("sel")):
+        item = item.strip()
+        am = _AGG_ITEM_RE.match(item)
+        if am:
+            fn = am.group("fn").lower()
+            arg = am.group("arg").strip()
+            alias = am.group("alias").lower()
+            if arg != "*":
+                if re.search(r"\bDISTINCT\b", arg, re.IGNORECASE):
+                    return None
+                arg = rewrite(arg)
+                if arg is None or _FORBIDDEN_LINEAR.search(arg):
+                    return None
+            items.append((fn, arg, alias))
+            sel_exprs.append(alias)
+            out_cols.append(alias)
+        else:
+            im = re.fullmatch(
+                r"(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)", item, re.IGNORECASE | re.DOTALL
+            )
+            if im:
+                expr, out = rewrite(im.group("expr").strip()), im.group("alias").lower()
+            else:
+                expr, out = rewrite(item), None
+            if expr is None or expr not in key_map:
+                return None
+            out = out or key_map[expr]
+            sel_exprs.append(f"{expr} AS {out}")
+            out_cols.append(out)
+    if not items:
+        return None
+    having_sql = m.group("having")
+    if having_sql is not None:
+        # prefix column refs first, then compile aggregates not in the
+        # select list to hidden __hN items + a row-wise filter
+        having_sql = rewrite(having_sql)
+        if having_sql is None:
+            return None
+        existing = {
+            (fn, re.sub(r"\s+", "", (arg or "").lower())): al for fn, arg, al in items
+        }
+        rewritten = _extract_having_aggs(having_sql, existing)
+        if rewritten is None:
+            return None
+        having_sql, extra = rewritten
+        for fn, arg, _al in extra:
+            if arg != "*" and (
+                re.search(r"\bDISTINCT\b", arg, re.IGNORECASE)
+                or _FORBIDDEN_LINEAR.search(arg)
+            ):
+                return None
+        items = items + extra
+        if not _having_refs_only(
+            having_sql, out_cols + [al for _, _, al in extra] + key_order
+        ):
+            return None
+    having = F.expr(having_sql) if having_sql else None
+    cond = F.expr(where) if where else None
+    if any(fn in ("min", "max") for fn, _, _ in items):
+        aggs = [
+            (F.count(F.lit(1)) if (fn == "count" and arg == "*") else F.expr(f"{fn}({arg})")).alias(al)
+            for fn, arg, al in items
+        ]
+        agg_op = IncrementalGroupRecomputeAgg(keys=key_order, aggs=aggs, cond=cond)
+    else:
+        specs: list = []
+        for fn, arg, al in items:
+            if fn == "count" and arg == "*":
+                specs.append(AggSpec(al, "count"))
+            elif fn == "count":
+                specs.append(AggSpec(al, "count", F.expr(arg)))
+            elif fn in ("sum", "avg"):
+                specs.append(AggSpec(al, fn, F.expr(arg)))
+            else:
+                return None
+        agg_op = IncrementalLinearAgg(keys=key_order, specs=specs, cond=cond)
+    return _MultiJoinAggOp(srcs, join_ops, pres, agg_op, sel_exprs, out_cols, having)
 
 
 _ALIAS_OUTER_JOIN_RE = re.compile(
@@ -1259,9 +1451,12 @@ def _recognize_alias_outer_join(sql: str, cols_of: dict[str, list[str]]):
             expr, out = im.group("expr"), im.group("alias").lower()
         else:
             qm = re.fullmatch(r"(\w+)\.(\w+)", item)
-            if not qm:
+            if qm:
+                expr, out = item, qm.group(2).lower()
+            elif re.fullmatch(r"\w+", item):
+                expr, out = item, item.lower()  # bare column reference
+            else:
                 return None
-            expr, out = item, qm.group(2).lower()
         expr = rewrite(expr)
         if expr is None or _FORBIDDEN_LINEAR.search(expr) or out in out_cols:
             return None
@@ -1278,9 +1473,10 @@ def _recognize_alias_outer_join(sql: str, cols_of: dict[str, list[str]]):
 
 def _recognize_alias_join(sql: str, cols_of: dict[str, list[str]]):
     """Aliased two-table inner join (incl. self-join) → _AliasJoinOp.
-    Conservative: both sides must carry an explicit alias, every
-    column reference must be alias-qualified, ON must be an
-    equi-conjunction."""
+    Both sides must carry an explicit alias and ON must be an
+    equi-conjunction; column references may be alias-qualified or
+    bare when one side uniquely owns the name (SQL resolution —
+    self-joins reject every bare reference as ambiguous)."""
     from ..plans.incremental import IncrementalJoin
 
     m = _ALIAS_JOIN_RE.match(sql)
@@ -1319,9 +1515,12 @@ def _recognize_alias_join(sql: str, cols_of: dict[str, list[str]]):
             expr, out = im.group("expr"), im.group("alias").lower()
         else:
             qm = re.fullmatch(r"(\w+)\.(\w+)", item)
-            if not qm:
+            if qm:
+                expr, out = item, qm.group(2).lower()
+            elif re.fullmatch(r"\w+", item):
+                expr, out = item, item.lower()  # bare column reference
+            else:
                 return None
-            expr, out = item, qm.group(2).lower()
         expr = rewrite(expr)
         if expr is None or _FORBIDDEN_LINEAR.search(expr) or out in out_cols:
             return None
@@ -1351,6 +1550,11 @@ _EXISTS_CONJ_RE = re.compile(
 )
 _IN_CONJ_RE = re.compile(
     r"^\s*(?P<col>[\w.]+)\s+IN\s*\(\s*SELECT\s+(?P<bcol>[\w.]+)\s+FROM\s+"
+    r"(?P<b>\w+)\s*(?:WHERE\s+(?P<bwhere>.+?))?\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_NOT_IN_CONJ_RE = re.compile(
+    r"^\s*(?P<col>[\w.]+)\s+NOT\s+IN\s*\(\s*SELECT\s+(?P<bcol>[\w.]+)\s+FROM\s+"
     r"(?P<b>\w+)\s*(?:WHERE\s+(?P<bwhere>.+?))?\s*\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1528,6 +1732,22 @@ class _SemiAntiOp:
     op: object  # IncrementalSemiAnti
     out_cols: "list[str] | None"
     anti: bool
+
+
+@dataclass
+class _NotInOp:
+    """NULL-aware ``x NOT IN (SELECT y FROM b [WHERE …])`` view with an
+    uncorrelated subquery (plans.incremental.IncrementalNullAwareNotIn
+    — three-valued logic, NOT a plain anti join)."""
+
+    src_a: str
+    src_b: str
+    b_key: str
+    b_where: "str | None"
+    a_where: "str | None"
+    sel_items: "list[str] | None"
+    op: object  # IncrementalNullAwareNotIn
+    out_cols: "list[str] | None"
 
 
 @dataclass
@@ -1811,9 +2031,9 @@ class _AliasJoinOp:
     IncrementalJoin applies — a self-join is just the bilinear rule
     with the same source feeding both legs (2× state, reference
     visitJoin places no distinctness requirement on the inputs).
-    All column references must be alias-qualified (self-joins make
-    bare names ambiguous); WHERE is linear and filters the joined
-    delta."""
+    Column references are alias-qualified or bare-but-uniquely-owned
+    (self-joins make every bare name ambiguous → rejected); WHERE is
+    linear and filters the joined delta."""
 
     src_a: str
     src_b: str
@@ -1875,6 +2095,22 @@ class _MultiJoinOp:
     # aliased chains: per-source alias-prefix pre-projection (allows
     # repeated tables and shadowed column names)
     pres: "list[list[str]] | None" = None
+
+
+@dataclass
+class _MultiJoinAggOp:
+    """GROUP BY over a left-deep aliased join chain (3+ sources):
+    cascaded bilinear IncrementalJoins feeding one incremental
+    aggregate — the reference's multi-way join→aggregate circuit
+    (TPC-H q3/q5/q10 shape)."""
+
+    srcs: "list[str]"
+    ops: "list[object]"  # n-1 IncrementalJoin
+    pres: "list[list[str]]"  # per-leg alias-prefix pre-projections
+    agg_op: object  # IncrementalLinearAgg | IncrementalGroupRecomputeAgg
+    sel_exprs: "list[str]"  # final projection (renames prefixed keys)
+    out_cols: "list[str]"
+    having: "Column | None" = None
 
 
 @dataclass
@@ -2197,7 +2433,7 @@ def _recognize_semi_anti(sql: str, known: set[str], cols_of: dict[str, list[str]
     subq_idx = [
         i
         for i, c in enumerate(conjs)
-        if _EXISTS_CONJ_RE.match(c) or _IN_CONJ_RE.match(c)
+        if _EXISTS_CONJ_RE.match(c) or _IN_CONJ_RE.match(c) or _NOT_IN_CONJ_RE.match(c)
     ]
     if len(subq_idx) != 1:
         return None
@@ -2207,8 +2443,30 @@ def _recognize_semi_anti(sql: str, known: set[str], cols_of: dict[str, list[str]
             return None
     subq = conjs[subq_idx[0]]
 
-    em = _EXISTS_CONJ_RE.match(subq)
-    if em:
+    not_in_key: "str | None" = None
+    nim = _NOT_IN_CONJ_RE.match(subq)
+    if nim:
+        # NULL-aware NOT IN: uncorrelated subquery only (the E/N mode
+        # indicators are global scalars; correlation would make them
+        # per-key — that shape stays naive)
+        b = nim.group("b").lower()
+        if b not in cols_of or b == a:
+            return None
+        sa = _resolve_side(nim.group("col"), a, b, cols_a, cols_of[b])
+        sb = _resolve_side(nim.group("bcol"), a, b, cols_a, cols_of[b])
+        if sa is None or sa[0] != "a" or sb is None or sb[0] != "b":
+            return None
+        b_where = nim.group("bwhere")
+        if b_where:
+            stripped_bw = _strip_string_literals(b_where)
+            if _FORBIDDEN_LINEAR.search(b_where) or re.search(
+                rf"\b{re.escape(a)}\s*\.", stripped_bw, re.IGNORECASE
+            ):
+                return None
+            b_where = re.sub(rf"\b{re.escape(b)}\s*\.\s*", "", b_where, flags=re.IGNORECASE)
+        not_in_key, keys_a, keys_b = sa[1], [sa[1]], [sb[1]]
+        anti = True
+    elif (em := _EXISTS_CONJ_RE.match(subq)):
         anti = em.group("neg") is not None
         im = _SELECT_FROM_RE.match(em.group("inner").strip())
         if not im:
@@ -2258,10 +2516,19 @@ def _recognize_semi_anti(sql: str, known: set[str], cols_of: dict[str, list[str]
         stripped = _strip_string_literals(a_where)
         if re.search(rf"\b{re.escape(b)}\s*\.", stripped, re.IGNORECASE):
             return None
+    out_names = names if names is not None else (list(cols_a) if sel_items is None else None)
+    if not_in_key is not None:
+        from ..plans.incremental import IncrementalNullAwareNotIn
+
+        return _NotInOp(
+            a, b, keys_b[0], b_where, a_where, sel_items,
+            IncrementalNullAwareNotIn(key_a=not_in_key),
+            out_names,
+        )
     return _SemiAntiOp(
         a, b, keys_b, b_where, a_where, sel_items,
         IncrementalSemiAnti(keys_a=keys_a, anti=anti),
-        names if names is not None else (list(cols_a) if sel_items is None else None),
+        out_names,
         anti,
     )
 
@@ -2940,7 +3207,11 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
         sel_items = None if sel == "*" else [s.strip() for s in _split_top_level_commas(sel)]
         return _DistinctOp(src, sel_items, where, IncrementalDistinct())
 
-    chain = _parse_join_chain(sql, cols_of) or _parse_alias_join_chain(sql, cols_of)
+    chain = (
+        _parse_join_chain(sql, cols_of)
+        or _parse_alias_join_chain(sql, cols_of)
+        or _recognize_chain_agg(sql, cols_of)
+    )
     if chain is not None:
         return chain
 
@@ -3108,13 +3379,15 @@ def _out_cols_of(
         return list(op.names0)
     if isinstance(op, _MultiJoinOp):
         return list(op.aliases)
+    if isinstance(op, _MultiJoinAggOp):
+        return list(op.out_cols)
     if isinstance(op, _GlobalTopKOp):
         return list(op.out_cols)
     if isinstance(op, _GlobalAggOp):
         return list(op.out_cols)
     if isinstance(op, (_WinFnOp, _JoinAggOp)):
         return list(op.out_cols)
-    if isinstance(op, (_FlatMapOp, _SemiAntiOp)):
+    if isinstance(op, (_FlatMapOp, _SemiAntiOp, _NotInOp)):
         return list(op.out_cols) if op.out_cols is not None else None
     if isinstance(op, (_ScalarSubqueryOp, _GroupingSetsOp)):
         return list(op.out_cols)
@@ -3254,6 +3527,9 @@ class IncrementalProgram:
                 return f"setop-chain-{len(op.parts)}"
             if isinstance(op, _MultiJoinOp):
                 return f"join-chain-{len(op.srcs)}"
+            if isinstance(op, _MultiJoinAggOp):
+                rc = "-recompute" if isinstance(op.agg_op, IncrementalGroupRecomputeAgg) else ""
+                return f"join-chain-{len(op.srcs)}-aggregate{rc}"
             if isinstance(op, _GlobalTopKOp):
                 return "topk-global"
             if isinstance(op, _GlobalAggOp):
@@ -3268,6 +3544,8 @@ class IncrementalProgram:
                 return "flatmap"
             if isinstance(op, _SemiAntiOp):
                 return "anti-join-decorrelated" if op.anti else "semi-join-decorrelated"
+            if isinstance(op, _NotInOp):
+                return "not-in-null-aware"
             if isinstance(op, _ScalarSubqueryOp):
                 return "scalar-agg-join"
             if isinstance(op, _GroupingSetsOp):
@@ -3403,6 +3681,17 @@ class IncrementalProgram:
                 if op.where:
                     d = ZSet(d.df.where(op.where))
                 d = d.map(*op.project).consolidate()
+            elif isinstance(op, _MultiJoinAggOp):
+                def _aleg(i):
+                    return ZSet(_apply_linear(delta_of(op.srcs[i]).df, op.pres[i], None))
+
+                jd = op.ops[0].step(_aleg(0), _aleg(1))
+                for j, nxt in enumerate(op.ops[1:], start=2):
+                    jd = nxt.step(jd, _aleg(j))
+                d = op.agg_op.step(jd)
+                if op.having is not None:
+                    d = d.filter(op.having)
+                d = d.map(*[F.expr(i) for i in op.sel_exprs])
             elif isinstance(op, _SetOpOp):
                 src_a, sel_a, where_a = op.part_a
                 src_b, sel_b, where_b = op.part_b
@@ -3455,6 +3744,18 @@ class IncrementalProgram:
                         delta_of(op.src_b).df,
                         [f"{k} AS __k{i}" for i, k in enumerate(op.b_keys)],
                         op.b_where,
+                    )
+                )
+                d = op.op.step(da, dk)
+                if op.sel_items is not None:
+                    d = d.map(*[F.expr(i) for i in op.sel_items])
+            elif isinstance(op, _NotInOp):
+                da = ZSet(
+                    _apply_linear(delta_of(op.src_a).df, None, op.a_where)
+                ).consolidate()
+                dk = ZSet(
+                    _apply_linear(
+                        delta_of(op.src_b).df, [f"{op.b_key} AS __k0"], op.b_where
                     )
                 )
                 d = op.op.step(da, dk)

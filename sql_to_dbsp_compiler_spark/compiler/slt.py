@@ -180,6 +180,29 @@ def slt_statements(seed: int = 0) -> list[str]:
         "GROUP BY y.tag",
     ]
     stmts += [
+        # bare-column references inside aliased joins (unique owner)
+        "SELECT id, v, tag FROM t x JOIN u y ON id = k WHERE v IS NOT NULL",
+        "SELECT tag, sum(a) AS sa, count(*) AS n FROM t x JOIN u y "
+        "ON id = k GROUP BY tag",
+        # mixed COUNT(DISTINCT) + linear aggregates
+        "SELECT (a % 3) AS g, count(DISTINCT b) AS cd, sum(b) AS sb, "
+        "count(*) AS n FROM t GROUP BY (a % 3)",
+        "SELECT sign(a) AS g, count(DISTINCT s) AS cs, count(DISTINCT b) AS cb "
+        "FROM t GROUP BY sign(a)",
+        "SELECT (b > 0) AS g, avg(a) AS av, count(DISTINCT a) AS ca FROM t "
+        "WHERE b IS NOT NULL GROUP BY (b > 0)",
+        # NULL-aware NOT IN (subquery with and without NULLs)
+        "SELECT id, a FROM t WHERE a NOT IN (SELECT v / 10 FROM u "
+        "WHERE v IS NOT NULL)",
+        "SELECT id FROM t WHERE b NOT IN (SELECT v FROM u)",
+        "SELECT id FROM t WHERE a NOT IN (SELECT k FROM u WHERE k > 1000)",
+        # chained set ops (one precedence family, left-assoc)
+        "SELECT id FROM t EXCEPT SELECT k FROM u EXCEPT SELECT b FROM t "
+        "WHERE b < 0",
+        "SELECT a FROM t WHERE a IS NOT NULL INTERSECT SELECT a FROM t "
+        "WHERE a > 0 INTERSECT ALL SELECT k FROM u",
+    ]
+    stmts += [
         "SELECT a FROM t WHERE a IS NOT NULL UNION SELECT v FROM u",
         "SELECT a FROM t UNION ALL SELECT k FROM u",
         "SELECT id FROM t EXCEPT SELECT k FROM u",
@@ -400,14 +423,19 @@ def slt_random_statements(seed: int = 0, n: int = 150) -> list[str]:
                 f"SELECT id, {w} OVER ({part}ORDER BY id{frame}) AS wv "
                 f"FROM t WHERE {rf()}"
             )
-        elif kind == 3:  # set op between compatible selects
+        elif kind == 3:  # set op between compatible selects (maybe chained)
             op = rng.choice(["UNION", "UNION ALL", "EXCEPT", "INTERSECT"])
             l = rng.choice(["SELECT id FROM t WHERE " + rf(),
                             "SELECT a FROM t WHERE a IS NOT NULL"])
             r = rng.choice(["SELECT k FROM u", "SELECT v / 10 FROM u WHERE v IS NOT NULL"])
-            out.append(f"{l} {op} {r}")
-        elif kind == 4:  # scalar subquery / [NOT] EXISTS / IN
-            form = rng.randrange(4)
+            stmt = f"{l} {op} {r}"
+            if op in ("EXCEPT", "INTERSECT") and rng.random() < 0.4:
+                # 3-branch chain inside one precedence family
+                op2 = rng.choice([op, f"{op} ALL"])
+                stmt += f" {op2} SELECT b FROM t WHERE {rf()}"
+            out.append(stmt)
+        elif kind == 4:  # scalar subquery / [NOT] EXISTS / [NOT] IN
+            form = rng.randrange(5)
             if form == 0:
                 a = rng.choice(["count(*)", "max(v)", "min(v)", "sum(v)"])
                 out.append(
@@ -424,11 +452,18 @@ def slt_random_statements(seed: int = 0, n: int = 150) -> list[str]:
                     "SELECT id FROM t WHERE NOT EXISTS "
                     "(SELECT 1 FROM u WHERE u.k = t.id)"
                 )
-            else:
+            elif form == 3:
                 out.append(
                     "SELECT id, a FROM t WHERE a IN "
                     "(SELECT v / 10 FROM u WHERE v IS NOT NULL)"
                 )
+            else:  # NULL-aware NOT IN, with or without NULLs in B
+                sub = rng.choice([
+                    "SELECT v / 10 FROM u WHERE v IS NOT NULL",
+                    "SELECT v FROM u",
+                    "SELECT k FROM u WHERE k > 1000",
+                ])
+                out.append(f"SELECT id, a FROM t WHERE a NOT IN ({sub})")
         else:  # ordered limit with a total order + expressions
             e1 = rng.choice(xs)
             out.append(

@@ -319,6 +319,116 @@ class IncrementalSemiAnti:
         return dsemi
 
 
+class IncrementalNullAwareNotIn:
+    """NULL-aware ``x NOT IN (SELECT y FROM B …)`` with full SQL
+    three-valued logic (the reason plain anti-join is wrong):
+
+    - B empty            → every A row passes (even x IS NULL),
+    - B contains NULL y  → NO row passes (x=NULL comparisons make the
+      predicate UNKNOWN at best),
+    - otherwise          → rows with x IS NOT NULL and x ∉ y-set.
+
+    Algebraically ``O = E·A + N·(A' ▷ K)`` with scalar indicators
+    ``E = [B = ∅]`` and ``N = [B ≠ ∅ ∧ no NULL y]``, ``A' = σ_{x NOT
+    NULL} A`` and ``K = distinct non-null y`` (the reference compiles
+    NOT IN through the same guarded-subquery expansion — a count
+    aggregate joined as a scalar gating an anti join). Both products
+    are bilinear, so the delta rule ``Δ(U·V) = ΔU·V_new + U_old·ΔV``
+    applies with scalars as weight-carrying unit Z-sets; scalar
+    multiplication is a crossJoin against a 1-row frame whose
+    weight-0 case prunes to an empty side. Mode flips (E or N
+    changing) legitimately retract/insert the whole affected side —
+    that IS the delta of the view. Per-step cost is ∝ |delta| while
+    modes are stable; the scalar recount is a 1-row global aggregate
+    over the B key state."""
+
+    def __init__(self, key_a: str, checkpoint_every: int = 8):
+        self.key_a = key_a
+        self._anti = IncrementalSemiAnti(keys_a=[key_a], anti=True,
+                                         checkpoint_every=checkpoint_every)
+        self._a: ZSet | None = None  # integrated full A (incl. NULL x)
+        self._b: ZSet | None = None  # integrated B key col (__k0, incl. NULLs)
+        self._anti_int: ZSet | None = None  # integral of the anti output
+        self._steps = 0
+        self._checkpoint_every = checkpoint_every
+
+    @staticmethod
+    def _scalars(bdf: DataFrame) -> DataFrame:
+        """1-row frame: __e / __n indicator weights from B's state."""
+        zero = F.lit(0).cast("long")
+        s = bdf.agg(
+            F.coalesce(F.sum(WEIGHT), zero).alias("__tot"),
+            F.coalesce(
+                F.sum(F.when(F.col("__k0").isNull(), F.col(WEIGHT)).otherwise(zero)),
+                zero,
+            ).alias("__nulls"),
+        )
+        return s.select(
+            F.when(F.col("__tot") == 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("__e"),
+            F.when((F.col("__tot") > 0) & (F.col("__nulls") == 0), F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("__n"),
+        )
+
+    @staticmethod
+    def _smul(scalar: DataFrame, ind: str, z: "ZSet | None") -> "ZSet | None":
+        """Scalar·Z-set product: crossJoin with the 1-row indicator,
+        multiplying weights; weight-0 indicators prune to empty."""
+        if z is None:
+            return None
+        payload = [c for c in z.df.columns if c != WEIGHT]
+        s = scalar.select(F.col(ind).alias("__sw")).where(F.col("__sw") != 0)
+        return ZSet(
+            z.df.crossJoin(s).select(
+                *payload, (F.col(WEIGHT) * F.col("__sw")).cast("long").alias(WEIGHT)
+            )
+        )
+
+    def step(self, da: ZSet, db: ZSet) -> ZSet:
+        """``da``: full A-side delta (outer WHERE applied); ``db``:
+        B-side delta of the compared column, named ``__k0``."""
+        da = da.consolidate()
+        db = db.consolidate()
+        b_old_df = self._b.df if self._b is not None else db.df.where(F.lit(False))
+        sc_old = self._scalars(b_old_df).localCheckpoint(eager=False)
+        a_old, anti_old = self._a, self._anti_int
+
+        da_nonnull = da.filter(F.col(self.key_a).isNotNull())
+        dk_nonnull = db.filter(F.col("__k0").isNotNull())
+        danti = self._anti.step(da_nonnull, dk_nonnull)
+
+        self._a = da if self._a is None else self._a.add(da).consolidate()
+        self._b = db if self._b is None else self._b.add(db).consolidate()
+        self._anti_int = (
+            danti if self._anti_int is None else self._anti_int.add(danti).consolidate()
+        )
+        sc_new = self._scalars(self._b.df).localCheckpoint(eager=False)
+        # Δindicator as a 1-row frame (new - old weight)
+        d_sc = (
+            sc_new.select("__e", "__n")
+            .unionByName(sc_old.select((-F.col("__e")).alias("__e"), (-F.col("__n")).alias("__n")))
+            .agg(F.sum("__e").alias("__e"), F.sum("__n").alias("__n"))
+            .localCheckpoint(eager=False)
+        )
+
+        terms = [
+            self._smul(d_sc, "__e", self._a),        # ΔE · A_new
+            self._smul(sc_old, "__e", da),           # E_old · ΔA
+            self._smul(d_sc, "__n", self._anti_int), # ΔN · ANTI_new
+            self._smul(sc_old, "__n", danti),        # N_old · Δanti
+        ]
+        out = None
+        for t in terms:
+            if t is None:
+                continue
+            out = t if out is None else out.add(t)
+        self._steps += 1
+        if self._steps % self._checkpoint_every == 0:
+            self._a = ZSet(self._a.df.localCheckpoint(eager=False))
+            self._b = ZSet(self._b.df.localCheckpoint(eager=False))
+            self._anti_int = ZSet(self._anti_int.df.localCheckpoint(eager=False))
+        return out.consolidate()
+
+
 class IncrementalDistinct:
     """DBSPIncrementalDistinctOperator: maintain per-row multiplicity;
     emit +1 when a row's weight crosses 0→positive, -1 on positive→0.

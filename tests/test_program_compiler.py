@@ -1439,6 +1439,58 @@ def test_recognizer_expression_key_conservative_fallbacks(spark):
     assert rows["f_cd_key"] == [("a", 1), ("b", 1)]
 
 
+NOT_IN_PROGRAM = """
+CREATE TABLE na(id INTEGER, x INTEGER);
+CREATE TABLE nb(y INTEGER, tag VARCHAR(5));
+CREATE VIEW v_notin AS SELECT id, x FROM na WHERE x NOT IN (SELECT y FROM nb);
+CREATE VIEW v_notin_w AS SELECT id, x FROM na
+    WHERE id > 0 AND x NOT IN (SELECT y FROM nb WHERE nb.tag = 'k');
+"""
+
+
+def test_recognizer_not_in_null_aware(spark):
+    """x NOT IN (SELECT y …) compiles to the NULL-aware three-valued
+    circuit: B empty → every row passes (even x IS NULL); B containing
+    a NULL y → NO row passes; otherwise a plain anti join over non-NULL
+    x. Directed steps force every mode transition; optimized == naive
+    (Spark's null-aware anti join) per step."""
+    opt = IncrementalProgram(spark, NOT_IN_PROGRAM, optimize=True, checkpoint_every=2)
+    naive = IncrementalProgram(spark, NOT_IN_PROGRAM, optimize=False, checkpoint_every=2)
+    plan = opt.plan()
+    assert plan["v_notin"] == "not-in-null-aware"
+    assert plan["v_notin_w"] == "not-in-null-aware"
+
+    a_schema = "id int, x int, __weight long"
+    b_schema = "y int, tag string, __weight long"
+    steps = [
+        # 1: A rows incl. NULL x, B empty → all rows pass
+        ({"na": [(1, 10, 1), (2, None, 1), (3, 20, 1), (-1, 10, 1)]}, {}),
+        # 2: B gains non-NULL keys → empty→normal flip, matches retract
+        ({}, {"nb": [(10, "k", 1), (99, "z", 1)]}),
+        # 3: B gains a NULL y → whole output retracts
+        ({}, {"nb": [(None, "k", 1)]}),
+        # 4: churn while B has a NULL (output must stay empty for the
+        #    unfiltered view; the tag='k' view still sees no NULL y)
+        ({"na": [(4, 30, 1), (1, 10, -1)]}, {"nb": [(20, "k", 1)]}),
+        # 5: the NULL y leaves → normal mode returns
+        ({}, {"nb": [(None, "k", -1)]}),
+        # 6: B drains to empty → everything passes again
+        ({}, {"nb": [(10, "k", -1), (99, "z", -1), (20, "k", -1)]}),
+    ]
+    for i, (da, db) in enumerate(steps):
+        deltas_o, deltas_n = {}, {}
+        for t, rows, schema in (("na", da.get("na"), a_schema), ("nb", db.get("nb"), b_schema)):
+            if rows:
+                deltas_o[t] = ZSet(spark.createDataFrame(rows, schema))
+                deltas_n[t] = ZSet(spark.createDataFrame(rows, schema))
+        oo = opt.step(deltas_o)
+        nn = naive.step(deltas_n)
+        for v in oo:
+            a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
+            b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
+            assert a == b, f"{v} step {i}: {a} vs {b}"
+
+
 SETOP_CHAIN_PROGRAM = """
 CREATE TABLE sa(x INTEGER, y VARCHAR(5));
 CREATE TABLE sb(x INTEGER, y VARCHAR(5));
@@ -1632,8 +1684,10 @@ def test_recognizer_alias_and_self_joins(spark):
     (reference visitJoin places no distinctness requirement on the
     inputs; a self-join is the bilinear rule with one source feeding
     both legs). Optimized == naive per step under inserts+deletes.
-    Conservative fallbacks: bare (unqualified) column refs, non-equi
-    ON, and aliased OUTER joins all stay naive."""
+    Bare (unqualified) column references resolve to whichever side
+    uniquely owns the name — SQL resolution — so `SELECT id, bval …
+    ON id = ref` compiles; a self-join makes every bare name
+    ambiguous and stays naive, as does non-equi ON."""
     import random
 
     prog = """
@@ -1645,6 +1699,8 @@ def test_recognizer_alias_and_self_joins(spark):
     CREATE VIEW j_expr AS SELECT x.id, x.val + y.bval AS tot
         FROM ta x JOIN tb y ON x.id = y.ref WHERE y.bval > 0;
     CREATE VIEW j_bare AS SELECT x.id, bval FROM ta x JOIN tb y ON x.id = y.ref;
+    CREATE VIEW j_bare2 AS SELECT id, grp, bval FROM ta x JOIN tb y
+        ON id = ref WHERE bval > 0 AND grp <> 'zz';
     CREATE VIEW j_nonequi AS SELECT x.id, y.ref FROM ta x JOIN tb y ON x.id < y.ref;
     """
     opt = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=2)
@@ -1653,8 +1709,23 @@ def test_recognizer_alias_and_self_joins(spark):
     assert plan["j_self"] == "self-join"
     assert plan["j_ab"] == "join"
     assert plan["j_expr"] == "join"
-    assert plan["j_bare"] == "naive"
+    assert plan["j_bare"] == "join"
+    assert plan["j_bare2"] == "join"
     assert plan["j_nonequi"] == "naive"
+
+    # self-joins make every bare name ambiguous (invalid SQL — Spark
+    # itself rejects it, so the guard is unit-tested on the rewriter)
+    from sql_to_dbsp_compiler_spark.compiler.program import _make_alias_rewriter
+
+    rw = _make_alias_rewriter("x", ["id", "val"], "y", ["id", "val"])
+    assert rw("val") is None
+    assert rw("x.val + y.val") == "__x_val + __y_val"
+    # keyword-shaped column names never rewrite bare (INTERVAL '1' DAY)
+    rw2 = _make_alias_rewriter("x", ["id", "day"], "y", ["ref"])
+    assert rw2("day") is None
+    assert rw2("x.day") == "__x_day"
+    # string-literal content is never rewritten
+    assert rw2("id || 'id day x.day'") == "__x_id || 'id day x.day'"
 
     rng = random.Random(9)
     ta_live, tb_live = [], []
@@ -1818,12 +1889,20 @@ def test_recognizer_alias_join_chain(spark):
     CREATE VIEW c3w AS SELECT x.id, z.val AS zv
         FROM ta x JOIN tb y ON x.id = y.ref JOIN ta z ON z.val = x.val
         WHERE z.id <> x.id;
+    CREATE VIEW c3agg AS SELECT x.grp, SUM(y.bval) AS sb, COUNT(*) AS n
+        FROM ta x JOIN tb y ON x.id = y.ref JOIN ta z ON z.id = y.bval
+        GROUP BY x.grp;
+    CREATE VIEW c3aggw AS SELECT z.grp AS zg, MAX(x.val) AS mv
+        FROM ta x JOIN tb y ON x.id = y.ref JOIN ta z ON z.val = x.val
+        WHERE y.bval >= 0 GROUP BY z.grp HAVING COUNT(*) > 1;
     """
     opt = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=2)
     naive = IncrementalProgram(spark, prog, optimize=False, checkpoint_every=2)
     plan = opt.plan()
     assert plan["c3"] == "join-chain-3"
     assert plan["c3w"] == "join-chain-3"
+    assert plan["c3agg"] == "join-chain-3-aggregate"
+    assert plan["c3aggw"] == "join-chain-3-aggregate-recompute"
 
     rng = random.Random(17)
     ta_live, tb_live = [], []
