@@ -128,6 +128,7 @@ _FORBIDDEN_FEATURES: dict[str, set[str]] = {
     "_MultiJoinAggOp": {"setop", "window", "limit", "order_by", "subquery"},
     "_JoinAggOp": {"setop", "window", "limit", "order_by", "subquery"},
     "_UnionAllOp": {"window", "limit", "order_by", "subquery"},
+    "_UnionChainOp": {"window", "limit", "order_by", "subquery"},
     "_SetOpOp": {"window", "limit", "order_by", "subquery"},
     "_SetOpChainOp": {"window", "limit", "order_by", "subquery"},
     # UNNEST parses as a (cross) join in DuckDB; no grouping/windowing

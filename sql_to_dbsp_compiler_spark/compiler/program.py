@@ -2154,6 +2154,22 @@ class _UnionAllOp:
     distinct_op: "object | None" = None
 
 
+@dataclass
+class _UnionChainOp:
+    """Mixed UNION / UNION ALL chain, left-associative:
+    ``a UNION ALL b UNION c`` = ``distinct((a + b)) … `` — each
+    UNION-distinct separator gets its own multiplicity state applied
+    to the running sum, while UNION ALL separators are plain Z-set
+    addition (uniform chains take the cheaper single-state
+    _UnionAllOp path)."""
+
+    parts: "list[tuple[str, list[str] | None, str | None]]"
+    names0: "list[str]"
+    # one entry per separator: an IncrementalDistinct for 'distinct',
+    # None for 'all'
+    distinct_ops: "list[object | None]"
+
+
 def _split_union(sql: str) -> "tuple[list[str], list[str]]":
     """Split on top-level UNION [ALL|DISTINCT]; returns (parts, seps)
     with seps[i] in {'all', 'distinct'} between parts[i] and
@@ -2802,15 +2818,8 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
 
     union_parts, union_seps = _split_union(sql)
     if len(union_parts) > 1:
-        # uniform separator only; mixed UNION/UNION ALL stays naive
-        if all(s == "all" for s in union_seps):
-            distinct = None
-        elif all(s == "distinct" for s in union_seps):
-            from ..plans.incremental import IncrementalDistinct
+        from ..plans.incremental import IncrementalDistinct
 
-            distinct = IncrementalDistinct()
-        else:
-            return None
         parsed_parts = []
         names0 = None
         for i, p in enumerate(union_parts):
@@ -2826,7 +2835,18 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
             elif arity is None or arity != len(names0):
                 return None  # unknown or mismatched branch arity
             parsed_parts.append((src, sel, where))
-        return _UnionAllOp(parsed_parts, names0, distinct)
+        if all(s == "all" for s in union_seps):
+            return _UnionAllOp(parsed_parts, names0, None)
+        if all(s == "distinct" for s in union_seps):
+            # uniform distinct chain: one terminal multiplicity state
+            # (distinct(distinct(a+b)+c) == distinct(a+b+c))
+            return _UnionAllOp(parsed_parts, names0, IncrementalDistinct())
+        # mixed chain: left-assoc, one distinct state per UNION sep
+        return _UnionChainOp(
+            parsed_parts,
+            names0,
+            [IncrementalDistinct() if s == "distinct" else None for s in union_seps],
+        )
 
     setop_parts, setop_seps = _split_setop(sql)
     if len(setop_parts) > 2:
@@ -3373,7 +3393,7 @@ def _out_cols_of(
     if isinstance(op, _TopKOp):
         src_cols = cols_of.get(op.src)
         return src_cols + [op.op.rank_alias] if src_cols else None
-    if isinstance(op, _UnionAllOp):
+    if isinstance(op, (_UnionAllOp, _UnionChainOp)):
         return list(op.names0)
     if isinstance(op, (_SetOpOp, _SetOpChainOp)):
         return list(op.names0)
@@ -3521,6 +3541,8 @@ class IncrementalProgram:
                 return "window-aggregate"
             if isinstance(op, _UnionAllOp):
                 return "union-all" if op.distinct_op is None else "union-distinct"
+            if isinstance(op, _UnionChainOp):
+                return f"union-chain-{len(op.parts)}"
             if isinstance(op, _SetOpOp):
                 return op.op.kind.replace("_", "-")
             if isinstance(op, _SetOpChainOp):
@@ -3668,6 +3690,18 @@ class IncrementalProgram:
                 d = z.consolidate()
                 if op.distinct_op is not None:
                     d = op.distinct_op.step(d)
+            elif isinstance(op, _UnionChainOp):
+                def _upart(i):
+                    src_i, sel_i, where_i = op.parts[i]
+                    ud = _apply_linear(delta_of(src_i).df, sel_i, where_i)
+                    pc = [c for c in ud.columns if c != WEIGHT]
+                    return ZSet(ud.select(*pc, WEIGHT).toDF(*op.names0, WEIGHT))
+
+                d = _upart(0)
+                for i, dop in enumerate(op.distinct_ops):
+                    d = d.add(_upart(i + 1)).consolidate()
+                    if dop is not None:
+                        d = dop.step(d)
             elif isinstance(op, _MultiJoinOp):
                 def _leg(i):
                     z = delta_of(op.srcs[i])

@@ -201,6 +201,14 @@ def slt_statements(seed: int = 0) -> list[str]:
         "WHERE b < 0",
         "SELECT a FROM t WHERE a IS NOT NULL INTERSECT SELECT a FROM t "
         "WHERE a > 0 INTERSECT ALL SELECT k FROM u",
+        # mixed UNION / UNION ALL chains (distinct state per UNION sep)
+        "SELECT a FROM t WHERE a IS NOT NULL UNION ALL SELECT k FROM u "
+        "UNION SELECT b FROM t WHERE b > 0",
+        "SELECT id FROM t UNION SELECT k FROM u UNION ALL SELECT b FROM t "
+        "WHERE b IS NOT NULL",
+        # GROUP BY over a 3-way aliased join chain
+        "SELECT z.tag, sum(x.a) AS sa, count(*) AS n FROM t x "
+        "JOIN u y ON x.id = y.k JOIN u z ON y.k = z.k GROUP BY z.tag",
     ]
     stmts += [
         "SELECT a FROM t WHERE a IS NOT NULL UNION SELECT v FROM u",

@@ -173,3 +173,170 @@ def program_fraud_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty-frame guard keep the result hash-stable."""
     views = compile_batch(spark, _FRAUD_PROGRAM, sf_dir=sf_dir)
     return views["features"]
+
+
+# ---------------------------------------------------------------------------
+# Round-3b circuit ops driven end-to-end on parquet data: each query
+# runs IncrementalProgram (optimize=True) over THREE delta steps
+# (snapshot differences, including deletes) and returns the integrated
+# view — the oracle is the batch SQL on the final snapshot, so a hash
+# match is the DBSP correctness theorem for the new circuit on real
+# data, not just the unit fixtures.
+# ---------------------------------------------------------------------------
+
+def _order_slices(spark: SparkSession, sf_dir: str, cols: list[str]):
+    """Three orders snapshots (grow + churn) → Z-set deltas."""
+    from pyspark.sql import functions as F
+
+    from sql_to_dbsp_compiler_spark.plans.zset import differentiate
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(*cols)
+    snapshots = [
+        o.where(F.col("o_orderkey") % 3 == 0),
+        o.where(F.col("o_orderkey") % 3 != 2),  # some of step 1 deleted
+        o,
+    ]
+    return differentiate(snapshots)
+
+
+_MIXED_CD_PROGRAM = """
+CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT,
+                    o_orderstatus VARCHAR, o_totalprice DOUBLE);
+CREATE VIEW v_mixed AS
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS custs, COUNT(*) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_dec
+    FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderstatus;
+CREATE VIEW v_out AS
+    SELECT o_orderstatus, custs, n, CAST(spend_dec AS DOUBLE) AS spend
+    FROM v_mixed;
+"""
+
+
+@query(
+    "x_program_mixed_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS custs, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+    FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderstatus
+    """,
+    tags=("compiler", "incremental", "mixed-distinct"),
+)
+def x_program_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed COUNT(DISTINCT)+linear aggregate maintained INCREMENTALLY
+    (IncrementalMixedAgg: per-branch distinct→count states recombined
+    on touched keys) over three snapshot deltas of the orders table —
+    inserts and deletes — then integrated. DECIMAL spend keeps the sum
+    exact under any delta order; the batch SQL is the oracle."""
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+
+    inc = IncrementalProgram(spark, _MIXED_CD_PROGRAM, optimize=True)
+    assert inc.plan()["v_mixed"] == "mixed-distinct-aggregate", inc.plan()
+    for d in _order_slices(
+        spark, sf_dir, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    ):
+        inc.step({"orders": d})
+    return inc.snapshot("v_out").to_multiset_df()
+
+
+_NOTIN_PROGRAM = """
+CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT,
+                    o_orderstatus VARCHAR, o_totalprice DOUBLE);
+CREATE TABLE customer(c_custkey BIGINT, c_name VARCHAR, c_acctbal DOUBLE);
+CREATE VIEW v_quiet AS
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_acctbal > 0
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 400000);
+"""
+
+
+@query(
+    "x_program_not_in",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_acctbal > 0
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 400000)
+    """,
+    tags=("compiler", "incremental", "not-in"),
+)
+def x_program_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-aware NOT IN maintained incrementally
+    (IncrementalNullAwareNotIn: E·A + N·(A' ▷ K) with scalar indicator
+    Z-sets): customers in good standing with no large orders. The
+    customer table arrives in step 1; orders arrive as three deltas
+    with deletes, shrinking/growing the NOT-IN set."""
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+    inc = IncrementalProgram(spark, _NOTIN_PROGRAM, optimize=True)
+    assert inc.plan()["v_quiet"] == "not-in-null-aware", inc.plan()
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    deltas = _order_slices(
+        spark, sf_dir, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+    inc.step({"orders": deltas[0], "customer": ZSet.from_df(cust)})
+    for d in deltas[1:]:
+        inc.step({"orders": d})
+    return inc.snapshot("v_quiet").to_multiset_df()
+
+
+_CHAIN_AGG_PROGRAM = """
+CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT,
+                    o_orderstatus VARCHAR, o_totalprice DOUBLE);
+CREATE TABLE customer(c_custkey BIGINT, c_nationkey INTEGER);
+CREATE TABLE nation(n_nationkey INTEGER, n_name VARCHAR);
+CREATE VIEW v_nat AS
+    SELECT n_name, COUNT(*) AS orders_cnt,
+           SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_dec
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_totalprice > 10000
+    GROUP BY n_name;
+CREATE VIEW v_natout AS
+    SELECT n_name, orders_cnt, CAST(spend_dec AS DOUBLE) AS spend FROM v_nat;
+"""
+
+
+@query(
+    "x_program_chain_agg",
+    oracle="""
+    SELECT n_name, COUNT(*) AS orders_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_totalprice > 10000
+    GROUP BY n_name
+    """,
+    tags=("compiler", "incremental", "join-chain"),
+)
+def x_program_chain_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY over a 3-way aliased join chain maintained
+    incrementally (cascaded bilinear IncrementalJoins feeding one
+    incremental aggregate — the TPC-H q5-style circuit), with a bare
+    GROUP BY key resolved to the leg that owns it. Dims (customer,
+    nation) arrive in step 1; orders arrive as three deltas with
+    deletes."""
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+    inc = IncrementalProgram(spark, _CHAIN_AGG_PROGRAM, optimize=True)
+    assert inc.plan()["v_nat"] == "join-chain-3-aggregate", inc.plan()
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    deltas = _order_slices(
+        spark, sf_dir, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+    inc.step({
+        "orders": deltas[0],
+        "customer": ZSet.from_df(cust),
+        "nation": ZSet.from_df(nat),
+    })
+    for d in deltas[1:]:
+        inc.step({"orders": d})
+    return inc.snapshot("v_natout").to_multiset_df()

@@ -658,9 +658,18 @@ def test_union_views_maintained_incrementally(spark):
     CREATE TABLE b(y INTEGER, t VARCHAR);
     CREATE VIEW v_all AS SELECT x, s FROM a WHERE x > 0 UNION ALL SELECT y, t FROM b;
     CREATE VIEW v_dist AS SELECT x, s FROM a UNION SELECT y, t FROM b;
+    CREATE VIEW v_mixed AS SELECT x, s FROM a UNION ALL SELECT y, t FROM b
+        UNION SELECT x, s FROM a WHERE x < 0;
+    CREATE VIEW v_mixed2 AS SELECT x, s FROM a UNION SELECT y, t FROM b
+        UNION ALL SELECT x, s FROM a WHERE x > 2;
     """
     opt = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=2)
-    assert opt.plan() == {"v_all": "union-all", "v_dist": "union-distinct"}
+    assert opt.plan() == {
+        "v_all": "union-all",
+        "v_dist": "union-distinct",
+        "v_mixed": "union-chain-3",
+        "v_mixed2": "union-chain-3",
+    }
     naive = IncrementalProgram(spark, prog, optimize=False, checkpoint_every=2)
 
     import random
@@ -691,7 +700,7 @@ def test_union_views_maintained_incrementally(spark):
         out_n = naive.step(deltas_naive)
         for vname in out_o:
             assert _zrows(out_o[vname]) == _zrows(out_n[vname]), f"{vname} step {step}"
-    for vname in ("v_all", "v_dist"):
+    for vname in ("v_all", "v_dist", "v_mixed", "v_mixed2"):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
 
 
@@ -1609,6 +1618,90 @@ def test_recognizer_mixed_distinct_aggregates(spark):
             a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
             b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
             assert a == b, f"{v} step {step}: {a} vs {b}"
+
+
+def test_round3b_wave2_ops_driven_by_stream(spark, tmp_path):
+    """The second round-3b wave (mixed COUNT(DISTINCT)+linear, NULL-
+    aware NOT IN, mixed UNION chain, join-chain aggregate) fed by a
+    real Structured Streaming source with static dimension tables:
+    after all micro-batches, every view snapshot equals batch
+    evaluation over the full streamed data."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql.types import StructType
+
+    from sql_to_dbsp_compiler_spark.streaming.incremental import (
+        run_program_on_stream,
+        stream_from_dir,
+    )
+
+    prog = """
+    CREATE TABLE ta(id INTEGER, grp VARCHAR(5), val INTEGER);
+    CREATE TABLE tb(ref INTEGER, bval INTEGER);
+    CREATE TABLE tc(zid INTEGER, zname VARCHAR(5));
+    CREATE VIEW w_mixed AS SELECT grp, COUNT(DISTINCT val) AS cd,
+        SUM(val) AS s, COUNT(*) AS n FROM ta GROUP BY grp;
+    CREATE VIEW w_notin AS SELECT id, val FROM ta
+        WHERE val NOT IN (SELECT bval FROM tb WHERE bval > 0);
+    CREATE VIEW w_umix AS SELECT id, val FROM ta WHERE val > 1 UNION ALL
+        SELECT ref, bval FROM tb UNION SELECT id, val FROM ta WHERE val < 1;
+    CREATE VIEW w_chain AS SELECT zname, SUM(x.val) AS sv, COUNT(*) AS n
+        FROM ta x JOIN tb y ON x.val = y.ref JOIN tc z ON y.bval = z.zid
+        GROUP BY zname;
+    """
+    rows = [(i, "ab"[i % 2], (i * 7) % 5) for i in range(12)]
+    tb_rows = [(r, b) for r, b in [(0, 1), (1, 2), (2, 1), (3, -1), (4, 2)]]
+    tc_rows = [(1, "p"), (2, "q"), (-1, "r")]
+    schema_str = "id int, grp string, val int"
+    full = spark.createDataFrame(rows, schema_str)
+    base, flat = str(tmp_path / "s2"), str(tmp_path / "flat2")
+    os.makedirs(flat)
+    for i in range(3):
+        spark.createDataFrame(rows[i * 4 : (i + 1) * 4], schema_str).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(base, f"b{i}"))
+        shutil.copy(
+            glob.glob(os.path.join(base, f"b{i}", "*.parquet"))[0],
+            os.path.join(flat, f"batch_{i}.parquet"),
+        )
+    inc = run_program_on_stream(
+        spark,
+        prog,
+        "ta",
+        stream_from_dir(spark, flat, StructType.fromDDL(schema_str)),
+        static_sources={
+            "tb": spark.createDataFrame(tb_rows, "ref int, bval int"),
+            "tc": spark.createDataFrame(tc_rows, "zid int, zname string"),
+        },
+    )
+    plan = inc.plan()
+    assert plan["w_mixed"] == "mixed-distinct-aggregate"
+    assert plan["w_notin"] == "not-in-null-aware"
+    assert plan["w_umix"] == "union-chain-3"
+    assert plan["w_chain"] == "join-chain-3-aggregate"
+
+    full.createOrReplaceTempView("ta")
+    spark.createDataFrame(tb_rows, "ref int, bval int").createOrReplaceTempView("tb")
+    spark.createDataFrame(tc_rows, "zid int, zname string").createOrReplaceTempView("tc")
+    from collections import Counter
+
+    for vname, sql in [
+        ("w_mixed", "SELECT grp, COUNT(DISTINCT val) AS cd, SUM(val) AS s, "
+                    "COUNT(*) AS n FROM ta GROUP BY grp"),
+        ("w_notin", "SELECT id, val FROM ta WHERE val NOT IN "
+                    "(SELECT bval FROM tb WHERE bval > 0)"),
+        ("w_umix", "SELECT id, val FROM ta WHERE val > 1 UNION ALL "
+                   "SELECT ref, bval FROM tb UNION SELECT id, val FROM ta "
+                   "WHERE val < 1"),
+        ("w_chain", "SELECT zname, SUM(x.val) AS sv, COUNT(*) AS n "
+                    "FROM ta x JOIN tb y ON x.val = y.ref "
+                    "JOIN tc z ON y.bval = z.zid GROUP BY zname"),
+    ]:
+        cnt = Counter(tuple(r) for r in spark.sql(sql).collect())
+        expect = {(*k, w) for k, w in cnt.items()}
+        assert _zrows(inc.snapshot(vname)) == expect, vname
 
 
 def test_round3b_ops_driven_by_stream(spark, tmp_path):
