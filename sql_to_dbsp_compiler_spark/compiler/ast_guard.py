@@ -127,6 +127,7 @@ _FORBIDDEN_FEATURES: dict[str, set[str]] = {
                      "order_by", "subquery", "aggregate_fn"},
     "_MultiJoinAggOp": {"setop", "window", "limit", "order_by", "subquery"},
     "_JoinAggOp": {"setop", "window", "limit", "order_by", "subquery"},
+    "_AliasOuterJoinAggOp": {"setop", "window", "limit", "order_by", "subquery"},
     "_UnionAllOp": {"window", "limit", "order_by", "subquery"},
     "_UnionChainOp": {"window", "limit", "order_by", "subquery"},
     "_SetOpOp": {"window", "limit", "order_by", "subquery"},
@@ -142,6 +143,8 @@ _FORBIDDEN_FEATURES: dict[str, set[str]] = {
     # NULL-aware NOT IN: the subquery is intrinsic, same exclusions.
     "_NotInOp": {"group_by", "having", "setop", "window", "limit",
                  "order_by", "distinct", "aggregate_fn"},
+    "_KeyedNotInOp": {"group_by", "having", "setop", "window", "limit",
+                      "order_by", "distinct", "aggregate_fn"},
     # scalar-agg subquery: subquery + aggregate_fn are intrinsic.
     "_ScalarSubqueryOp": {"join", "setop", "window", "limit", "order_by",
                           "distinct", "having", "group_by"},

@@ -1402,6 +1402,161 @@ _ALIAS_OUTER_JOIN_RE = re.compile(
     r"ON\s+(?P<on>.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALIAS_OUTER_AGG_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<a>\w+)\s+(?P<aa>\w+)\s+"
+    r"(?P<how>LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN\s+(?P<b>\w+)\s+(?P<ba>\w+)\s+"
+    r"ON\s+(?P<on>.+?)\s*GROUP\s+BY\s+(?P<keys>.+?)\s*"
+    r"(?:HAVING\s+(?P<having>.+?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _recognize_alias_outer_agg(sql: str, cols_of: dict[str, list[str]]):
+    """GROUP BY over an aliased OUTER equi-join → _AliasOuterJoinAggOp
+    (TPC-H q13 shape: customer LEFT JOIN orders, COUNT(o_orderkey))."""
+    from ..plans.incremental import (
+        AggSpec,
+        IncrementalGroupRecomputeAgg,
+        IncrementalLinearAgg,
+        IncrementalOuterJoin,
+    )
+
+    m = _ALIAS_OUTER_AGG_RE.match(sql)
+    if not m:
+        return None
+    a, b = m.group("a").lower(), m.group("b").lower()
+    aa, ba = m.group("aa").lower(), m.group("ba").lower()
+    how = m.group("how").lower()
+    if aa == ba or {aa, ba} & _RESERVED_ALIASES:
+        return None
+    if a not in cols_of or b not in cols_of:
+        return None
+    cols_a, cols_b = cols_of[a], cols_of[b]
+    rewrite = _make_alias_rewriter(aa, cols_a, ba, cols_b)
+    on = rewrite(m.group("on"))
+    if on is None or _FORBIDDEN_LINEAR.search(on):
+        return None
+    keys_a: list[str] = []
+    keys_b: list[str] = []
+    for conj in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+        cm = re.fullmatch(r"\s*(__\w+)\s*=\s*(__\w+)\s*", conj)
+        if not cm:
+            return None
+        l, r = cm.group(1), cm.group(2)
+        if l.startswith(f"__{aa}_") and r.startswith(f"__{ba}_"):
+            keys_a.append(l)
+            keys_b.append(r)
+        elif l.startswith(f"__{ba}_") and r.startswith(f"__{aa}_"):
+            keys_a.append(r)
+            keys_b.append(l)
+        else:
+            return None
+    if not keys_a:
+        return None
+
+    key_map: dict[str, str] = {}
+    key_order: list[str] = []
+    for k in _split_top_level_commas(m.group("keys")):
+        ks = k.strip()
+        km = re.fullmatch(r"(\w+)\.(\w+)", ks)
+        if km:
+            out_name = km.group(2).lower()
+        elif re.fullmatch(r"\w+", ks):
+            out_name = ks.lower()
+        else:
+            return None
+        rk = rewrite(ks)
+        if rk is None or not re.fullmatch(r"\w+", rk):
+            return None
+        key_map[rk] = out_name
+        key_order.append(rk)
+
+    items: list[tuple[str, str, str]] = []
+    sel_exprs: list[str] = []
+    out_cols: list[str] = []
+    for item in _split_top_level_commas(m.group("sel")):
+        item = item.strip()
+        am = _AGG_ITEM_RE.match(item)
+        if am:
+            fn = am.group("fn").lower()
+            arg = am.group("arg").strip()
+            alias = am.group("alias").lower()
+            if arg != "*":
+                if re.search(r"\bDISTINCT\b", arg, re.IGNORECASE):
+                    return None  # distinct aggregates over outer joins → naive
+                arg = rewrite(arg)
+                if arg is None or _FORBIDDEN_LINEAR.search(arg):
+                    return None
+            items.append((fn, arg, alias))
+            sel_exprs.append(alias)
+            out_cols.append(alias)
+        else:
+            im = re.fullmatch(
+                r"(?P<expr>.+?)\s+AS\s+(?P<alias>\w+)", item, re.IGNORECASE | re.DOTALL
+            )
+            if im:
+                expr, out = rewrite(im.group("expr").strip()), im.group("alias").lower()
+            else:
+                expr, out = rewrite(item), None
+            if expr is None or expr not in key_map:
+                return None
+            out = out or key_map[expr]
+            sel_exprs.append(f"{expr} AS {out}")
+            out_cols.append(out)
+    if not items:
+        return None
+    having_sql = m.group("having")
+    if having_sql is not None:
+        having_sql = rewrite(having_sql)
+        if having_sql is None:
+            return None
+        existing = {
+            (fn, re.sub(r"\s+", "", (arg or "").lower())): al for fn, arg, al in items
+        }
+        rewritten = _extract_having_aggs(having_sql, existing)
+        if rewritten is None:
+            return None
+        having_sql, extra = rewritten
+        for fn, arg, _al in extra:
+            if arg != "*" and (
+                re.search(r"\bDISTINCT\b", arg, re.IGNORECASE)
+                or _FORBIDDEN_LINEAR.search(arg)
+            ):
+                return None
+        items = items + extra
+        if not _having_refs_only(
+            having_sql, out_cols + [al for _, _, al in extra] + key_order
+        ):
+            return None
+    having = F.expr(having_sql) if having_sql else None
+    if any(fn in ("min", "max") for fn, _, _ in items):
+        aggs = [
+            (F.count(F.lit(1)) if (fn == "count" and arg == "*") else F.expr(f"{fn}({arg})")).alias(al)
+            for fn, arg, al in items
+        ]
+        agg_op = IncrementalGroupRecomputeAgg(keys=key_order, aggs=aggs)
+    else:
+        specs: list = []
+        for fn, arg, al in items:
+            if fn == "count" and arg == "*":
+                specs.append(AggSpec(al, "count"))
+            elif fn == "count":
+                specs.append(AggSpec(al, "count", F.expr(arg)))
+            elif fn in ("sum", "avg"):
+                specs.append(AggSpec(al, fn, F.expr(arg)))
+            else:
+                return None
+        agg_op = IncrementalLinearAgg(keys=key_order, specs=specs)
+    pre_a = [f"{c} AS __{aa}_{c}" for c in cols_a]
+    pre_b = [f"{c} AS __{ba}_{c}" for c in cols_b]
+    project = [
+        F.col(f"__{aa}_{c}") for c in cols_a
+    ] + [F.col(f"__{ba}_{c}") for c in cols_b]
+    return _AliasOuterJoinAggOp(
+        a, b, pre_a, pre_b,
+        IncrementalOuterJoin(key_a=keys_a, key_b=keys_b, project=project, how=how),
+        agg_op, sel_exprs, out_cols, having,
+    )
 
 
 def _recognize_alias_outer_join(sql: str, cols_of: dict[str, list[str]]):
@@ -1751,6 +1906,24 @@ class _NotInOp:
 
 
 @dataclass
+class _KeyedNotInOp:
+    """CORRELATED NULL-aware NOT IN view — ``x NOT IN (SELECT y FROM b
+    WHERE b.k = a.k [AND resid])`` (plans.incremental.
+    IncrementalKeyedNotIn: per-key mode indicators, touched-key
+    recompute)."""
+
+    src_a: str
+    src_b: str
+    b_key: str  # compared column of b (the y)
+    corr_b: "list[str]"  # correlation columns of b
+    b_where: "str | None"  # residual b-only filter
+    a_where: "str | None"
+    sel_items: "list[str] | None"
+    op: object  # IncrementalKeyedNotIn
+    out_cols: "list[str] | None"
+
+
+@dataclass
 class _ScalarSub:
     """One decorrelated scalar-aggregate subquery: its source table,
     the key+arg pre-projection of that delta, and the aggregate +
@@ -2057,6 +2230,25 @@ class _AliasOuterJoinOp:
     pre_b: "list[str]"
     op: object  # IncrementalOuterJoin over renamed columns
     out_cols: "list[str]"
+
+
+@dataclass
+class _AliasOuterJoinAggOp:
+    """GROUP BY over an aliased LEFT/RIGHT/FULL OUTER equi-join (the
+    TPC-H q13 customer-distribution circuit): IncrementalOuterJoin's
+    touched-key recompute feeding an incremental aggregate — COUNT of
+    a side's column counts only matched (non-NULL-padded) rows,
+    COUNT(*) counts padded rows too, exactly SQL's semantics."""
+
+    src_a: str
+    src_b: str
+    pre_a: "list[str]"
+    pre_b: "list[str]"
+    join_op: object  # IncrementalOuterJoin projecting all prefixed cols
+    agg_op: object  # IncrementalLinearAgg | IncrementalGroupRecomputeAgg
+    sel_exprs: "list[str]"
+    out_cols: "list[str]"
+    having: "Column | None" = None
 
 
 @dataclass
@@ -2460,11 +2652,12 @@ def _recognize_semi_anti(sql: str, known: set[str], cols_of: dict[str, list[str]
     subq = conjs[subq_idx[0]]
 
     not_in_key: "str | None" = None
+    notin_corr: "tuple[list[str], list[str]] | None" = None
     nim = _NOT_IN_CONJ_RE.match(subq)
     if nim:
-        # NULL-aware NOT IN: uncorrelated subquery only (the E/N mode
-        # indicators are global scalars; correlation would make them
-        # per-key — that shape stays naive)
+        # NULL-aware NOT IN: global scalar indicators when the
+        # subquery is uncorrelated, per-key touched recompute when it
+        # correlates to the outer input with equi-conjuncts
         b = nim.group("b").lower()
         if b not in cols_of or b == a:
             return None
@@ -2475,11 +2668,18 @@ def _recognize_semi_anti(sql: str, known: set[str], cols_of: dict[str, list[str]
         b_where = nim.group("bwhere")
         if b_where:
             stripped_bw = _strip_string_literals(b_where)
-            if _FORBIDDEN_LINEAR.search(b_where) or re.search(
-                rf"\b{re.escape(a)}\s*\.", stripped_bw, re.IGNORECASE
-            ):
+            if re.search(rf"\b{re.escape(a)}\s*\.", stripped_bw, re.IGNORECASE):
+                corr = _split_correlation(b_where, a, b, cols_a, cols_of[b])
+                if corr is None:
+                    return None
+                ca, cb, b_where = corr
+                notin_corr = (ca, cb)
+            elif _FORBIDDEN_LINEAR.search(b_where):
                 return None
-            b_where = re.sub(rf"\b{re.escape(b)}\s*\.\s*", "", b_where, flags=re.IGNORECASE)
+            else:
+                b_where = re.sub(
+                    rf"\b{re.escape(b)}\s*\.\s*", "", b_where, flags=re.IGNORECASE
+                )
         not_in_key, keys_a, keys_b = sa[1], [sa[1]], [sb[1]]
         anti = True
     elif (em := _EXISTS_CONJ_RE.match(subq)):
@@ -2533,6 +2733,18 @@ def _recognize_semi_anti(sql: str, known: set[str], cols_of: dict[str, list[str]
         if re.search(rf"\b{re.escape(b)}\s*\.", stripped, re.IGNORECASE):
             return None
     out_names = names if names is not None else (list(cols_a) if sel_items is None else None)
+    if not_in_key is not None and notin_corr is not None:
+        from ..plans.incremental import IncrementalKeyedNotIn
+
+        ca, cb = notin_corr
+        for k in ca:
+            if k not in cols_a:
+                return None
+        return _KeyedNotInOp(
+            a, b, keys_b[0], cb, b_where, a_where, sel_items,
+            IncrementalKeyedNotIn(val_a=not_in_key, corr_a=ca),
+            out_names,
+        )
     if not_in_key is not None:
         from ..plans.incremental import IncrementalNullAwareNotIn
 
@@ -2970,6 +3182,12 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
                 dm = re.fullmatch(r"DISTINCT\s+(?P<col>\w+)", arg, re.IGNORECASE)
                 if dm and fn == "count":
                     items.append(("count_distinct", dm.group("col").lower(), alias))
+                elif dm and fn in ("min", "max"):
+                    # DISTINCT is a no-op under MIN/MAX
+                    items.append((fn, dm.group("col").lower(), alias))
+                elif dm:
+                    # SUM/AVG DISTINCT → touched-group recompute
+                    items.append((f"{fn}_distinct", dm.group("col").lower(), alias))
                 elif arg != "*" and _FORBIDDEN_LINEAR.search(arg):
                     return None
                 else:
@@ -3034,6 +3252,31 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
                 return None
         having = F.expr(having_sql) if having_sql else None
         cond = F.expr(where) if where else None
+
+        if any(fn in ("sum_distinct", "avg_distinct") for fn, _, _ in items):
+            # DISTINCT under SUM/AVG has no linear subtraction rule and
+            # no cheap count composition — the reference evaluates such
+            # aggregates over the indexed group; here: touched-group
+            # recompute, mixing freely with any other aggregate item
+            from ..plans.incremental import IncrementalGroupRecomputeAgg
+
+            aggs = []
+            for fn, arg, alias in items:
+                if fn == "count_distinct":
+                    aggs.append(F.count_distinct(F.col(arg)).alias(alias))
+                elif fn in ("sum_distinct", "avg_distinct"):
+                    aggs.append(F.expr(f"{fn[:-9]}(DISTINCT {arg})").alias(alias))
+                elif fn == "count" and arg == "*":
+                    aggs.append(F.count(F.lit(1)).alias(alias))
+                else:
+                    aggs.append(F.expr(f"{fn}({arg})").alias(alias))
+            return _AggOp(
+                src,
+                IncrementalGroupRecomputeAgg(keys=keys, aggs=aggs, cond=cond),
+                out_cols,
+                having,
+                pre_sel,
+            )
 
         cd_items = [(arg, alias) for fn, arg, alias in items if fn == "count_distinct"]
         if cd_items:
@@ -3269,6 +3512,7 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
 
     op = (
         _recognize_alias_agg_join(sql, cols_of)
+        or _recognize_alias_outer_agg(sql, cols_of)
         or _recognize_alias_outer_join(sql, cols_of)
         or _recognize_alias_join(sql, cols_of)
     )
@@ -3388,7 +3632,7 @@ def _out_cols_of(
         return list(op.out_cols)
     if isinstance(op, (_JoinOp, _OuterJoinOp)):
         return list(op.aliases) if op.aliases is not None else None
-    if isinstance(op, (_AliasJoinOp, _AliasJoinAggOp, _AliasOuterJoinOp)):
+    if isinstance(op, (_AliasJoinOp, _AliasJoinAggOp, _AliasOuterJoinOp, _AliasOuterJoinAggOp)):
         return list(op.out_cols)
     if isinstance(op, _TopKOp):
         src_cols = cols_of.get(op.src)
@@ -3407,7 +3651,7 @@ def _out_cols_of(
         return list(op.out_cols)
     if isinstance(op, (_WinFnOp, _JoinAggOp)):
         return list(op.out_cols)
-    if isinstance(op, (_FlatMapOp, _SemiAntiOp, _NotInOp)):
+    if isinstance(op, (_FlatMapOp, _SemiAntiOp, _NotInOp, _KeyedNotInOp)):
         return list(op.out_cols) if op.out_cols is not None else None
     if isinstance(op, (_ScalarSubqueryOp, _GroupingSetsOp)):
         return list(op.out_cols)
@@ -3524,6 +3768,9 @@ class IncrementalProgram:
                 return "self-join" if op.src_a == op.src_b else "join"
             if isinstance(op, _AliasOuterJoinOp):
                 return f"{op.op.how}-outer-join"
+            if isinstance(op, _AliasOuterJoinAggOp):
+                rc = "-recompute" if isinstance(op.agg_op, IncrementalGroupRecomputeAgg) else ""
+                return f"{op.join_op.how}-outer-join-aggregate{rc}"
             if isinstance(op, _AliasJoinAggOp):
                 kindname = "self-join" if op.src_a == op.src_b else "join"
                 if isinstance(op.agg_op, IncrementalGroupRecomputeAgg):
@@ -3568,6 +3815,8 @@ class IncrementalProgram:
                 return "anti-join-decorrelated" if op.anti else "semi-join-decorrelated"
             if isinstance(op, _NotInOp):
                 return "not-in-null-aware"
+            if isinstance(op, _KeyedNotInOp):
+                return "not-in-correlated"
             if isinstance(op, _ScalarSubqueryOp):
                 return "scalar-agg-join"
             if isinstance(op, _GroupingSetsOp):
@@ -3654,7 +3903,7 @@ class IncrementalProgram:
                 da = ZSet(_apply_linear(delta_of(op.src_a).df, op.pre_a, None))
                 db = ZSet(_apply_linear(delta_of(op.src_b).df, op.pre_b, None))
                 d = op.op.step(da, db)
-            elif isinstance(op, _AliasJoinAggOp):
+            elif isinstance(op, (_AliasJoinAggOp, _AliasOuterJoinAggOp)):
                 da = ZSet(_apply_linear(delta_of(op.src_a).df, op.pre_a, None))
                 db = ZSet(_apply_linear(delta_of(op.src_b).df, op.pre_b, None))
                 d = op.agg_op.step(op.join_op.step(da, db))
@@ -3790,6 +4039,21 @@ class IncrementalProgram:
                 dk = ZSet(
                     _apply_linear(
                         delta_of(op.src_b).df, [f"{op.b_key} AS __k0"], op.b_where
+                    )
+                )
+                d = op.op.step(da, dk)
+                if op.sel_items is not None:
+                    d = d.map(*[F.expr(i) for i in op.sel_items])
+            elif isinstance(op, _KeyedNotInOp):
+                da = ZSet(
+                    _apply_linear(delta_of(op.src_a).df, None, op.a_where)
+                ).consolidate()
+                dk = ZSet(
+                    _apply_linear(
+                        delta_of(op.src_b).df,
+                        [f"{k} AS __k{i}" for i, k in enumerate(op.corr_b)]
+                        + [f"{op.b_key} AS __v"],
+                        op.b_where,
                     )
                 )
                 d = op.op.step(da, dk)

@@ -191,11 +191,24 @@ def slt_statements(seed: int = 0) -> list[str]:
         "FROM t GROUP BY sign(a)",
         "SELECT (b > 0) AS g, avg(a) AS av, count(DISTINCT a) AS ca FROM t "
         "WHERE b IS NOT NULL GROUP BY (b > 0)",
+        # SUM/AVG/MIN DISTINCT (recompute path; MIN DISTINCT folds)
+        "SELECT (a % 3) AS g, sum(DISTINCT b) AS sd, count(*) AS n FROM t "
+        "GROUP BY (a % 3)",
+        "SELECT sign(a) AS g, avg(DISTINCT b) AS ad, min(DISTINCT b) AS mn "
+        "FROM t GROUP BY sign(a)",
+        # aggregate over an aliased OUTER join (q13 shape: COUNT of the
+        # nullable side counts only matched rows)
+        "SELECT x.s, count(y.v) AS nv, count(*) AS n FROM t x "
+        "LEFT JOIN u y ON x.id = y.k GROUP BY x.s",
         # NULL-aware NOT IN (subquery with and without NULLs)
         "SELECT id, a FROM t WHERE a NOT IN (SELECT v / 10 FROM u "
         "WHERE v IS NOT NULL)",
         "SELECT id FROM t WHERE b NOT IN (SELECT v FROM u)",
         "SELECT id FROM t WHERE a NOT IN (SELECT k FROM u WHERE k > 1000)",
+        # correlated NOT IN (per-key modes: u.k=5 carries a NULL v)
+        "SELECT id, a FROM t WHERE a NOT IN (SELECT v FROM u WHERE u.k = t.id)",
+        "SELECT id, b FROM t WHERE b NOT IN (SELECT v FROM u "
+        "WHERE u.k = t.id AND v IS NOT NULL)",
         # chained set ops (one precedence family, left-assoc)
         "SELECT id FROM t EXCEPT SELECT k FROM u EXCEPT SELECT b FROM t "
         "WHERE b < 0",

@@ -429,6 +429,123 @@ class IncrementalNullAwareNotIn:
         return out.consolidate()
 
 
+class IncrementalKeyedNotIn:
+    """CORRELATED NULL-aware ``x NOT IN (SELECT y FROM B WHERE B.k =
+    A.k [AND resid])``: the empty/has-NULL mode indicators are per
+    correlation key, so the global scalar product of
+    :class:`IncrementalNullAwareNotIn` doesn't apply. Maintained by
+    *touched-key recompute*: keep integrated A, integrated B pairs
+    and the stored output; a step recomputes the predicate only for
+    correlation keys present in either delta and diffs against the
+    stored rows for those keys.
+
+    Semantics per A row (key k, value x), S_k = {y : B.k = k}:
+    S_k empty → row passes (also when k IS NULL — ``=`` correlation
+    never matches); S_k containing NULL y → row fails; otherwise
+    pass iff x IS NOT NULL and x ∉ S_k. Per-step cost ∝ |delta| +
+    Σ size(touched key groups); at scale all three states are
+    bucketed on the correlation key."""
+
+    def __init__(self, val_a: str, corr_a: list[str], checkpoint_every: int = 8):
+        self.val_a = val_a
+        self.corr_a = list(corr_a)
+        self._a: ZSet | None = None  # integrated A (payload + weight)
+        self._b: ZSet | None = None  # integrated (__k0.., __v) pairs
+        self._out: DataFrame | None = None  # stored output (payload + weight)
+        self._steps = 0
+        self._checkpoint_every = checkpoint_every
+
+    def _eval(self, a_t: DataFrame, b_t: DataFrame) -> DataFrame:
+        """Predicate over the touched restriction: A rows (weighted)
+        that pass NOT IN vs the B pairs, all joins plain-equality."""
+        zero = F.lit(0).cast("long")
+        n = len(self.corr_a)
+        bagg = b_t.groupBy(*[f"__k{i}" for i in range(n)]).agg(
+            F.sum(WEIGHT).alias("__tot"),
+            F.sum(F.when(F.col("__v").isNull(), F.col(WEIGHT)).otherwise(zero)).alias("__nulls"),
+        )
+        bagg = bagg.select(
+            *[F.col(f"__k{i}").alias(f"__bk{i}") for i in range(n)], "__tot", "__nulls"
+        )
+        cond = None
+        for i, k in enumerate(self.corr_a):
+            eq = a_t[k] == F.col(f"__bk{i}")  # null-unsafe: SQL `=`
+            cond = eq if cond is None else cond & eq
+        j = a_t.join(bagg, cond, "left")
+
+        pairs = (
+            b_t.where(F.col("__v").isNotNull())
+            .groupBy(*[f"__k{i}" for i in range(n)], "__v")
+            .agg(F.sum(WEIGHT).alias("__m"))
+            .where(F.col("__m") > 0)
+            .select(
+                *[F.col(f"__k{i}").alias(f"__pk{i}") for i in range(n)],
+                F.col("__v").alias("__pv"),
+                F.lit(1).alias("__hit"),
+            )
+        )
+        pcond = a_t[self.val_a] == pairs["__pv"]
+        for i, k in enumerate(self.corr_a):
+            pcond = pcond & (a_t[k] == pairs[f"__pk{i}"])
+        j = j.join(pairs, pcond, "left")
+
+        payload = [c for c in a_t.columns if c != WEIGHT]
+        tot = F.coalesce(F.col("__tot"), zero)
+        nulls = F.coalesce(F.col("__nulls"), zero)
+        passes = (tot == 0) | (
+            (nulls == 0) & F.col(self.val_a).isNotNull() & F.col("__hit").isNull()
+        )
+        return j.where(passes).select(*payload, WEIGHT)
+
+    def _touched_rows(self, z: "ZSet | None", touched: DataFrame) -> DataFrame:
+        return _join_on_keys(z.df, self.corr_a, touched, "leftsemi")
+
+    def step(self, da: ZSet, db: ZSet) -> ZSet:
+        da = da.consolidate()
+        db = db.consolidate()
+        n = len(self.corr_a)
+        touched = (
+            da.df.select(*[F.col(k) for k in self.corr_a])
+            .unionByName(
+                db.df.select(
+                    *[F.col(f"__k{i}").alias(k) for i, k in enumerate(self.corr_a)]
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        self._a = da if self._a is None else self._a.add(da).consolidate()
+        self._b = db if self._b is None else self._b.add(db).consolidate()
+
+        a_t = self._touched_rows(self._a, touched)
+        b_t = _join_on_keys(
+            self._b.df,
+            [f"__k{i}" for i in range(n)],
+            touched.select(
+                *[F.col(k).alias(f"__k{i}") for i, k in enumerate(self.corr_a)]
+            ),
+            "leftsemi",
+        )
+        new_t = self._eval(a_t, b_t).localCheckpoint(eager=False)
+
+        if self._out is None:
+            out_delta = ZSet(new_t)
+            self._out = new_t
+        else:
+            old_t = _join_on_keys(self._out, self.corr_a, touched, "leftsemi")
+            out_delta = ZSet(new_t).subtract(ZSet(old_t)).consolidate()
+            self._out = _join_on_keys(
+                self._out, self.corr_a, touched, "left_anti"
+            ).unionByName(new_t)
+
+        self._steps += 1
+        if self._steps % self._checkpoint_every == 0:
+            self._a = ZSet(self._a.df.localCheckpoint(eager=False))
+            self._b = ZSet(self._b.df.localCheckpoint(eager=False))
+            self._out = self._out.localCheckpoint(eager=False)
+        return out_delta
+
+
 class IncrementalDistinct:
     """DBSPIncrementalDistinctOperator: maintain per-row multiplicity;
     emit +1 when a row's weight crosses 0→positive, -1 on positive→0.

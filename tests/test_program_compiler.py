@@ -1500,6 +1500,59 @@ def test_recognizer_not_in_null_aware(spark):
             assert a == b, f"{v} step {i}: {a} vs {b}"
 
 
+CORR_NOT_IN_PROGRAM = """
+CREATE TABLE ca(id INTEGER, k INTEGER, x INTEGER);
+CREATE TABLE cb(k INTEGER, y INTEGER, flag INTEGER);
+CREATE VIEW v_cnotin AS SELECT id, k, x FROM ca
+    WHERE x NOT IN (SELECT y FROM cb WHERE cb.k = ca.k);
+CREATE VIEW v_cnotin_r AS SELECT id, x FROM ca
+    WHERE id > 0 AND x NOT IN (SELECT y FROM cb WHERE cb.k = ca.k AND cb.flag > 0);
+"""
+
+
+def test_recognizer_not_in_correlated(spark):
+    """Correlated x NOT IN (SELECT y FROM b WHERE b.k = a.k) compiles
+    to the per-key NULL-aware circuit (IncrementalKeyedNotIn,
+    touched-key recompute): each correlation key has its own
+    empty/has-NULL mode. Directed steps flip modes per key; optimized
+    == naive (Spark's null-aware anti join) per step."""
+    opt = IncrementalProgram(spark, CORR_NOT_IN_PROGRAM, optimize=True, checkpoint_every=2)
+    naive = IncrementalProgram(spark, CORR_NOT_IN_PROGRAM, optimize=False, checkpoint_every=2)
+    plan = opt.plan()
+    assert plan["v_cnotin"] == "not-in-correlated"
+    assert plan["v_cnotin_r"] == "not-in-correlated"
+
+    a_schema = "id int, k int, x int, __weight long"
+    b_schema = "k int, y int, flag int, __weight long"
+    steps = [
+        # 1: rows across keys incl. NULL x and NULL k; cb empty → all pass
+        ({"ca": [(1, 1, 10, 1), (2, 1, None, 1), (3, 2, 20, 1),
+                 (4, None, 30, 1), (-5, 1, 10, 1)]}, {}),
+        # 2: key 1 gains non-NULL y values → only key-1 rows recompute
+        ({}, {"cb": [(1, 10, 1, 1), (1, 99, 0, 1)]}),
+        # 3: key 2 gains a NULL y → key-2 rows all fail; key 1 untouched
+        ({}, {"cb": [(2, None, 1, 1)]}),
+        # 4: the NULL y leaves key 2; key 1 drains to empty
+        ({"ca": [(6, 2, 40, 1)]},
+         {"cb": [(2, None, 1, -1), (1, 10, 1, -1), (1, 99, 0, -1)]}),
+        # 5: churn both sides
+        ({"ca": [(1, 1, 10, -1), (7, 3, None, 1)]},
+         {"cb": [(3, 7, 1, 1), (2, 20, 1, 1)]}),
+    ]
+    for i, (da, db) in enumerate(steps):
+        deltas_o, deltas_n = {}, {}
+        for t, rows, schema in (("ca", da.get("ca"), a_schema), ("cb", db.get("cb"), b_schema)):
+            if rows:
+                deltas_o[t] = ZSet(spark.createDataFrame(rows, schema))
+                deltas_n[t] = ZSet(spark.createDataFrame(rows, schema))
+        oo = opt.step(deltas_o)
+        nn = naive.step(deltas_n)
+        for v in oo:
+            a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
+            b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
+            assert a == b, f"{v} step {i}: {a} vs {b}"
+
+
 SETOP_CHAIN_PROGRAM = """
 CREATE TABLE sa(x INTEGER, y VARCHAR(5));
 CREATE TABLE sb(x INTEGER, y VARCHAR(5));
@@ -1572,6 +1625,11 @@ CREATE VIEW m_mixed_having AS SELECT grp, COUNT(DISTINCT val) AS cd, SUM(val) AS
     FROM ta GROUP BY grp HAVING COUNT(*) > 1;
 CREATE VIEW m_mixed_expr_key AS SELECT val % 2 AS k, COUNT(DISTINCT grp) AS cd,
     COUNT(val) AS n FROM ta GROUP BY val % 2;
+CREATE VIEW m_sum_distinct AS SELECT grp, SUM(DISTINCT val) AS sd, COUNT(*) AS n
+    FROM ta GROUP BY grp;
+CREATE VIEW m_avg_distinct AS SELECT grp, AVG(DISTINCT val) AS ad,
+    COUNT(DISTINCT id) AS cdi FROM ta GROUP BY grp;
+CREATE VIEW m_min_distinct AS SELECT grp, MIN(DISTINCT val) AS mn FROM ta GROUP BY grp;
 """
 
 
@@ -1594,6 +1652,9 @@ def test_recognizer_mixed_distinct_aggregates(spark):
     assert plan["m_mixed_avg"] == "mixed-distinct-aggregate"
     assert plan["m_mixed_having"] == "mixed-distinct-aggregate"
     assert plan["m_mixed_expr_key"] == "mixed-distinct-aggregate"
+    assert plan["m_sum_distinct"] == "aggregate-recompute"
+    assert plan["m_avg_distinct"] == "aggregate-recompute"
+    assert plan["m_min_distinct"] == "aggregate-recompute"
 
     rng = random.Random(17)
     live = []
@@ -1927,6 +1988,11 @@ def test_recognizer_alias_outer_joins(spark):
         FROM ta x FULL OUTER JOIN tb y ON x.id = y.ref;
     CREATE VIEW o_selfleft AS SELECT x.id, y.id AS other
         FROM ta x LEFT JOIN ta y ON x.val = y.val;
+    CREATE VIEW o_q13 AS SELECT x.grp, COUNT(y.ref) AS matched, COUNT(*) AS n
+        FROM ta x LEFT JOIN tb y ON x.id = y.ref GROUP BY x.grp;
+    CREATE VIEW o_aggmm AS SELECT grp, MAX(bval) AS mb
+        FROM ta x LEFT JOIN tb y ON x.id = y.ref GROUP BY grp
+        HAVING COUNT(*) > 1;
     """
     opt = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=2)
     naive = IncrementalProgram(spark, prog, optimize=False, checkpoint_every=2)
@@ -1934,6 +2000,8 @@ def test_recognizer_alias_outer_joins(spark):
     assert plan["o_left"] == "left-outer-join"
     assert plan["o_full"] == "full-outer-join"
     assert plan["o_selfleft"] == "left-outer-join"
+    assert plan["o_q13"] == "left-outer-join-aggregate"
+    assert plan["o_aggmm"] == "left-outer-join-aggregate-recompute"
 
     rng = random.Random(13)
     ta_live, tb_live = [], []
