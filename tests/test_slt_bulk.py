@@ -181,6 +181,76 @@ def test_slt_statements_through_program_incremental(spark):
     con.close()
 
 
+def test_slt_random_statements_through_program_incremental(spark):
+    """A seeded sample of the RANDOM statement pool as CREATE VIEWs
+    through IncrementalProgram — the random shapes (grouped aggregates
+    with DISTINCT, joins, windows, set-op chains, [NOT] IN / EXISTS /
+    scalar subqueries, ordered limits) exercise whichever circuit the
+    recognizer picks, checked against DuckDB after an insert step AND
+    a delete+insert mutation step."""
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+    from sql_to_dbsp_compiler_spark.compiler.slt import _row_key, slt_random_statements
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+
+    con = duckdb.connect()
+    make_fixture(spark, con)
+    stmts = slt_random_statements(seed=41, n=60)
+    assert len(stmts) >= 40
+    views = {f"r{i}": sql for i, sql in enumerate(stmts)}
+    ddl = (
+        "CREATE TABLE t(id INTEGER, a INTEGER, b INTEGER, s VARCHAR(20), "
+        "d DOUBLE, ts TIMESTAMP);\n"
+        "CREATE TABLE u(k INTEGER, v INTEGER, tag VARCHAR(5));\n"
+        + "\n".join(
+            f"CREATE VIEW {n} AS {to_spark_dialect(sql)};" for n, sql in views.items()
+        )
+    )
+    inc = IncrementalProgram(spark, ddl, optimize=True, checkpoint_every=1)
+
+    t_schema = "id int, a int, b int, s string, d double, ts timestamp, __weight long"
+    u_schema = "k int, v int, tag string, __weight long"
+
+    def check(tag):
+        fails = []
+        for name, sql in views.items():
+            got = sorted(
+                (tuple(r) for r in inc.snapshot(name).to_multiset_df().collect()),
+                key=_row_key,
+            )
+            want = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=_row_key)
+            if got != want:
+                fails.append(f"[{tag}] {name} ({sql[:60]}...): spark={got[:3]} duck={want[:3]}")
+        assert not fails, f"{len(fails)} divergences:\n" + "\n".join(fails[:8])
+
+    inc.step({
+        "t": ZSet(spark.createDataFrame([(*r, 1) for r in T_ROWS], t_schema)),
+        "u": ZSet(spark.createDataFrame([(*r, 1) for r in U_ROWS], u_schema)),
+    })
+    check("insert")
+
+    import datetime as dt
+
+    t_del = [r for r in T_ROWS if r[0] in (3, 7, 11)]
+    t_new = [
+        (15, -2, None, "it''s b", -0.25, dt.datetime(2024, 1, 5, 6, 7, 8)),
+        (16, None, 4, "", 2.0, None),
+    ]
+    u_del = [r for r in U_ROWS if r[0] == 5]
+    u_new = [(11, 40, "x"), (6, None, "q")]
+    inc.step({
+        "t": ZSet(spark.createDataFrame(
+            [(*r, -1) for r in t_del] + [(*r, 1) for r in t_new], t_schema)),
+        "u": ZSet(spark.createDataFrame(
+            [(*r, -1) for r in u_del] + [(*r, 1) for r in u_new], u_schema)),
+    })
+    con.execute("DELETE FROM t WHERE id IN (3, 7, 11)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?,?)", t_new)
+    con.execute("DELETE FROM u WHERE k = 5")
+    con.executemany("INSERT INTO u VALUES (?,?,?)", u_new)
+    check("mutate")
+    con.close()
+
+
 def test_slt_random_statement_bulk(spark):
     """SQLsmith-lite pass: 150 seeded random statements composed from
     the shared-dialect pools, each run on both engines and compared
