@@ -812,10 +812,14 @@ class IncrementalMixedAgg:
         ]
         self._stepped = False
 
-    def _combined(self) -> DataFrame:
+    def _combined(self, touched: "DataFrame | None" = None) -> DataFrame:
         """Current view rows: plain snapshot (group existence) left-
-        joined with each distinct-count branch snapshot, null-safely."""
+        joined with each distinct-count branch snapshot, null-safely.
+        With ``touched``, the base is restricted FIRST so the branch
+        joins only process affected keys (bucket-pruned at scale)."""
         out = self.plain.snapshot()
+        if touched is not None:
+            out = _join_on_keys(out, self.keys, touched, "leftsemi")
         cols = [c for c in out.columns]
         for i, (_arg, alias, _dist, cnt) in enumerate(self.branches):
             snap = cnt.snapshot().select(
@@ -841,17 +845,13 @@ class IncrementalMixedAgg:
         touched = z.df.select(*self.keys).distinct().localCheckpoint(eager=False)
         # DataFrames are immutable plans: the pre-step combined view
         # stays valid (lazily) after the branch states advance.
-        old_rows = (
-            _join_on_keys(self._combined(), self.keys, touched, "leftsemi")
-            if self._stepped
-            else None
-        )
+        old_rows = self._combined(touched) if self._stepped else None
         self.plain.step(z)
         for arg, _alias, dist, cnt in self.branches:
             zi = ZSet(z.df.select(*self.keys, arg, WEIGHT)).consolidate()
             cnt.step(dist.step(zi))
         self._stepped = True
-        new_rows = _join_on_keys(self._combined(), self.keys, touched, "leftsemi")
+        new_rows = self._combined(touched)
         if old_rows is None:
             return ZSet.from_df(new_rows)
         return ZSet.from_df(new_rows).subtract(ZSet.from_df(old_rows)).consolidate()

@@ -1179,11 +1179,12 @@ def test_recognizer_round3_shapes_match_naive(spark):
 
 
 def test_round3_recognizer_conservative_fallbacks(spark):
-    """Shapes the round-3 recognizers must NOT claim: NOT IN (distinct
-    NULL semantics), correlated non-equi predicates, two scalar
-    subqueries, MIN over grouping sets (non-linear per set), and
-    EXISTS against the outer table itself. All fall back to naive —
-    and naive still computes them correctly."""
+    """Shapes the round-3 recognizers must NOT claim: correlated
+    non-equi predicates, two scalar subqueries, MIN over grouping sets
+    (non-linear per set), and EXISTS against the outer table itself.
+    All fall back to naive — and naive still computes them correctly.
+    (NOT IN graduated from this list: it now compiles to the
+    NULL-aware circuit, asserted alongside.)"""
     prog = """
     CREATE TABLE ta(id INTEGER, grp VARCHAR(10), val INTEGER);
     CREATE TABLE tb(ref INTEGER, bval INTEGER);
@@ -1197,7 +1198,8 @@ def test_round3_recognizer_conservative_fallbacks(spark):
     """
     inc = IncrementalProgram(spark, prog, optimize=True)
     plan = inc.plan()
-    for v in ("f_notin", "f_nonequi", "f_two", "f_self"):
+    assert plan["f_notin"] == "not-in-null-aware"
+    for v in ("f_nonequi", "f_two", "f_self"):
         assert plan[v] == "naive", v
     d = inc.step({
         "ta": ZSet(spark.createDataFrame(
