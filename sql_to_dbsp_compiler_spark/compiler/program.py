@@ -912,7 +912,9 @@ _BARE_KEYWORDS = frozenset(
     "interval row rows range current user order group select from where "
     "value values case when then else end cast as and or not in is null "
     "true false like between exists all any some distinct left right "
-    "inner outer on join union except intersect by asc desc".split()
+    "inner outer on join union except intersect by asc desc "
+    "to at zone escape over partition filter within nulls first last "
+    "following preceding unbounded".split()
 )
 
 _STR_LIT_RE = re.compile(r"'(?:[^']|'')*'")

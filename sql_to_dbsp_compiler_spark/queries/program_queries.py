@@ -340,3 +340,65 @@ def x_program_chain_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in deltas[1:]:
         inc.step({"orders": d})
     return inc.snapshot("v_natout").to_multiset_df()
+
+
+_SETOP_CHAIN_PROGRAM = """
+CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT,
+                    o_orderstatus VARCHAR, o_totalprice DOUBLE);
+CREATE VIEW v_exc AS
+    SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+    EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL SELECT o_custkey FROM orders WHERE o_totalprice > 400000;
+CREATE VIEW v_umix AS
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'P';
+"""
+
+
+@query(
+    "x_program_setop_chain",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+    EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+    tags=("compiler", "incremental", "setop-chain"),
+)
+def x_program_setop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-branch EXCEPT / EXCEPT ALL chain maintained incrementally as
+    a left-assoc cascade of multiplicity-state set ops, over three
+    snapshot deltas of orders (with deletes)."""
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+
+    inc = IncrementalProgram(spark, _SETOP_CHAIN_PROGRAM, optimize=True)
+    assert inc.plan()["v_exc"] == "setop-chain-3", inc.plan()
+    for d in _order_slices(
+        spark, sf_dir, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    ):
+        inc.step({"orders": d})
+    return inc.snapshot("v_exc").to_multiset_df()
+
+
+@query(
+    "x_program_union_chain",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    UNION SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    tags=("compiler", "incremental", "union-chain"),
+)
+def x_program_union_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed UNION ALL / UNION chain maintained incrementally (one
+    distinct state at the UNION separator applied to the running sum),
+    over three snapshot deltas of orders (with deletes)."""
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+
+    inc = IncrementalProgram(spark, _SETOP_CHAIN_PROGRAM, optimize=True)
+    assert inc.plan()["v_umix"] == "union-chain-3", inc.plan()
+    for d in _order_slices(
+        spark, sf_dir, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    ):
+        inc.step({"orders": d})
+    return inc.snapshot("v_umix").to_multiset_df()
