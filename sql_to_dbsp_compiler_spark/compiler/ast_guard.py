@@ -132,6 +132,7 @@ _FORBIDDEN_FEATURES: dict[str, set[str]] = {
     "_UnionChainOp": {"window", "limit", "order_by", "subquery"},
     "_SetOpOp": {"window", "limit", "order_by", "subquery"},
     "_SetOpChainOp": {"window", "limit", "order_by", "subquery"},
+    "_SetExprOp": {"window", "limit", "order_by", "subquery"},
     # UNNEST parses as a (cross) join in DuckDB; no grouping/windowing
     # may coexist with the linear flatmap shape.
     "_FlatMapOp": {"group_by", "having", "setop", "window", "limit",

@@ -2413,6 +2413,211 @@ class _SetOpChainOp:
     ops: "list[object]"  # n-1 IncrementalSetOp, left-assoc order
 
 
+def _mask_literals(s: str) -> str:
+    """Length-preserving literal masking: token positions found on the
+    masked text slice the original correctly."""
+    return _STR_LIT_RE.sub(lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", s)
+
+
+@dataclass
+class _SetExprNode:
+    """One node of a set-expression tree: a leaf (part index) or a
+    binary set operation with its own incremental state."""
+
+    kind: str  # leaf|union|union_all|except|except_all|intersect|intersect_all
+    left: "object"  # node, or int part index for a leaf
+    right: "object | None" = None
+    op: "object | None" = None  # IncrementalSetOp / IncrementalDistinct(union)
+
+
+@dataclass
+class _SetExprOp:
+    """Arbitrary n-ary set expression with SQL precedence (INTERSECT
+    binds tighter; UNION and EXCEPT associate left at equal
+    precedence): compiled to a tree of multiplicity-state set ops —
+    the reference compiles Calcite's SetOp trees to the matching
+    circuit cascade. Uniform chains take the cheaper dedicated paths;
+    this op covers the genuinely mixed expressions
+    (``a UNION b EXCEPT c INTERSECT d`` …)."""
+
+    parts: "list[tuple[str, list[str] | None, str | None]]"
+    names0: "list[str]"
+    root: _SetExprNode
+    n_ops: int
+
+
+def _split_set_expr(sql: str) -> "tuple[list[str], list[str]]":
+    """Split on ALL top-level set operators (literal-masked, paren
+    depth guarded); seps use IncrementalSetOp kind spelling plus
+    union/union_all."""
+    masked = _mask_literals(sql)
+    parts: list[str] = []
+    seps: list[str] = []
+    depth, last = 0, 0
+    for t in re.finditer(
+        r"[()]|\b(UNION|EXCEPT|INTERSECT)(\s+(ALL|DISTINCT))?\b", masked, re.IGNORECASE
+    ):
+        tok = t.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            parts.append(sql[last : t.start()])
+            kind = t.group(1).lower()
+            if re.search(r"\bALL\b", tok, re.IGNORECASE):
+                kind += "_all"
+            seps.append(kind)
+            last = t.end()
+    parts.append(sql[last:])
+    return parts, seps
+
+
+def _recognize_uniform_sets(
+    sql: str,
+    known: set[str],
+    cols_of: dict[str, list[str]],
+    union_parts: list[str],
+    union_seps: list[str],
+    setop_parts: list[str],
+    setop_seps: list[str],
+):
+    """The dedicated single-family set recognizers: UNION[/ALL] chains
+    (stateless sum / one-or-per-sep distinct states) and EXCEPT/
+    INTERSECT[/ALL] pairs and chains. Returns None for mixed-family
+    expressions (handled by _recognize_set_expr)."""
+    from ..plans.incremental import IncrementalDistinct, IncrementalSetOp
+
+    if len(union_parts) > 1:
+        parsed_parts = []
+        names0 = None
+        for i, p in enumerate(union_parts):
+            lp = _linear_part(p, known, cols_of)
+            if lp is None:
+                return None
+            src, sel, where, names = lp
+            arity = len(sel) if sel is not None else (len(names) if names is not None else None)
+            if i == 0:
+                if names is None:
+                    return None  # first branch names the output columns
+                names0 = names
+            elif arity is None or arity != len(names0):
+                return None  # unknown or mismatched branch arity
+            parsed_parts.append((src, sel, where))
+        if all(s == "all" for s in union_seps):
+            return _UnionAllOp(parsed_parts, names0, None)
+        if all(s == "distinct" for s in union_seps):
+            # uniform distinct chain: one terminal multiplicity state
+            # (distinct(distinct(a+b)+c) == distinct(a+b+c))
+            return _UnionAllOp(parsed_parts, names0, IncrementalDistinct())
+        # mixed chain: left-assoc, one distinct state per UNION sep
+        return _UnionChainOp(
+            parsed_parts,
+            names0,
+            [IncrementalDistinct() if s == "distinct" else None for s in union_seps],
+        )
+
+    if len(setop_parts) > 2:
+        # 3+ branch chain: left-assoc is only sound within one
+        # precedence family (INTERSECT binds tighter than EXCEPT)
+        fams = {s.split("_")[0] for s in setop_seps}
+        if len(fams) != 1:
+            return None
+        parsed = [_linear_part(p, known, cols_of) for p in setop_parts]
+        if any(lp is None for lp in parsed):
+            return None
+        names0 = parsed[0][3]
+        if names0 is None:
+            return None
+        for lp in parsed[1:]:
+            src_i, sel_i, where_i, names_i = lp
+            arity = len(sel_i) if sel_i is not None else (
+                len(names_i) if names_i is not None else None
+            )
+            if arity != len(names0):
+                return None
+        return _SetOpChainOp(
+            [(src_i, sel_i, where_i) for src_i, sel_i, where_i, _ in parsed],
+            names0,
+            [IncrementalSetOp(kind) for kind in setop_seps],
+        )
+    if len(setop_parts) == 2:
+        kind = setop_seps[0]  # except | except_all | intersect | intersect_all
+        lp_a = _linear_part(setop_parts[0], known, cols_of)
+        lp_b = _linear_part(setop_parts[1], known, cols_of)
+        if lp_a is not None and lp_b is not None:
+            src_a, sel_a, where_a, names_a = lp_a
+            src_b, sel_b, where_b, names_b = lp_b
+            arity_b = len(sel_b) if sel_b is not None else (
+                len(names_b) if names_b is not None else None
+            )
+            if names_a is not None and arity_b == len(names_a):
+                return _SetOpOp(
+                    (src_a, sel_a, where_a),
+                    (src_b, sel_b, where_b),
+                    names_a,
+                    IncrementalSetOp(kind),
+                )
+    return None
+
+
+def _recognize_set_expr(sql: str, known: set[str], cols_of: dict[str, list[str]]):
+    """Mixed-precedence set expression → _SetExprOp (the uniform-chain
+    recognizers having already declined)."""
+    from ..plans.incremental import IncrementalDistinct, IncrementalSetOp
+
+    parts, seps = _split_set_expr(sql)
+    if len(parts) < 2:
+        return None
+    parsed = [_linear_part(p, known, cols_of) for p in parts]
+    if any(lp is None for lp in parsed):
+        return None
+    names0 = parsed[0][3]
+    if names0 is None:
+        return None
+    for lp in parsed[1:]:
+        src_i, sel_i, where_i, names_i = lp
+        arity = len(sel_i) if sel_i is not None else (
+            len(names_i) if names_i is not None else None
+        )
+        if arity != len(names0):
+            return None
+
+    n_ops = 0
+
+    def node(kind: str, left, right) -> _SetExprNode:
+        nonlocal n_ops
+        n_ops += 1
+        if kind == "union_all":
+            op = None
+        elif kind in ("union", "union_distinct"):
+            kind, op = "union", IncrementalDistinct()
+        else:
+            op = IncrementalSetOp(kind)
+        return _SetExprNode(kind, left, right, op)
+
+    # precedence climbing: INTERSECT[/ALL] binds tighter; UNION[/ALL]
+    # and EXCEPT[/ALL] associate left at equal precedence
+    groups: list = []
+    group_seps: list[str] = []
+    cur: object = _SetExprNode("leaf", 0)
+    for i, sep in enumerate(seps):
+        leaf = _SetExprNode("leaf", i + 1)
+        if sep.startswith("intersect"):
+            cur = node(sep, cur, leaf)
+        else:
+            groups.append(cur)
+            group_seps.append(sep)
+            cur = leaf
+    groups.append(cur)
+    root = groups[0]
+    for sep, g in zip(group_seps, groups[1:]):
+        root = node(sep, root, g)
+    return _SetExprOp(
+        [(src_i, sel_i, where_i) for src_i, sel_i, where_i, _ in parsed], names0, root, n_ops
+    )
+
+
 def _split_setop(sql: str) -> "tuple[list[str], list[str]]":
     """Split on top-level EXCEPT [ALL] / INTERSECT [ALL]; returns
     (parts, seps) with seps[i] an IncrementalSetOp kind string."""
@@ -3031,84 +3236,16 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
     sql = view.sql.strip().rstrip(";")
 
     union_parts, union_seps = _split_union(sql)
-    if len(union_parts) > 1:
-        from ..plans.incremental import IncrementalDistinct
-
-        parsed_parts = []
-        names0 = None
-        for i, p in enumerate(union_parts):
-            lp = _linear_part(p, known, cols_of)
-            if lp is None:
-                return None
-            src, sel, where, names = lp
-            arity = len(sel) if sel is not None else (len(names) if names is not None else None)
-            if i == 0:
-                if names is None:
-                    return None  # first branch names the output columns
-                names0 = names
-            elif arity is None or arity != len(names0):
-                return None  # unknown or mismatched branch arity
-            parsed_parts.append((src, sel, where))
-        if all(s == "all" for s in union_seps):
-            return _UnionAllOp(parsed_parts, names0, None)
-        if all(s == "distinct" for s in union_seps):
-            # uniform distinct chain: one terminal multiplicity state
-            # (distinct(distinct(a+b)+c) == distinct(a+b+c))
-            return _UnionAllOp(parsed_parts, names0, IncrementalDistinct())
-        # mixed chain: left-assoc, one distinct state per UNION sep
-        return _UnionChainOp(
-            parsed_parts,
-            names0,
-            [IncrementalDistinct() if s == "distinct" else None for s in union_seps],
-        )
-
     setop_parts, setop_seps = _split_setop(sql)
-    if len(setop_parts) > 2:
-        # 3+ branch chain: left-assoc is only sound within one
-        # precedence family (INTERSECT binds tighter than EXCEPT)
-        from ..plans.incremental import IncrementalSetOp
-
-        fams = {s.split("_")[0] for s in setop_seps}
-        if len(fams) != 1:
-            return None
-        parsed = [_linear_part(p, known, cols_of) for p in setop_parts]
-        if any(lp is None for lp in parsed):
-            return None
-        names0 = parsed[0][3]
-        if names0 is None:
-            return None
-        for lp in parsed[1:]:
-            src_i, sel_i, where_i, names_i = lp
-            arity = len(sel_i) if sel_i is not None else (
-                len(names_i) if names_i is not None else None
-            )
-            if arity != len(names0):
-                return None
-        return _SetOpChainOp(
-            [(src_i, sel_i, where_i) for src_i, sel_i, where_i, _ in parsed],
-            names0,
-            [IncrementalSetOp(kind) for kind in setop_seps],
+    if len(union_parts) > 1 or len(setop_parts) > 1:
+        op = _recognize_uniform_sets(
+            sql, known, cols_of, union_parts, union_seps, setop_parts, setop_seps
         )
-    if len(setop_parts) == 2:
-        from ..plans.incremental import IncrementalSetOp
-
-        kind = setop_seps[0]  # except | except_all | intersect | intersect_all
-        lp_a = _linear_part(setop_parts[0], known, cols_of)
-        lp_b = _linear_part(setop_parts[1], known, cols_of)
-        if lp_a is not None and lp_b is not None:
-            src_a, sel_a, where_a, names_a = lp_a
-            src_b, sel_b, where_b, names_b = lp_b
-            arity_b = len(sel_b) if sel_b is not None else (
-                len(names_b) if names_b is not None else None
-            )
-            if names_a is not None and arity_b == len(names_a):
-                return _SetOpOp(
-                    (src_a, sel_a, where_a),
-                    (src_b, sel_b, where_b),
-                    names_a,
-                    IncrementalSetOp(kind),
-                )
-        return None
+        if op is None:
+            # genuinely mixed (UNION with EXCEPT/INTERSECT, or mixed
+            # precedence families) → the general set-expression tree
+            op = _recognize_set_expr(sql, known, cols_of)
+        return op
 
     op = _recognize_grouping_sets(sql, known)
     if op is not None:
@@ -3641,7 +3778,7 @@ def _out_cols_of(
         return src_cols + [op.op.rank_alias] if src_cols else None
     if isinstance(op, (_UnionAllOp, _UnionChainOp)):
         return list(op.names0)
-    if isinstance(op, (_SetOpOp, _SetOpChainOp)):
+    if isinstance(op, (_SetOpOp, _SetOpChainOp, _SetExprOp)):
         return list(op.names0)
     if isinstance(op, _MultiJoinOp):
         return list(op.aliases)
@@ -3796,6 +3933,8 @@ class IncrementalProgram:
                 return op.op.kind.replace("_", "-")
             if isinstance(op, _SetOpChainOp):
                 return f"setop-chain-{len(op.parts)}"
+            if isinstance(op, _SetExprOp):
+                return f"set-expr-{len(op.parts)}"
             if isinstance(op, _MultiJoinOp):
                 return f"join-chain-{len(op.srcs)}"
             if isinstance(op, _MultiJoinAggOp):
@@ -3995,6 +4134,25 @@ class IncrementalProgram:
                 d = op.ops[0].step(_branch(0), _branch(1))
                 for j, nxt in enumerate(op.ops[1:], start=2):
                     d = nxt.step(d, _branch(j))
+            elif isinstance(op, _SetExprOp):
+                def _sleaf(i):
+                    src_i, sel_i, where_i = op.parts[i]
+                    bd = _apply_linear(delta_of(src_i).df, sel_i, where_i)
+                    pc = [c for c in bd.columns if c != WEIGHT]
+                    return ZSet(bd.select(*pc, WEIGHT).toDF(*op.names0, WEIGHT))
+
+                def _seval(node):
+                    if node.kind == "leaf":
+                        return _sleaf(node.left)
+                    l = _seval(node.left)
+                    r = _seval(node.right)
+                    if node.kind == "union_all":
+                        return l.add(r).consolidate()
+                    if node.kind == "union":
+                        return node.op.step(l.add(r).consolidate())
+                    return node.op.step(l, r)
+
+                d = _seval(op.root)
             elif isinstance(op, _GlobalAggOp):
                 dd = delta_of(op.src).df.withColumn("__g", F.lit(0))
                 op.op.step(ZSet(dd))

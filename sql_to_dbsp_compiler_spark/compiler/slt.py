@@ -214,6 +214,12 @@ def slt_statements(seed: int = 0) -> list[str]:
         "WHERE b < 0",
         "SELECT a FROM t WHERE a IS NOT NULL INTERSECT SELECT a FROM t "
         "WHERE a > 0 INTERSECT ALL SELECT k FROM u",
+        # mixed-family set expressions (SQL precedence: INTERSECT
+        # tighter; UNION/EXCEPT left-assoc) → set-expression tree
+        "SELECT id FROM t WHERE a > 0 UNION SELECT k FROM u "
+        "EXCEPT SELECT b FROM t WHERE b < 0",
+        "SELECT a FROM t WHERE a IS NOT NULL EXCEPT SELECT v FROM u "
+        "WHERE v IS NOT NULL INTERSECT SELECT a FROM t WHERE a > 2",
         # mixed UNION / UNION ALL chains (distinct state per UNION sep)
         "SELECT a FROM t WHERE a IS NOT NULL UNION ALL SELECT k FROM u "
         "UNION SELECT b FROM t WHERE b > 0",

@@ -1567,15 +1567,21 @@ CREATE VIEW c_int3 AS SELECT x, y FROM sa INTERSECT SELECT x, y FROM sb
     INTERSECT ALL SELECT x, y FROM sc;
 CREATE VIEW c_prec AS SELECT x, y FROM sa EXCEPT SELECT x, y FROM sb
     INTERSECT SELECT x, y FROM sc;
+CREATE VIEW c_mixu AS SELECT x, y FROM sa UNION SELECT x, y FROM sb
+    EXCEPT SELECT x, y FROM sc;
+CREATE VIEW c_mix4 AS SELECT x, y FROM sa UNION ALL SELECT x, y FROM sb
+    INTERSECT ALL SELECT x, y FROM sc EXCEPT SELECT x, y FROM sb WHERE x > 1;
 """
 
 
 def test_recognizer_setop_chains(spark):
     """3+-branch EXCEPT[/ALL] and INTERSECT[/ALL] chains compile to a
     cascade of multiplicity-state set ops (left-assoc, the reference's
-    n-ary lowering); a chain mixing the two precedence families is NOT
-    left-associative and must stay naive. Optimized == naive per step
-    under inserts+deletes with NULLs and duplicate rows."""
+    n-ary lowering); MIXED-family expressions — UNION with EXCEPT,
+    EXCEPT with INTERSECT — compile to the general set-expression tree
+    with SQL precedence (INTERSECT binds tighter, UNION/EXCEPT
+    associate left). Optimized == naive per step under inserts+deletes
+    with NULLs and duplicate rows."""
     import random
 
     opt = IncrementalProgram(spark, SETOP_CHAIN_PROGRAM, optimize=True, checkpoint_every=2)
@@ -1584,7 +1590,9 @@ def test_recognizer_setop_chains(spark):
     assert plan["c_exc3"] == "setop-chain-3"
     assert plan["c_excmix"] == "setop-chain-3"
     assert plan["c_int3"] == "setop-chain-3"
-    assert plan["c_prec"] == "naive"
+    assert plan["c_prec"] == "set-expr-3"
+    assert plan["c_mixu"] == "set-expr-3"
+    assert plan["c_mix4"] == "set-expr-4"
 
     rng = random.Random(29)
     live = {t: [] for t in ("sa", "sb", "sc")}
