@@ -2561,28 +2561,30 @@ def _recognize_uniform_sets(
     return None
 
 
+def _paren_wrapped(t: str) -> bool:
+    """True when the whole string is one balanced parenthesized group
+    (literal-masked scan — depth never returns to 0 before the end)."""
+    if not (t.startswith("(") and t.endswith(")")):
+        return False
+    masked = _mask_literals(t)
+    depth = 0
+    for i, c in enumerate(masked):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(masked) - 1
+    return False
+
+
 def _recognize_set_expr(sql: str, known: set[str], cols_of: dict[str, list[str]]):
     """Mixed-precedence set expression → _SetExprOp (the uniform-chain
-    recognizers having already declined)."""
+    recognizers having already declined). Recurses into parenthesized
+    subgroups, so ``a EXCEPT (b UNION c)`` compiles too."""
     from ..plans.incremental import IncrementalDistinct, IncrementalSetOp
 
-    parts, seps = _split_set_expr(sql)
-    if len(parts) < 2:
-        return None
-    parsed = [_linear_part(p, known, cols_of) for p in parts]
-    if any(lp is None for lp in parsed):
-        return None
-    names0 = parsed[0][3]
-    if names0 is None:
-        return None
-    for lp in parsed[1:]:
-        src_i, sel_i, where_i, names_i = lp
-        arity = len(sel_i) if sel_i is not None else (
-            len(names_i) if names_i is not None else None
-        )
-        if arity != len(names0):
-            return None
-
+    leaves: list = []  # (src, sel, where, names)
     n_ops = 0
 
     def node(kind: str, left, right) -> _SetExprNode:
@@ -2590,31 +2592,64 @@ def _recognize_set_expr(sql: str, known: set[str], cols_of: dict[str, list[str]]
         n_ops += 1
         if kind == "union_all":
             op = None
-        elif kind in ("union", "union_distinct"):
-            kind, op = "union", IncrementalDistinct()
+        elif kind == "union":
+            op = IncrementalDistinct()
         else:
             op = IncrementalSetOp(kind)
         return _SetExprNode(kind, left, right, op)
 
-    # precedence climbing: INTERSECT[/ALL] binds tighter; UNION[/ALL]
-    # and EXCEPT[/ALL] associate left at equal precedence
-    groups: list = []
-    group_seps: list[str] = []
-    cur: object = _SetExprNode("leaf", 0)
-    for i, sep in enumerate(seps):
-        leaf = _SetExprNode("leaf", i + 1)
-        if sep.startswith("intersect"):
-            cur = node(sep, cur, leaf)
-        else:
-            groups.append(cur)
-            group_seps.append(sep)
-            cur = leaf
-    groups.append(cur)
-    root = groups[0]
-    for sep, g in zip(group_seps, groups[1:]):
-        root = node(sep, root, g)
+    def build(text: str) -> "_SetExprNode | None":
+        parts, seps = _split_set_expr(text)
+        if len(parts) == 1:
+            t = text.strip()
+            if _paren_wrapped(t):
+                return build(t[1:-1])
+            lp = _linear_part(t, known, cols_of)
+            if lp is None:
+                return None
+            leaves.append(lp)
+            return _SetExprNode("leaf", len(leaves) - 1)
+        nodes = [build(p) for p in parts]
+        if any(n is None for n in nodes):
+            return None
+        # precedence climbing: INTERSECT[/ALL] binds tighter;
+        # UNION[/ALL] and EXCEPT[/ALL] associate left at equal level
+        groups: list = []
+        group_seps: list[str] = []
+        cur = nodes[0]
+        for sep, nxt in zip(seps, nodes[1:]):
+            if sep.startswith("intersect"):
+                cur = node(sep, cur, nxt)
+            else:
+                groups.append(cur)
+                group_seps.append(sep)
+                cur = nxt
+        groups.append(cur)
+        root = groups[0]
+        for sep, g in zip(group_seps, groups[1:]):
+            root = node(sep, root, g)
+        return root
+
+    top_parts, _ = _split_set_expr(sql)
+    if len(top_parts) < 2:
+        return None
+    root = build(sql)
+    if root is None or not leaves:
+        return None
+    names0 = leaves[0][3]
+    if names0 is None:
+        return None
+    for src_i, sel_i, where_i, names_i in leaves[1:]:
+        arity = len(sel_i) if sel_i is not None else (
+            len(names_i) if names_i is not None else None
+        )
+        if arity != len(names0):
+            return None
     return _SetExprOp(
-        [(src_i, sel_i, where_i) for src_i, sel_i, where_i, _ in parsed], names0, root, n_ops
+        [(src_i, sel_i, where_i) for src_i, sel_i, where_i, _ in leaves],
+        names0,
+        root,
+        n_ops,
     )
 
 

@@ -1571,6 +1571,8 @@ CREATE VIEW c_mixu AS SELECT x, y FROM sa UNION SELECT x, y FROM sb
     EXCEPT SELECT x, y FROM sc;
 CREATE VIEW c_mix4 AS SELECT x, y FROM sa UNION ALL SELECT x, y FROM sb
     INTERSECT ALL SELECT x, y FROM sc EXCEPT SELECT x, y FROM sb WHERE x > 1;
+CREATE VIEW c_paren AS SELECT x, y FROM sa EXCEPT
+    (SELECT x, y FROM sb UNION SELECT x, y FROM sc);
 """
 
 
@@ -1593,6 +1595,7 @@ def test_recognizer_setop_chains(spark):
     assert plan["c_prec"] == "set-expr-3"
     assert plan["c_mixu"] == "set-expr-3"
     assert plan["c_mix4"] == "set-expr-4"
+    assert plan["c_paren"] == "set-expr-3"
 
     rng = random.Random(29)
     live = {t: [] for t in ("sa", "sb", "sc")}
