@@ -3354,14 +3354,25 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
                 arg = am.group("arg").strip()
                 alias = am.group("alias").lower()
                 dm = re.fullmatch(r"DISTINCT\s+(?P<col>\w+)", arg, re.IGNORECASE)
+                dme = re.match(r"DISTINCT\b\s*(?P<expr>.+)$", arg, re.IGNORECASE | re.DOTALL)
                 if dm and fn == "count":
                     items.append(("count_distinct", dm.group("col").lower(), alias))
-                elif dm and fn in ("min", "max"):
+                elif dme and fn in ("min", "max"):
                     # DISTINCT is a no-op under MIN/MAX
-                    items.append((fn, dm.group("col").lower(), alias))
+                    inner = dme.group("expr").strip()
+                    if _FORBIDDEN_LINEAR.search(inner):
+                        return None
+                    items.append((fn, inner, alias))
                 elif dm:
-                    # SUM/AVG DISTINCT → touched-group recompute
+                    # SUM/AVG DISTINCT col → touched-group recompute
                     items.append((f"{fn}_distinct", dm.group("col").lower(), alias))
+                elif dme:
+                    # DISTINCT over an expression (any agg fn) →
+                    # touched-group recompute evaluates it verbatim
+                    inner = dme.group("expr").strip()
+                    if _FORBIDDEN_LINEAR.search(inner):
+                        return None
+                    items.append((f"{fn}_distinct_expr", inner, alias))
                 elif arg != "*" and _FORBIDDEN_LINEAR.search(arg):
                     return None
                 else:
@@ -3427,11 +3438,15 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
         having = F.expr(having_sql) if having_sql else None
         cond = F.expr(where) if where else None
 
-        if any(fn in ("sum_distinct", "avg_distinct") for fn, _, _ in items):
-            # DISTINCT under SUM/AVG has no linear subtraction rule and
-            # no cheap count composition — the reference evaluates such
-            # aggregates over the indexed group; here: touched-group
-            # recompute, mixing freely with any other aggregate item
+        if any(
+            fn in ("sum_distinct", "avg_distinct") or fn.endswith("_distinct_expr")
+            for fn, _, _ in items
+        ):
+            # DISTINCT under SUM/AVG (or over any expression) has no
+            # linear subtraction rule and no cheap count composition —
+            # the reference evaluates such aggregates over the indexed
+            # group; here: touched-group recompute, mixing freely with
+            # any other aggregate item
             from ..plans.incremental import IncrementalGroupRecomputeAgg
 
             aggs = []
@@ -3440,6 +3455,9 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
                     aggs.append(F.count_distinct(F.col(arg)).alias(alias))
                 elif fn in ("sum_distinct", "avg_distinct"):
                     aggs.append(F.expr(f"{fn[:-9]}(DISTINCT {arg})").alias(alias))
+                elif fn.endswith("_distinct_expr"):
+                    base = fn[: -len("_distinct_expr")]
+                    aggs.append(F.expr(f"{base}(DISTINCT {arg})").alias(alias))
                 elif fn == "count" and arg == "*":
                     aggs.append(F.count(F.lit(1)).alias(alias))
                 else:

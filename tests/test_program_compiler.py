@@ -1643,6 +1643,9 @@ CREATE VIEW m_sum_distinct AS SELECT grp, SUM(DISTINCT val) AS sd, COUNT(*) AS n
 CREATE VIEW m_avg_distinct AS SELECT grp, AVG(DISTINCT val) AS ad,
     COUNT(DISTINCT id) AS cdi FROM ta GROUP BY grp;
 CREATE VIEW m_min_distinct AS SELECT grp, MIN(DISTINCT val) AS mn FROM ta GROUP BY grp;
+CREATE VIEW m_sde AS SELECT grp, SUM(DISTINCT val + id) AS sde FROM ta GROUP BY grp;
+CREATE VIEW m_cde AS SELECT grp, COUNT(DISTINCT val % 2) AS cde, SUM(val) AS s
+    FROM ta GROUP BY grp;
 """
 
 
@@ -1668,6 +1671,8 @@ def test_recognizer_mixed_distinct_aggregates(spark):
     assert plan["m_sum_distinct"] == "aggregate-recompute"
     assert plan["m_avg_distinct"] == "aggregate-recompute"
     assert plan["m_min_distinct"] == "aggregate-recompute"
+    assert plan["m_sde"] == "aggregate-recompute"
+    assert plan["m_cde"] == "aggregate-recompute"
 
     rng = random.Random(17)
     live = []
