@@ -2367,11 +2367,14 @@ class _UnionChainOp:
 def _split_union(sql: str) -> "tuple[list[str], list[str]]":
     """Split on top-level UNION [ALL|DISTINCT]; returns (parts, seps)
     with seps[i] in {'all', 'distinct'} between parts[i] and
-    parts[i+1]. Paren depth guards against subquery UNIONs."""
+    parts[i+1]. Paren depth guards against subquery UNIONs; literals
+    are masked (length-preserving) so 'a UNION b' data never splits."""
     parts: list[str] = []
     seps: list[str] = []
     depth, last = 0, 0
-    for t in re.finditer(r"[()]|\bUNION(?:\s+(?:ALL|DISTINCT))?\b", sql, re.IGNORECASE):
+    for t in re.finditer(
+        r"[()]|\bUNION(?:\s+(?:ALL|DISTINCT))?\b", _mask_literals(sql), re.IGNORECASE
+    ):
         tok = t.group(0)
         if tok == "(":
             depth += 1
@@ -2655,11 +2658,16 @@ def _recognize_set_expr(sql: str, known: set[str], cols_of: dict[str, list[str]]
 
 def _split_setop(sql: str) -> "tuple[list[str], list[str]]":
     """Split on top-level EXCEPT [ALL] / INTERSECT [ALL]; returns
-    (parts, seps) with seps[i] an IncrementalSetOp kind string."""
+    (parts, seps) with seps[i] an IncrementalSetOp kind string.
+    Literal-masked like _split_union."""
     parts: list[str] = []
     seps: list[str] = []
     depth, last = 0, 0
-    for t in re.finditer(r"[()]|\b(EXCEPT|INTERSECT)(\s+(ALL|DISTINCT))?\b", sql, re.IGNORECASE):
+    for t in re.finditer(
+        r"[()]|\b(EXCEPT|INTERSECT)(\s+(ALL|DISTINCT))?\b",
+        _mask_literals(sql),
+        re.IGNORECASE,
+    ):
         tok = t.group(0)
         if tok == "(":
             depth += 1

@@ -662,6 +662,7 @@ def test_union_views_maintained_incrementally(spark):
         UNION SELECT x, s FROM a WHERE x < 0;
     CREATE VIEW v_mixed2 AS SELECT x, s FROM a UNION SELECT y, t FROM b
         UNION ALL SELECT x, s FROM a WHERE x > 2;
+    CREATE VIEW v_lit AS SELECT x, 'p UNION q EXCEPT r' AS s2 FROM a WHERE x > 0;
     """
     opt = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=2)
     assert opt.plan() == {
@@ -669,6 +670,9 @@ def test_union_views_maintained_incrementally(spark):
         "v_dist": "union-distinct",
         "v_mixed": "union-chain-3",
         "v_mixed2": "union-chain-3",
+        # set-operator words inside a string literal never split the
+        # view — it stays the linear circuit
+        "v_lit": "linear",
     }
     naive = IncrementalProgram(spark, prog, optimize=False, checkpoint_every=2)
 
