@@ -206,9 +206,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_pairs_int64(sigs, "doc_id", "simhash", band_bits=15)
 
 
-@query(
-    "dedup_canonical_groups",
-    oracle=f"""
+# Shared DuckDB CTE prefix for the full near-dup cascade: md5-MinHash
+# signatures → LSH banding (with the engine's max_bucket cap) → exact
+# Jaccard verify on candidates → recursive min-label components.
+_CANONICAL_CASCADE_CTES = f"""
     WITH RECURSIVE w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     sh AS (
         SELECT DISTINCT doc_id,
@@ -266,6 +267,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
     ),
     comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id)
+"""
+
+
+@query(
+    "dedup_canonical_groups",
+    oracle=_CANONICAL_CASCADE_CTES + """
     SELECT d.doc_id,
            COALESCE(c.component, d.doc_id) AS canonical_id,
            d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
@@ -869,4 +876,56 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return resize_plan(
         media_table(load_table(spark, sf_dir, "documents")), max_dim=256
+    )
+
+
+@query(
+    "x_dedup_keep_best",
+    oracle=_CANONICAL_CASCADE_CTES + """
+    , ranked AS (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS group_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY COALESCE(c.component, d.doc_id)
+                   ORDER BY length(d.text) DESC, d.doc_id
+               ) AS rnk
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    )
+    SELECT doc_id, group_id, rnk = 1 AS keep_best
+    FROM ranked
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked canonical selection: the same guarded near-dup
+    cascade as dedup_canonical_groups (md5-MinHash-LSH candidates →
+    Jaccard verify → star connected components), but the KEPT document
+    per duplicate group is the highest-quality one (longest text,
+    doc_id tiebreak) instead of the smallest id — the keep/drop rule a
+    training-data pipeline actually wants. One extra window shuffle on
+    the group id; groups are near-dup clusters, so partitions stay
+    tiny at any corpus size."""
+    from pyspark.sql import Window
+
+    from sql_to_dbsp_compiler_spark.llm.dedup import (
+        dedup_groups,
+        jaccard_verify_candidates,
+        lsh_candidate_pairs_md5,
+        minhash_signatures_md5,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_md5(d, "doc_id", "text", 16, 3)
+    cands = lsh_candidate_pairs_md5(sigs, "doc_id", "sig", bands=4)
+    verified = jaccard_verify_candidates(d, cands, "doc_id", "text", n=3, threshold=0.5)
+    verified = verified.localCheckpoint(eager=False)
+    groups = dedup_groups(d, verified)
+    w = Window.partitionBy("group_id").orderBy(
+        F.length("text").desc(), F.col("doc_id")
+    )
+    return (
+        groups.select(F.col("doc_id"), F.col("canonical_id").alias("group_id"))
+        .join(d.select("doc_id", "text"), "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .select("doc_id", "group_id", (F.col("rnk") == 1).alias("keep_best"))
     )
