@@ -111,3 +111,60 @@ def unique_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(dup_keys), cust.c_custkey == F.col("__dk"), "left"
     )
     return j.select("c_custkey", F.col("__dk").isNull().alias("uniq"))
+
+
+@query(
+    "x_bool_predicates",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_totalprice > 150000 END AS p,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_orderstatus = 'F' END AS q
+        FROM orders
+    )
+    SELECT o_orderkey,
+           p IS TRUE       AS p_is_true,
+           p IS NOT TRUE   AS p_is_not_true,
+           p IS FALSE      AS p_is_false,
+           p IS NOT FALSE  AS p_is_not_false,
+           (p AND q) IS NULL AS and_unknown,
+           (p OR q)  IS NULL AS or_unknown,
+           (NOT p)   IS NULL AS not_unknown,
+           COALESCE(p AND q, FALSE) AS and_val,
+           COALESCE(p OR q, FALSE)  AS or_val
+    FROM b
+    """,
+    tags=("functions", "boolean"),
+)
+def x_bool_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean test predicates IS [NOT] TRUE / IS [NOT] FALSE plus the
+    three-valued AND/OR/NOT truth tables (reference
+    doc/sql/boolean.rst; lib/sqllib/src/lib.rs ``is_true_b*`` /
+    ``is_not_false_b*`` — note the doc's IS NOT FALSE table has a
+    typo for the TRUE row; the Rust implementation and standard SQL
+    agree on TRUE IS NOT FALSE = TRUE, which is what both engines
+    compute here). Pure column expressions — stays inside
+    whole-stage codegen, no shuffle at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("boolean")).otherwise(
+        F.col("o_totalprice") > 150000
+    )
+    q = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("boolean")).otherwise(
+        F.col("o_orderstatus") == "F"
+    )
+    b = orders.select(F.col("o_orderkey"), p.alias("p"), q.alias("q"))
+    return b.select(
+        "o_orderkey",
+        F.expr("p IS TRUE").alias("p_is_true"),
+        F.expr("p IS NOT TRUE").alias("p_is_not_true"),
+        F.expr("p IS FALSE").alias("p_is_false"),
+        F.expr("p IS NOT FALSE").alias("p_is_not_false"),
+        F.expr("(p AND q) IS NULL").alias("and_unknown"),
+        F.expr("(p OR q) IS NULL").alias("or_unknown"),
+        F.expr("(NOT p) IS NULL").alias("not_unknown"),
+        F.coalesce(F.expr("p AND q"), F.lit(False)).alias("and_val"),
+        F.coalesce(F.expr("p OR q"), F.lit(False)).alias("or_val"),
+    )
