@@ -452,3 +452,94 @@ def train_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n - u).alias("n_dups"),
         ((n - u).cast("double") / n).alias("dup_rate"),
     )
+
+
+@query(
+    "x_line_dedup",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), wp AS (
+        SELECT doc_id, unnest(ws) AS wd, unnest(range(0, len(ws))) AS i
+        FROM w
+    ), segs AS (
+        SELECT doc_id, i // 3 AS seg_idx,
+               string_agg(wd, ' ' ORDER BY i) AS seg
+        FROM wp GROUP BY doc_id, i // 3
+    ), f AS (
+        SELECT seg FROM segs GROUP BY seg
+        HAVING count(DISTINCT doc_id) >= 2
+    ), flagged AS (
+        SELECT s.doc_id, s.seg_idx, s.seg,
+               s.seg IN (SELECT seg FROM f) AS is_dup
+        FROM segs s
+    )
+    SELECT doc_id,
+           count(*) AS n_segs,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           coalesce(string_agg(CASE WHEN NOT is_dup THEN seg END,
+                               ' ' ORDER BY seg_idx), '') AS kept_text
+    FROM flagged GROUP BY doc_id
+    """,
+    tags=("llm", "training", "dedup"),
+)
+def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level line deduplication (Wenzek et al.
+    2020): split every document into fixed 3-word segments (the
+    synthetic corpus has no newlines, so positional word-chunks stand
+    in for lines), count each segment's document frequency across the
+    WHOLE corpus, and drop every occurrence of any segment appearing
+    in >= 2 distinct documents; re-emit the per-document residual
+    text plus drop statistics.
+
+    Dropping ALL occurrences (rather than CCNet's keep-first) makes
+    the operator order-independent — the property that matters
+    distributed: no "first occurrence" exists across 1000 executors
+    without imposing a global order. Plan shape at 100 TB: one
+    shuffle to aggregate words into segments, one shuffle for the
+    global segment-df count, a left join of segments against the
+    (far smaller) duplicated-segment set — AQE broadcasts it when it
+    fits — and one shuffle back to per-document reassembly. No
+    Python UDFs; the segment build is sequence/slice/array_join
+    column expressions inside codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_seg = F.when(
+        F.size(ws) > 0, F.ceil(F.size(ws) / F.lit(3)).cast("int")
+    ).otherwise(F.lit(0))
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda s: F.array_join(F.slice(ws, s * 3 + 1, 3), " "),
+    )
+    segs = d.select(
+        "doc_id",
+        F.posexplode(F.when(n_seg > 0, seg_arr).otherwise(F.array())).alias(
+            "seg_idx", "seg"
+        ),
+    )
+    dup = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .where(F.col("__df") >= 2)
+        .select(F.col("seg").alias("__dseg"))
+    )
+    flagged = segs.join(dup, segs.seg == F.col("__dseg"), "left").select(
+        "doc_id",
+        "seg_idx",
+        "seg",
+        F.col("__dseg").isNotNull().alias("is_dup"),
+    )
+    kept = F.when(
+        ~F.col("is_dup"), F.struct(F.col("seg_idx"), F.col("seg"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda x: x["seg"]
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
