@@ -84,7 +84,10 @@ _BOOL = ["(a > b)", "(a >= 0)", "(a = b)", "(a <> b)", "(a IS NULL)",
          "(s IS NOT NULL)", "(a BETWEEN -2 AND 5)", "(a IN (1, 2, 5, 7))",
          "(s LIKE 'a%')", "(s LIKE '%b_c')", "(a IS DISTINCT FROM b)",
          "(a IS NOT DISTINCT FROM b)", "(d > 0 AND a < 5)",
-         "(a > 0 OR b > 0)", "(NOT (a > b))"]
+         "(a > 0 OR b > 0)", "(NOT (a > b))",
+         "((a > b) IS TRUE)", "((a > b) IS NOT TRUE)",
+         "((a = b) IS FALSE)", "((a = b) IS NOT FALSE)",
+         "(((a > 0) AND (b > 0)) IS NULL)"]
 
 
 def _templates() -> list[str]:
