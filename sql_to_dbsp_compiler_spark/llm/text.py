@@ -74,6 +74,20 @@ def langid_best(text: Column) -> Column:
     return F.array_min(structs)["lang"]
 
 
+def word_ngrams(ws: Column, n: int) -> Column:
+    """Space-joined word n-grams from a words array; empty array when
+    the document has fewer than ``n`` words. Pure column expression —
+    meant to be exploded and counted via groupBy (one shuffle on
+    (doc_id, gram)), never scanned O(W²) per document."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 over the sorted distinct
     word set (order- and duplication-insensitive, so it survives

@@ -929,3 +929,167 @@ def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .select("doc_id", "group_id", (F.col("rnk") == 1).alias("keep_best"))
     )
+
+
+@query(
+    "x_quality_gopher",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, CAST(n_chars AS DOUBLE) AS nc, {_WORDS} AS ws
+        FROM documents
+    ),
+    g2c AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+            SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+            FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                  FROM base WHERE len(ws) >= 2)
+        ) GROUP BY doc_id, g
+    ),
+    top2 AS (
+        SELECT doc_id, CAST(c AS DOUBLE) AS top2_cnt,
+               CAST(length(g) AS DOUBLE) AS top2_len
+        FROM (SELECT doc_id, g, c,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, g) AS rn
+              FROM g2c)
+        WHERE rn = 1
+    ),
+    g5c AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+            SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                       || ' ' || ws[i + 3] || ' ' || ws[i + 4] AS g
+            FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+                  FROM base WHERE len(ws) >= 5)
+        ) GROUP BY doc_id, g
+    ),
+    dup5 AS (
+        SELECT doc_id, CAST(SUM(c * length(g)) AS DOUBLE) AS dup5_chars
+        FROM g5c WHERE c > 1 GROUP BY doc_id
+    ),
+    metrics AS (
+        SELECT b.doc_id,
+               CAST(len(b.ws) AS BIGINT) AS n_words,
+               (b.nc - (len(b.ws) - 1)) / CAST(len(b.ws) AS DOUBLE)
+                   AS mean_word_len,
+               CAST(len(list_filter(b.ws, w -> regexp_matches(w, '[A-Za-z]')))
+                    AS DOUBLE) / CAST(len(b.ws) AS DOUBLE) AS alpha_word_ratio,
+               (CAST(length(b.text) - length(replace(b.text, '#', ''))
+                     AS DOUBLE)
+                + CAST(length(b.text) - length(replace(b.text, '...', ''))
+                       AS DOUBLE) / 3.0)
+                   / CAST(len(b.ws) AS DOUBLE) AS symbol_word_ratio,
+               COALESCE(t.top2_cnt * t.top2_len / b.nc, 0.0)
+                   AS top2gram_char_frac,
+               LEAST(1.0, COALESCE(d.dup5_chars / b.nc, 0.0))
+                   AS dup5gram_char_frac
+        FROM base b
+        LEFT JOIN top2 t USING (doc_id)
+        LEFT JOIN dup5 d USING (doc_id)
+    )
+    SELECT *,
+           (n_words >= 10 AND mean_word_len BETWEEN 2.0 AND 12.0
+            AND symbol_word_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+            AND top2gram_char_frac <= 0.20 AND dup5gram_char_frac <= 0.60)
+               AS gopher_pass
+    FROM metrics
+    """,
+    tags=("llm", "text", "curation"),
+)
+def x_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality filter bank (Rae et al. 2021,
+    Appendix A — the public pre-training filter rules): per-document
+    top-2-gram character fraction, duplicated-5-gram character
+    fraction, mean word length, alphabetic-word ratio and
+    symbol-to-word ratio, plus the conjunction `gopher_pass`.
+
+    Scale shape: n-grams are exploded and counted with ONE groupBy
+    shuffle on (doc_id, gram) each — never an O(W²) per-document scan
+    — then joined back on doc_id. dup5gram_char_frac counts ALL
+    occurrences of each duplicated 5-gram (DataTrove convention),
+    clamped to 1.0 since overlapping occurrences can exceed the
+    document length.
+    """
+    from sql_to_dbsp_compiler_spark.llm.text import word_ngrams, words
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "text",
+        F.col("n_chars").cast("double").alias("nc"),
+        words(F.col("text")).alias("ws"),
+    )
+    g2c = (
+        base.select("doc_id", F.explode(word_ngrams(F.col("ws"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top2 = (
+        g2c.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("c")).alias("negc"), F.col("g").alias("g"))
+            ).alias("t")
+        )
+        .select(
+            "doc_id",
+            (-F.col("t.negc")).cast("double").alias("top2_cnt"),
+            F.length("t.g").cast("double").alias("top2_len"),
+        )
+    )
+    g5c = (
+        base.select("doc_id", F.explode(word_ngrams(F.col("ws"), 5)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dup5 = (
+        g5c.filter(F.col("c") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.length("g")).cast("double").alias("dup5_chars"))
+    )
+    nw = F.size("ws").cast("double")
+    out = (
+        base.join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ws").cast("bigint").alias("n_words"),
+            ((F.col("nc") - (nw - F.lit(1))) / nw).alias("mean_word_len"),
+            (
+                F.size(F.filter(F.col("ws"), lambda w: w.rlike("[A-Za-z]"))).cast(
+                    "double"
+                )
+                / nw
+            ).alias("alpha_word_ratio"),
+            (
+                (
+                    (
+                        F.length("text")
+                        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+                    ).cast("double")
+                    + (
+                        F.length("text")
+                        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+                    ).cast("double")
+                    / F.lit(3.0)
+                )
+                / nw
+            ).alias("symbol_word_ratio"),
+            F.coalesce(
+                F.col("top2_cnt") * F.col("top2_len") / F.col("nc"), F.lit(0.0)
+            ).alias("top2gram_char_frac"),
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("dup5_chars") / F.col("nc"), F.lit(0.0)),
+            ).alias("dup5gram_char_frac"),
+        )
+        .withColumn(
+            "gopher_pass",
+            (F.col("n_words") >= 10)
+            & F.col("mean_word_len").between(2.0, 12.0)
+            & (F.col("symbol_word_ratio") <= 0.1)
+            & (F.col("alpha_word_ratio") >= 0.8)
+            & (F.col("top2gram_char_frac") <= 0.20)
+            & (F.col("dup5gram_char_frac") <= 0.60),
+        )
+    )
+    return out
