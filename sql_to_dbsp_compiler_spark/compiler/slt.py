@@ -233,6 +233,29 @@ def slt_statements(seed: int = 0) -> list[str]:
         "JOIN u y ON x.id = y.k JOIN u z ON y.k = z.k GROUP BY z.tag",
     ]
     stmts += [
+        # CTEs (WITH): single, filtered-aggregate, chained, and
+        # scalar-CTE cross join — the program frontend maintains these
+        # via the naive D∘Q∘I fallback (recognizers are SELECT-anchored)
+        "WITH c AS (SELECT a, b FROM t WHERE a IS NOT NULL) "
+        "SELECT sign(a) AS g, sum(b) AS sb, count(*) AS n FROM c "
+        "GROUP BY sign(a)",
+        "WITH agg AS (SELECT (a % 3) AS g, count(*) AS n FROM t "
+        "GROUP BY (a % 3)) SELECT g, n FROM agg WHERE n > 1",
+        "WITH c1 AS (SELECT id, a FROM t WHERE a > 0), "
+        "c2 AS (SELECT c1.id, c1.a, u.v FROM c1 JOIN u ON c1.id = u.k) "
+        "SELECT sum(a) AS sa, sum(v) AS sv, count(*) AS n FROM c2",
+        "WITH m AS (SELECT max(v) AS mv FROM u) "
+        "SELECT t.id, t.a FROM t, m WHERE coalesce(t.a, -999) < m.mv",
+        # explicit NULLS FIRST/LAST (the engines' ASC/DESC defaults
+        # differ — DuckDB NULLS LAST, Spark NULLS FIRST — so pinning
+        # them is exactly the divergence territory SLT exists for)
+        "SELECT id, a FROM t ORDER BY a NULLS FIRST, id LIMIT 6",
+        "SELECT id, a FROM t ORDER BY a DESC NULLS LAST, id LIMIT 6",
+        "SELECT id, s FROM t ORDER BY s NULLS LAST, id LIMIT 7",
+        # CROSS JOIN (explicit keyword)
+        "SELECT t.id, u.k FROM t CROSS JOIN u WHERE t.id <= 3",
+    ]
+    stmts += [
         "SELECT a FROM t WHERE a IS NOT NULL UNION SELECT v FROM u",
         "SELECT a FROM t UNION ALL SELECT k FROM u",
         "SELECT id FROM t EXCEPT SELECT k FROM u",

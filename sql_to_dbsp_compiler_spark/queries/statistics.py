@@ -192,3 +192,124 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(5000)).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_CM_WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
+_CM_PROBES = ("table", "value", "row", "scan", "the", "a", "spark", "fast")
+
+
+@query(
+    "x_sketch_countmin",
+    oracle=f"""
+    WITH occ AS (SELECT unnest({_CM_WORDS}) AS w FROM documents),
+    wc AS (SELECT w, COUNT(*) AS cnt FROM occ GROUP BY w),
+    h AS (
+        SELECT w, cnt,
+               CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)
+                   % 2147483647 AS h1,
+               CAST('0x' || substring(md5(w), 17, 15) AS BIGINT)
+                   % 2147483647 AS h2
+        FROM wc
+    ),
+    js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    cells AS (
+        SELECT j, ((h1 + j * h2) % 2147483647) % 256 AS bucket,
+               SUM(cnt) AS c
+        FROM h CROSS JOIN js
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT unnest(['table', 'value', 'row', 'scan', 'the', 'a',
+                       'spark', 'fast']) AS word
+    ),
+    ph AS (
+        SELECT word,
+               CAST('0x' || substring(md5(word), 1, 15) AS BIGINT)
+                   % 2147483647 AS h1,
+               CAST('0x' || substring(md5(word), 17, 15) AS BIGINT)
+                   % 2147483647 AS h2
+        FROM probes
+    ),
+    pest AS (
+        SELECT p.word,
+               MIN(COALESCE(c.c, 0)) AS cm_est
+        FROM ph p
+        CROSS JOIN js
+        LEFT JOIN cells c
+          ON c.j = js.j
+         AND c.bucket = ((p.h1 + js.j * p.h2) % 2147483647) % 256
+        GROUP BY p.word
+    )
+    SELECT p.word,
+           CAST(COALESCE(wc.cnt, 0) AS BIGINT) AS true_count,
+           CAST(pest.cm_est AS BIGINT) AS cm_est
+    FROM probes p
+    LEFT JOIN wc ON wc.w = p.word
+    LEFT JOIN pest ON pest.word = p.word
+    """,
+    tags=("statistics", "sketch", "llm"),
+)
+def x_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimates, built from the
+    engine-agnostic md5 double-hash family (same construction as the
+    oracle-verified MinHash in llm/dedup.py): depth d=4, width w=256,
+    hash_j(x) = ((h1 + j*h2) mod P) mod w with P = 2^31-1 and (h1,
+    h2) the two 60-bit md5 halves. Unlike HLL/t-digest the sketch is
+    a deterministic function of the multiset, so DuckDB reproduces
+    every cell — and the estimate — bit-for-bit.
+
+    Scale shape: one shuffle to count distinct words, then the sketch
+    is d*w = 1024 cells regardless of corpus size; probe estimation
+    is a broadcast join against those cells. The mergeability that
+    makes count-min right at 100 TB (cells add across partitions) is
+    exactly what the groupBy-SUM expresses."""
+    P, W, D = 2147483647, 256, 4
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        F.explode(F.filter(F.split(F.col("text"), " ", -1), lambda w: w != "")).alias("w")
+    )
+    wc = occ.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    h = wc.select(
+        "w",
+        "cnt",
+        (F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long") % P).alias("h1"),
+        (F.conv(F.substring(F.md5("w"), 17, 15), 16, 10).cast("long") % P).alias("h2"),
+    )
+    js = spark.range(D).select(F.col("id").cast("int").alias("j"))
+    cells = (
+        h.crossJoin(F.broadcast(js))
+        .select(
+            "j",
+            (((F.col("h1") + F.col("j") * F.col("h2")) % P) % W).alias("bucket"),
+            "cnt",
+        )
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    probes = spark.createDataFrame([(w,) for w in _CM_PROBES], "word string")
+    ph = probes.select(
+        "word",
+        (F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long") % P).alias("h1"),
+        (F.conv(F.substring(F.md5("word"), 17, 15), 16, 10).cast("long") % P).alias("h2"),
+    )
+    pest = (
+        ph.crossJoin(F.broadcast(js))
+        .withColumn("bucket", ((F.col("h1") + F.col("j") * F.col("h2")) % P) % W)
+        .join(F.broadcast(cells), ["j", "bucket"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cm_est"))
+    )
+    # pre-filter word counts to the probe set (pushed-down IN filter)
+    # so the broadcast is <=len(probes) rows, never the full vocabulary
+    wc_probe = wc.filter(F.col("w").isin(list(_CM_PROBES))).withColumnRenamed(
+        "w", "word"
+    )
+    return (
+        probes.join(F.broadcast(wc_probe), "word", "left")
+        .join(F.broadcast(pest), "word", "left")
+        .select(
+            "word",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("true_count"),
+            F.col("cm_est").cast("bigint").alias("cm_est"),
+        )
+    )
