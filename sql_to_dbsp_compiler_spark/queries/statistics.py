@@ -313,3 +313,104 @@ def x_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cm_est").cast("bigint").alias("cm_est"),
         )
     )
+
+
+@query(
+    "x_bloom_prune",
+    oracle="""
+    WITH build AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_totalprice > 400000.0
+    ),
+    bh AS (
+        SELECT k,
+               CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 2147483647 AS h1,
+               CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 17, 15) AS BIGINT)
+                   % 2147483647 AS h2
+        FROM build
+    ),
+    js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    bits AS (
+        SELECT DISTINCT j, ((h1 + j * h2) % 2147483647) % 4096 AS cell
+        FROM bh CROSS JOIN js
+    ),
+    ph AS (
+        SELECT c_custkey,
+               CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 2147483647 AS h1,
+               CAST('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 17, 15)
+                    AS BIGINT) % 2147483647 AS h2
+        FROM customer
+    ),
+    probe AS (
+        SELECT p.c_custkey,
+               COUNT(b.cell) AS hits
+        FROM ph p
+        CROSS JOIN js
+        LEFT JOIN bits b
+          ON b.j = js.j
+         AND b.cell = ((p.h1 + js.j * p.h2) % 2147483647) % 4096
+        GROUP BY p.c_custkey
+    )
+    SELECT pr.c_custkey,
+           pr.hits = 4 AS bloom_pass,
+           bu.k IS NOT NULL AS is_member
+    FROM probe pr
+    LEFT JOIN build bu ON bu.k = pr.c_custkey
+    """,
+    tags=("statistics", "sketch", "join"),
+)
+def x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, relationally expressed with the
+    engine-agnostic md5 double-hash family: build a d=4 / m=4096
+    Bloom filter over the distinct customer keys of high-value orders,
+    then probe every customer — `bloom_pass` is the filter's verdict,
+    `is_member` the exact semi-join truth, so false positives are
+    visible (never false negatives, the Bloom guarantee).
+
+    Scale shape: the filter is at most d*m = 16384 (j, cell) rows
+    independent of build-side size — the distinct bit-set is what a
+    100 TB pre-shuffle prune ships to every executor (broadcast),
+    standing in for spark.sql.optimizer.runtime.bloomFilter with
+    deterministic, oracle-reproducible hashing. Probe-side work is one
+    broadcast join, no shuffle of the big side."""
+    P, M, D = 2147483647, 4096, 4
+
+    def _h(col, idx):
+        s = F.md5(col.cast("string"))
+        h1 = F.conv(F.substring(s, 1, 15), 16, 10).cast("long") % P
+        h2 = F.conv(F.substring(s, 17, 15), 16, 10).cast("long") % P
+        return ((h1 + idx * h2) % P) % M
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    build = o.filter(F.col("o_totalprice") > 400000.0).select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    js = spark.range(D).select(F.col("id").cast("int").alias("j"))
+    bits = (
+        build.crossJoin(F.broadcast(js))
+        .select("j", _h(F.col("k"), F.col("j")).alias("cell"))
+        .distinct()
+    )
+    probe = (
+        c.select("c_custkey")
+        .crossJoin(F.broadcast(js))
+        .withColumn("cell", _h(F.col("c_custkey"), F.col("j")))
+        .join(F.broadcast(bits.withColumn("__hit", F.lit(1))), ["j", "cell"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("__hit").alias("hits"))
+    )
+    return (
+        probe.join(
+            F.broadcast(build.withColumn("__m", F.lit(1))),
+            probe.c_custkey == F.col("k"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            (F.col("hits") == D).alias("bloom_pass"),
+            F.col("__m").isNotNull().alias("is_member"),
+        )
+    )
