@@ -178,3 +178,34 @@ def test_pq_encode_is_vectorized(spark, sf_dir):
     assert "BatchEvalPython" not in plan, "row-at-a-time Python in PQ path"
     assert "ArrowEvalPython" in plan, "encode should be the Arrow batch kernel"
     assert "WindowGroupLimit" in plan
+
+
+def test_gopher_ngram_counts_are_shuffled_not_quadratic(spark, sf_dir):
+    """x_quality_gopher counts n-grams via explode + groupBy (one
+    shuffle per n), never a per-document O(W²) nested scan: the plan
+    has Generate (explode) feeding HashAggregate with partial_count,
+    and no CartesianProduct / BroadcastNestedLoop anywhere."""
+    plan = _plan(spark, sf_dir, "x_quality_gopher")
+    assert "Generate" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_countmin_sketch_broadcasts_cells(spark, sf_dir):
+    """The count-min probe joins against the 1024-cell sketch — that
+    side must broadcast; word counting is one partial-agg shuffle."""
+    plan = _plan(spark, sf_dir, "x_sketch_countmin")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_bits_broadcast_no_probe_shuffle_join(spark, sf_dir):
+    """x_bloom_prune ships the (j, cell) bit-set to executors as a
+    broadcast — the probe side must not be shuffled for the bit join
+    (SortMergeJoin on (j, cell) would mean shuffling every probe
+    row)."""
+    plan = _plan(spark, sf_dir, "x_bloom_prune")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
