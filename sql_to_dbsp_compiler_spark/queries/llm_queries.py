@@ -1093,3 +1093,88 @@ def x_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "x_passage_dedup",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_WORDS} AS ws FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i,
+               CAST('0x' || substring(md5(array_to_string(ws[i:i+7], ' ')),
+                                      1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+              FROM base WHERE len(ws) >= 8)
+    ),
+    dup AS (
+        SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+        SELECT doc_id, COUNT(DISTINCT p) AS covered
+        FROM (
+            SELECT g.doc_id, unnest(range(g.i, g.i + 8)) AS p
+            FROM grams g JOIN dup USING (h)
+        )
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.ws) AS BIGINT) AS n_words,
+           CAST(COALESCE(c.covered, 0) AS BIGINT) AS dup_covered,
+           CAST(COALESCE(c.covered, 0) AS DOUBLE) / len(b.ws)
+               AS dup_coverage_frac
+    FROM base b LEFT JOIN cov c USING (doc_id)
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def x_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection (the substring-dedup
+    idea of Lee et al. 2022 'Deduplicating Training Data Makes
+    Language Models Better', approximated at shingle granularity):
+    an 8-word shingle occurring in >= 2 distinct documents marks a
+    shared passage; each document reports how many of its token
+    positions are covered by such shared shingles. Pipelines drop or
+    trim documents with high `dup_coverage_frac` (boilerplate,
+    licenses, templated spam).
+
+    Scale shape: shingles are hashed to 60-bit md5 ints (identical in
+    the oracle, so hash collisions agree) BEFORE the global
+    duplicate-finding shuffle — the wide gram strings never leave the
+    map side. One groupBy on the hash, one linear equi-join back, one
+    per-document distinct-position count. No pairwise document
+    comparison anywhere, so work is linear in corpus size — this is
+    the passage-level complement to the document-level MinHash
+    cascade."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import md5_hash60
+    from sql_to_dbsp_compiler_spark.llm.text import word_ngrams, words
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", words(F.col("text")).alias("ws"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("ws"), 8)).alias("i", "g"),
+    ).select("doc_id", "i", md5_hash60(F.col("g")).alias("h"))
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct(F.col("doc_id")).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    cov = (
+        grams.join(dup, "h")
+        .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 7)).alias("p"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("p")).alias("covered"))
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ws").cast("bigint").alias("n_words"),
+            F.coalesce(F.col("covered"), F.lit(0)).cast("bigint").alias("dup_covered"),
+            (
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double") / F.size("ws")
+            ).alias("dup_coverage_frac"),
+        )
+    )
