@@ -439,7 +439,7 @@ def slt_random_statements(seed: int = 0, n: int = 150) -> list[str]:
 
     out: list[str] = []
     while len(out) < n:
-        kind = rng.randrange(6)
+        kind = rng.randrange(7)
         if kind == 0:  # grouped aggregate (+ optional HAVING)
             k = rng.choice(keys)
             picked = rng.sample(aggs, rng.randint(1, 3))
@@ -517,12 +517,27 @@ def slt_random_statements(seed: int = 0, n: int = 150) -> list[str]:
                     "SELECT k FROM u WHERE k > 1000",
                 ])
                 out.append(f"SELECT id, a FROM t WHERE a NOT IN ({sub})")
-        else:  # ordered limit with a total order + expressions
+        elif kind == 5:  # ordered limit with a total order + expressions
             e1 = rng.choice(xs)
             out.append(
                 f"SELECT id, ({e1}) AS e FROM t WHERE {rf()} "
                 f"ORDER BY coalesce({e1}, -999999) {rng.choice(['ASC', 'DESC'])}, id "
                 f"LIMIT {rng.randint(3, 9)}"
             )
+        else:  # CTE: filtered-aggregate, re-aggregated, or joined WITH
+            k = rng.choice(keys)
+            flt = rf()
+            inner = (
+                f"SELECT {k} AS g, count(*) AS n, sum(coalesce(a, 0)) AS sa "
+                f"FROM t WHERE {flt} GROUP BY {k}"
+            )
+            out.append(rng.choice([
+                f"WITH c AS ({inner}) SELECT g, n, sa FROM c "
+                f"WHERE n >= {rng.randint(1, 3)}",
+                f"WITH c AS ({inner}) SELECT sum(n) AS tn, sum(sa) AS tsa, "
+                f"count(*) AS ng FROM c",
+                f"WITH c AS (SELECT id, a FROM t WHERE {flt}) "
+                f"SELECT c.id, c.a, u.v FROM c JOIN u ON c.id = u.k",
+            ]))
     # dedupe while preserving order (random composition repeats)
     return list(dict.fromkeys(out))[:n]

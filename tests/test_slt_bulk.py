@@ -263,8 +263,8 @@ def test_slt_random_statement_bulk(spark):
 
     con = duckdb.connect()
     make_fixture(spark, con)
-    stmts = slt_random_statements(seed=23, n=150)
-    assert len(stmts) >= 100
+    stmts = slt_random_statements(seed=23, n=250)
+    assert len(stmts) >= 170
     mism = run_statements(spark, con, stmts)
     msg = "\n".join(f"  {m.sql}: {m.detail}" for m in mism[:10])
     assert not mism, f"{len(mism)} random-statement divergences:\n{msg}"
