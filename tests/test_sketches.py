@@ -24,3 +24,26 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
         ap = approx[flag]
         assert abs(ap.approx_parts - ex.parts) / ex.parts < 0.1
         assert abs(ap.approx_median_price - ex.median_price) / ex.median_price < 0.05
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """The count-min guarantee: est >= true count for every probe
+    (one-sided error), and the estimate is a deterministic function
+    of the multiset (two runs agree exactly)."""
+    rows1 = {r.word: r for r in REGISTRY["x_sketch_countmin"].fn(spark, sf_dir).collect()}
+    rows2 = {r.word: r for r in REGISTRY["x_sketch_countmin"].fn(spark, sf_dir).collect()}
+    assert rows1.keys() == rows2.keys() and len(rows1) == 8
+    for w, r in rows1.items():
+        assert r.cm_est >= r.true_count, f"{w}: CM underestimated"
+        assert rows2[w].cm_est == r.cm_est, f"{w}: nondeterministic sketch"
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """The Bloom guarantee: every true member passes the filter
+    (false positives allowed, false negatives never)."""
+    rows = REGISTRY["x_bloom_prune"].fn(spark, sf_dir).collect()
+    assert rows, "empty bloom output"
+    fn = [r.c_custkey for r in rows if r.is_member and not r.bloom_pass]
+    assert not fn, f"Bloom false negatives: {fn[:5]}"
+    # sanity: the filter actually prunes something (not all-pass)
+    assert any(not r.bloom_pass for r in rows)
