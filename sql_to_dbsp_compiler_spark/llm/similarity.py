@@ -425,6 +425,49 @@ def ivf_query_store(
     ).withColumn("rn", F.col("rn").cast("bigint"))
 
 
+def semdedup_drops(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then comparing pairs ONLY
+    within a cluster. A vector is dropped when a lower-id clustermate
+    has cosine similarity above ``tau``; the lowest such id is the
+    witness, making the drop set deterministic and order-independent.
+
+    Scale shape: assignment is a broadcast argmax over the (tiny)
+    centroid table; the pair stage is an equi-join on ``centroid_id``
+    — ONE shuffle, with work quadratic only within a cluster. At
+    100 TB the cluster count scales with the corpus (nlist ≈
+    n/target_size, the standard SemDeDup setting) so clusters stay
+    bounded; ``max_cluster`` guards the quadratic corner the same way
+    ``max_bucket`` guards the LSH paths (oracles must mirror the cap).
+    """
+    a = ivf_assign_to(corpus, centroids, id_col, vec_col)
+    if max_cluster is not None:
+        sizes = a.groupBy("centroid_id").agg(F.count("*").alias("__csz"))
+        a = a.join(sizes, "centroid_id").where(F.col("__csz") <= max_cluster).drop("__csz")
+    left = a.select(
+        "centroid_id", F.col(id_col).alias("witness_id"), F.col("vec").alias("__va")
+    )
+    right = a.select(
+        "centroid_id", F.col(id_col).alias(id_col), F.col("vec").alias("__vb")
+    )
+    pairs = (
+        left.join(right, "centroid_id")
+        .where(F.col("witness_id") < F.col(id_col))
+        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .where(F.col("cos") > tau)
+    )
+    return topk_per_group(
+        pairs, [id_col], [F.col("witness_id").asc()], 1
+    ).select(id_col, "centroid_id", "witness_id", "cos")
+
+
 def l2(a: Column, b: Column) -> Column:
     """Euclidean distance as a sequential fold (sum of squares left to
     right, then sqrt) — the same operation order as DuckDB's

@@ -1178,3 +1178,71 @@ def x_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_coverage_frac"),
         )
     )
+
+
+_SEMDEDUP_CENTROID_PATH = "/root/repo/.artifacts/semdedup_centroids.parquet"
+
+
+@query(
+    "x_semdedup",
+    oracle=f"""
+    WITH cent AS (
+        SELECT centroid_id, CAST(cvec AS DOUBLE[]) AS cvec
+        FROM read_parquet('{_SEMDEDUP_CENTROID_PATH}/*.parquet')
+    ),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT c.vec_id, c.v, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, ct.cvec) DESC,
+                                ct.centroid_id) AS r
+            FROM corpus c CROSS JOIN cent ct
+        ) WHERE r = 1
+    ),
+    -- mirror the engine's max_cluster cap (vacuous at this SF, but the
+    -- oracle must model the guard — ADVICE r2)
+    capped AS (
+        SELECT * FROM (
+            SELECT a.*, COUNT(*) OVER (PARTITION BY centroid_id) AS csz
+            FROM assigned a
+        ) WHERE csz <= 100000
+    ),
+    pairs AS (
+        SELECT b.vec_id, a.centroid_id, a.vec_id AS witness_id,
+               list_cosine_similarity(a.v, b.v) AS cos
+        FROM capped a JOIN capped b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) > 0.35
+    )
+    SELECT vec_id, centroid_id, witness_id, cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY witness_id) AS rn
+        FROM pairs
+    ) WHERE rn = 1
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup removal via
+    k-means clustering + within-cluster cosine. Pairs are compared
+    ONLY inside a cluster, so the quadratic blowup of all-pairs cosine
+    (`embedding_neardup`) is bounded by the cluster size; nlist scales
+    with the corpus so the shape holds at 100 TB.
+
+    Oracle-gated despite trained centroids, via the persisted-parquet
+    trick (`ann_ivf_kmeans_topk`): both engines recompute assignment
+    (cosine-argmax, centroid_id tie-break), the within-cluster pair
+    scan, and the lowest-witness drop rule from the persisted float64
+    centroids. Cosine folds are sequential on both engines, hence
+    bit-identical."""
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        ivf_train_kmeans,
+        semdedup_drops,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids, _ = ivf_train_kmeans(e, nlist=16)
+    centroids.write.mode("overwrite").parquet(_SEMDEDUP_CENTROID_PATH)
+    cent = spark.read.parquet(_SEMDEDUP_CENTROID_PATH)
+    return semdedup_drops(e, cent, tau=0.35)
