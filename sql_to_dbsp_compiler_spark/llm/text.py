@@ -154,3 +154,53 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         langid_best(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_threshold: float = -3.41,
+) -> DataFrame:
+    """CCNet-style language-model filtering (Wenzek et al. 2019) with a
+    corpus-trained UNIGRAM model standing in for KenLM: train word
+    log-probabilities from the corpus itself (one groupBy), score each
+    document by its mean token log-probability, and flag the tail
+    below ``keep_threshold`` for dropping.
+
+    Deterministic and oracle-exact: the per-document sum folds the
+    token log-probs IN POSITION ORDER (array_sort on (pos, lp) structs
+    then a sequential F.aggregate), the same left-to-right order as
+    DuckDB's ``list_reduce(list(lp ORDER BY pos))`` — bit-identical
+    doubles despite float addition being non-associative.
+
+    Scale shape: tokenize once (posexplode), one shuffle to count the
+    vocab, one shuffle-join token→vocab (the vocab is NOT broadcast —
+    at 100 TB it is large), one groupBy doc. The per-doc collect_list
+    is bounded by document length, never by corpus size.
+    """
+    tok = df.select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "word")
+    )
+    vocab = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    lp = (
+        tok.join(vocab, "word")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("lp", F.log(F.col("cnt").cast("double") / F.col("total")))
+    )
+    doc = lp.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("pos", "lp"))).alias("__arr"),
+    )
+    sum_lp = F.aggregate(
+        F.transform(F.col("__arr"), lambda s: s["lp"]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return doc.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (sum_lp / F.col("n_tokens")).alias("avg_lp"),
+        (sum_lp / F.col("n_tokens") >= F.lit(keep_threshold)).alias("kept"),
+    )

@@ -543,3 +543,40 @@ def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("kept_text"),
     )
+
+
+@query(
+    "x_unigram_logprob",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS words
+               FROM documents),
+    tk AS (SELECT doc_id,
+                  unnest([struct_pack(pos := i, word := words[i])
+                          FOR i IN range(1, len(words)+1)]) AS t
+           FROM w),
+    tok AS (SELECT doc_id, t.pos AS pos, t.word AS word FROM tk),
+    vocab AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    lp AS (SELECT t.doc_id, t.pos, ln(CAST(v.cnt AS DOUBLE) / tot.total) AS lp
+           FROM tok t JOIN vocab v USING (word) CROSS JOIN tot),
+    doc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                   list_reduce(list(lp ORDER BY pos), (a,b) -> a+b) AS sum_lp
+            FROM lp GROUP BY doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           sum_lp / n_tokens AS avg_lp,
+           sum_lp / n_tokens >= -3.41 AS kept
+    FROM doc
+    """,
+    tags=("llm", "quality"),
+)
+def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al. 2019) with a
+    corpus-trained unigram LM in place of KenLM (no external model in
+    the sandbox; the pipeline shape — train on corpus, score per doc,
+    threshold the tail — is the real one). Bit-exact across engines
+    because the log-prob fold is position-ordered on both sides."""
+    from sql_to_dbsp_compiler_spark.llm.text import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(d)
