@@ -71,6 +71,9 @@ class ViewDef:
     name: str
     sql: str
     columns: tuple[str, ...] | None = None
+    # CREATE RECURSIVE VIEW: the body is base ∪ recursive terms over
+    # the view's own name; evaluated to fixpoint (set semantics).
+    recursive: bool = False
 
 
 @dataclass(frozen=True)
@@ -107,6 +110,7 @@ class SqlProgram:
                         _ident(m.group("name")),
                         translate_view_sql(m.group("body").strip()),
                         tuple(_ident(c) for c in cols.split(",")) if cols else None,
+                        recursive=bool(m.group("rec")),
                     )
                 )
                 continue
@@ -123,7 +127,8 @@ _CREATE_TABLE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_VIEW_RE = re.compile(
-    r"^\s*CREATE\s+(?:MATERIALIZED\s+|LOCAL\s+)?VIEW\s+(?P<name>\"[^\"]+\"|\w+)\s*"
+    r"^\s*CREATE\s+(?:MATERIALIZED\s+|LOCAL\s+)?(?P<rec>RECURSIVE\s+)?VIEW\s+"
+    r"(?P<name>\"[^\"]+\"|\w+)\s*"
     r"(?:\(\s*(?P<cols>[\w\s,\"]+?)\s*\))?\s*AS\s+(?P<body>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -472,6 +477,71 @@ def bind_sources(
     return bound
 
 
+def _eval_recursive_view(spark: SparkSession, view: ViewDef, max_iters: int = 200) -> DataFrame:
+    """Evaluate a CREATE RECURSIVE VIEW body to fixpoint.
+
+    The body is split on top-level UNION into base terms (no
+    self-reference) and recursive terms. Iteration is SEMI-NAIVE when
+    every recursive term references the view exactly once (the linear
+    case — the view name is bound to the last round's *delta*, the
+    standard Datalog evaluation); non-linear terms fall back to
+    binding the full accumulated set each round. Set (UNION DISTINCT)
+    semantics guarantee termination on finite domains — each round's
+    additions are subtracted against everything seen, so the total
+    grows strictly or the loop stops. UNION ALL recursion (bags) can
+    diverge on cyclic data and is rejected.
+
+    This goes beyond the reference compiler (no recursive queries in
+    doc/sql/) but squarely inside the DBSP theory it implements —
+    Budiu et al. (VLDB'23) §6 builds recursive circuits from exactly
+    this fixpoint-of-distinct construction. Spark notes: every round
+    materializes via eager localCheckpoint, so lineage stays flat no
+    matter the iteration count; each round is one distributed
+    union+distinct+subtract — driver code never touches row data.
+    """
+    parts, seps = _split_union(view.sql)
+    if len(parts) == 1:
+        raise ValueError(f"recursive view {view.name}: body has no UNION (base ∪ recursive)")
+    if any(s == "all" for s in seps):
+        raise ValueError(
+            f"recursive view {view.name}: UNION ALL recursion does not terminate on "
+            "cyclic data; use UNION (set semantics)"
+        )
+    name_re = re.compile(rf"\b{re.escape(view.name)}\b", re.IGNORECASE)
+    base_parts = [p for p in parts if not name_re.search(_strip_string_literals(p))]
+    rec_parts = [p for p in parts if name_re.search(_strip_string_literals(p))]
+    if not base_parts or not rec_parts:
+        raise ValueError(
+            f"recursive view {view.name}: need at least one base term and one "
+            "self-referencing term"
+        )
+    linear = all(len(name_re.findall(_strip_string_literals(p))) == 1 for p in rec_parts)
+
+    total = spark.sql(base_parts[0])
+    cols = total.columns
+    for p in base_parts[1:]:
+        total = total.unionByName(spark.sql(p).toDF(*cols))
+    total = total.distinct().localCheckpoint(eager=True)
+    delta = total
+    for _ in range(max_iters):
+        # linear: bind the view name to last round's delta (semi-naive);
+        # non-linear: bind the full set (naive fixpoint, still correct)
+        (delta if linear else total).createOrReplaceTempView(view.name)
+        new = None
+        for p in rec_parts:
+            pdf = spark.sql(p).toDF(*cols)
+            new = pdf if new is None else new.unionByName(pdf)
+        new = new.distinct().subtract(total).localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        total = total.unionByName(new).localCheckpoint(eager=True)
+        delta = new
+    else:
+        raise RuntimeError(f"recursive view {view.name}: no fixpoint after {max_iters} rounds")
+    total.createOrReplaceTempView(view.name)
+    return total
+
+
 def compile_batch(
     spark: SparkSession,
     program: SqlProgram | str,
@@ -490,7 +560,12 @@ def compile_batch(
         df.createOrReplaceTempView(name)
     out: dict[str, DataFrame] = {}
     for view in program.views:
-        df = spark.sql(view.sql)
+        if view.recursive:
+            # fixpoint views materialize eagerly (checkpointed rounds);
+            # downstream views compose over the materialized result
+            df = _eval_recursive_view(spark, view)
+        else:
+            df = spark.sql(view.sql)
         if view.columns is not None:
             df = df.toDF(*view.columns)
         df.createOrReplaceTempView(view.name)
@@ -554,6 +629,12 @@ def compile_streaming(
         df.createOrReplaceTempView(name)
     out: dict[str, DataFrame] = {}
     for view in program.views:
+        if view.recursive:
+            raise ValueError(
+                f"recursive view {view.name}: fixpoint iteration is not expressible "
+                "as a single continuous streaming plan; use IncrementalProgram "
+                "(recomputes the fixpoint per delta step) or compile_batch"
+            )
         df = spark.sql(view.sql)
         if view.columns is not None:
             df = df.toDF(*view.columns)
@@ -3975,7 +4056,7 @@ class IncrementalProgram:
         self._exec_views: list[ViewDef] = []
         taken = set(self.program.tables) | {v.name for v in self.program.views}
         for view in self.program.views:
-            parts = _split_ctes(view.sql)
+            parts = _split_ctes(view.sql) if not view.recursive else None
             if parts:
                 ctes, outer = parts
                 cte_names = [n for n, _ in ctes]
@@ -3997,7 +4078,11 @@ class IncrementalProgram:
         known = set(self.program.tables)
         cols_of = {n: [c for c, _ in t.columns] for n, t in self.program.tables.items()}
         for view in self._exec_views:
-            op = _recognize_view(view, cols_of, known) if optimize else None
+            op = (
+                _recognize_view(view, cols_of, known)
+                if optimize and not view.recursive
+                else None
+            )
             if op is not None:
                 # Real-parser cross-check (DuckDB AST): a regex
                 # misparse — string literals hiding keywords, nested
@@ -4115,7 +4200,11 @@ class IncrementalProgram:
                 return f"{op.kindword}-aggregate{suffix}"
             return "naive"
 
-        return {name: kind(op) for name, op in self._ops.items()}
+        rec = {v.name for v in self._exec_views if v.recursive}
+        return {
+            name: ("recursive-fixpoint" if name in rec else kind(op))
+            for name, op in self._ops.items()
+        }
 
     def _empty_delta(self, name: str) -> ZSet:
         return ZSet.from_df(_empty_table(self.spark, self.program.tables[name]))
@@ -4418,7 +4507,12 @@ class IncrementalProgram:
                     total = dz if total is None else total.add(dz)
                 d = total.consolidate()
             else:  # naive D∘Q∘I: recompute snapshot, diff vs previous
-                snap_df = self.spark.sql(view.sql)
+                if view.recursive:
+                    # recompute the fixpoint on the integrated snapshot
+                    # (DBSP's nested recursive circuit, evaluated naively)
+                    snap_df = _eval_recursive_view(self.spark, view)
+                else:
+                    snap_df = self.spark.sql(view.sql)
                 if view.columns is not None:
                     snap_df = snap_df.toDF(*view.columns)
                 # checkpoint BEFORE diffing so the diff and the stored

@@ -452,3 +452,57 @@ def x_program_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         inc.step({"orders": d})
     return inc.snapshot("v_cte").to_multiset_df()
+
+
+_RECURSIVE_PROGRAM = """
+CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR,
+                       source VARCHAR, n_chars BIGINT);
+CREATE VIEW edges AS
+    SELECT DISTINCT doc_id % 11 AS src, (doc_id * 7 + 3) % 11 AS dst
+    FROM documents WHERE doc_id < 200;
+CREATE RECURSIVE VIEW reach AS
+SELECT src, dst FROM edges WHERE src < 3
+UNION
+SELECT r.src, e.dst FROM reach r, edges e WHERE r.dst = e.src;
+"""
+
+
+@query(
+    "x_program_recursive",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT doc_id % 11 AS src, (doc_id * 7 + 3) % 11 AS dst
+        FROM documents WHERE doc_id < 200),
+    reach AS (
+        SELECT src, dst FROM edges WHERE src < 3
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src, dst FROM reach
+    """,
+    tags=("compiler", "incremental", "recursive"),
+)
+def x_program_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE RECURSIVE VIEW maintained across snapshot deltas:
+    transitive reachability over a cyclic functional graph derived
+    from documents, evaluated by semi-naive fixpoint (delta-bound
+    self-reference, eager-checkpointed rounds) and recomputed per
+    IncrementalProgram step with delta outputs. Beyond the reference
+    SQL surface, inside its DBSP theory (recursive circuits, Budiu et
+    al. VLDB'23 §6). DuckDB's WITH RECURSIVE ... UNION is the oracle."""
+    from pyspark.sql import functions as F
+
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+    from sql_to_dbsp_compiler_spark.plans.zset import differentiate
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+    inc = IncrementalProgram(spark, _RECURSIVE_PROGRAM, optimize=True)
+    assert inc.plan()["reach"] == "recursive-fixpoint", inc.plan()
+    d = load_table(spark, sf_dir, "documents")
+    snapshots = [
+        d.where(F.col("doc_id") % 3 == 0),
+        d.where(F.col("doc_id") % 3 != 2),
+        d,
+    ]
+    for z in differentiate(snapshots):
+        inc.step({"documents": z})
+    return inc.snapshot("reach").to_multiset_df()
