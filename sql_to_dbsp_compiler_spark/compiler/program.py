@@ -499,6 +499,20 @@ def _eval_recursive_view(spark: SparkSession, view: ViewDef, max_iters: int = 20
     matter the iteration count; each round is one distributed
     union+distinct+subtract — driver code never touches row data.
     """
+    base_parts, rec_parts, linear = _split_recursive_body(view)
+    total = spark.sql(base_parts[0])
+    cols = total.columns
+    for p in base_parts[1:]:
+        total = total.unionByName(spark.sql(p).toDF(*cols))
+    total = total.distinct().localCheckpoint(eager=True)
+    total = _recursive_fixpoint(spark, view, cols, total, total, rec_parts, linear, max_iters)
+    total.createOrReplaceTempView(view.name)
+    return total
+
+
+def _split_recursive_body(view: ViewDef) -> tuple[list[str], list[str], bool]:
+    """Split a recursive view body into (base_parts, rec_parts,
+    linear). Raises on shapes the fixpoint cannot evaluate safely."""
     parts, seps = _split_union(view.sql)
     if len(parts) == 1:
         raise ValueError(f"recursive view {view.name}: body has no UNION (base ∪ recursive)")
@@ -516,16 +530,23 @@ def _eval_recursive_view(spark: SparkSession, view: ViewDef, max_iters: int = 20
             "self-referencing term"
         )
     linear = all(len(name_re.findall(_strip_string_literals(p))) == 1 for p in rec_parts)
+    return base_parts, rec_parts, linear
 
-    total = spark.sql(base_parts[0])
-    cols = total.columns
-    for p in base_parts[1:]:
-        total = total.unionByName(spark.sql(p).toDF(*cols))
-    total = total.distinct().localCheckpoint(eager=True)
-    delta = total
+
+def _recursive_fixpoint(
+    spark: SparkSession,
+    view: ViewDef,
+    cols: list[str],
+    total: DataFrame,
+    delta: DataFrame,
+    rec_parts: list[str],
+    linear: bool,
+    max_iters: int,
+) -> DataFrame:
+    """Iterate the recursive terms to fixpoint from (total, delta).
+    linear: bind the view name to last round's delta (semi-naive);
+    non-linear: bind the full set each round (naive, still correct)."""
     for _ in range(max_iters):
-        # linear: bind the view name to last round's delta (semi-naive);
-        # non-linear: bind the full set (naive fixpoint, still correct)
         (delta if linear else total).createOrReplaceTempView(view.name)
         new = None
         for p in rec_parts:
@@ -538,7 +559,6 @@ def _eval_recursive_view(spark: SparkSession, view: ViewDef, max_iters: int = 20
         delta = new
     else:
         raise RuntimeError(f"recursive view {view.name}: no fixpoint after {max_iters} rounds")
-    total.createOrReplaceTempView(view.name)
     return total
 
 
@@ -4043,6 +4063,8 @@ class IncrementalProgram:
         self._view_state: dict[str, ZSet] = {}
         self._steps = 0
         self._checkpoint_every = checkpoint_every
+        # observability: # of steps where a recursive view warm-started
+        self.recursive_warm_steps = 0
 
         # CTE decomposition (the reference's Calcite planner erases
         # WITH into ordinary sub-plans): register each CTE as a
@@ -4508,9 +4530,13 @@ class IncrementalProgram:
                 d = total.consolidate()
             else:  # naive D∘Q∘I: recompute snapshot, diff vs previous
                 if view.recursive:
-                    # recompute the fixpoint on the integrated snapshot
-                    # (DBSP's nested recursive circuit, evaluated naively)
-                    snap_df = _eval_recursive_view(self.spark, view)
+                    # insert-only deltas on a linear monotone recursion:
+                    # warm-start semi-naive from the previous fixpoint
+                    # (the DBSP delta rule for recursive circuits);
+                    # anything else recomputes the fixpoint from scratch
+                    snap_df = self._warm_recursive(view, in_deltas, out)
+                    if snap_df is None:
+                        snap_df = _eval_recursive_view(self.spark, view)
                 else:
                     snap_df = self.spark.sql(view.sql)
                 if view.columns is not None:
@@ -4550,3 +4576,92 @@ class IncrementalProgram:
         if view not in self._view_state:
             raise ValueError("no steps applied yet")
         return self._view_state[view]
+
+    def _warm_recursive(self, view: ViewDef, in_deltas: dict, out: dict):
+        """Warm-start evaluation of a recursive view for this step, or
+        None when the safe preconditions don't hold.
+
+        Preconditions: a previous fixpoint exists; the recursion is
+        LINEAR; every source this view reads (tables and upstream
+        views) changed by an insert-only delta this step; and each
+        recursive term references each changed source at most once.
+        Then the new fixpoint T' ⊇ T and semi-naive iteration can be
+        seeded with the delta rule for multilinear terms: re-evaluated
+        base terms minus T, plus each recursive term evaluated with
+        the view bound to T and ONE changed source bound to its delta
+        (other sources see their new full snapshots). Every first
+        derivation of a new fact uses ≥1 changed-source delta row, so
+        the seed is complete; distinct∘subtract keeps it sound."""
+        prev = self._view_state.get(view.name)
+        if prev is None:
+            return None
+        try:
+            base_parts, rec_parts, linear = _split_recursive_body(view)
+        except ValueError:
+            return None
+        if not linear:
+            return None
+
+        known = set(self.program.tables) | set(self._view_state) | set(out)
+        known.discard(view.name)
+
+        def refs(sql: str) -> list[str]:
+            masked = _strip_string_literals(sql)
+            return [s for s in known if re.search(rf"\b{re.escape(s)}\b", masked, re.IGNORECASE)]
+
+        sources = {s for p in base_parts + rec_parts for s in refs(p)}
+
+        def delta_of_source(s: str) -> "ZSet | None":
+            if s in self.program.tables:
+                return in_deltas.get(s)
+            return out.get(s)
+
+        changed: dict[str, "ZSet"] = {}
+        for s in sources:
+            dz = delta_of_source(s)
+            if dz is None:
+                continue
+            dzc = dz.consolidate()
+            if dzc.df.where(F.col(WEIGHT) < 0).limit(1).count() > 0:
+                return None  # retraction: the fixpoint may shrink
+            changed[s] = dzc
+        for p in rec_parts:
+            masked = _strip_string_literals(p)
+            for s in changed:
+                if len(re.findall(rf"\b{re.escape(s)}\b", masked, re.IGNORECASE)) > 1:
+                    return None  # non-linear in a changed source
+
+        spark = self.spark
+        T = prev.to_multiset_df().localCheckpoint(eager=False)
+        cols = T.columns
+
+        def snapshot_df(s: str) -> DataFrame:
+            if s in self.program.tables:
+                return self._state[s].to_multiset_df()
+            return self._view_state[s].to_multiset_df()
+
+        seeds: list[DataFrame] = []
+        T.createOrReplaceTempView(view.name)
+        for p in base_parts:
+            seeds.append(spark.sql(p).toDF(*cols))
+        for p in rec_parts:
+            for s in refs(p):
+                if s not in changed:
+                    continue
+                changed[s].to_multiset_df().createOrReplaceTempView(s)
+                try:
+                    seeds.append(spark.sql(p).toDF(*cols))
+                finally:
+                    snapshot_df(s).createOrReplaceTempView(s)
+        seed = seeds[0]
+        for sdf in seeds[1:]:
+            seed = seed.unionByName(sdf)
+        delta0 = seed.distinct().subtract(T).localCheckpoint(eager=True)
+        self.recursive_warm_steps += 1
+        if delta0.isEmpty():
+            T.createOrReplaceTempView(view.name)
+            return T
+        total = T.unionByName(delta0).localCheckpoint(eager=True)
+        total = _recursive_fixpoint(spark, view, cols, total, delta0, rec_parts, True, 200)
+        total.createOrReplaceTempView(view.name)
+        return total

@@ -123,3 +123,59 @@ def test_incremental_maintains_fixpoint_with_deletes(spark):
         (r.src, r.dst) for r in ip.snapshot("reach").to_multiset_df().collect()
     )
     assert snap == [(0, 1)]
+
+
+def test_warm_start_matches_cold_recompute(spark):
+    """Insert-only delta sequence: the warm-started fixpoint (DBSP
+    delta-rule seed from the previous total) must equal a from-scratch
+    IncrementalProgram fed the same data in one step — and the warm
+    path must actually have been taken."""
+    prog = """
+    CREATE TABLE edge(src INTEGER, dst INTEGER);
+    CREATE RECURSIVE VIEW reach AS
+    SELECT src, dst FROM edge WHERE src = 0
+    UNION
+    SELECT r.src, e.dst FROM reach r, edge e WHERE r.dst = e.src;
+    """
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+
+    batches = [
+        [(0, 1), (1, 2)],
+        [(2, 3), (3, 4)],
+        [(4, 1)],          # closes a cycle
+        [(0, 9), (9, 2)],  # second root path into the cycle
+    ]
+    inc = IncrementalProgram(spark, prog, optimize=True)
+    for b in batches:
+        inc.step({"edge": ZSet.from_df(spark.createDataFrame(b, "src int, dst int"))})
+    # first step has no previous fixpoint; the other three warm-start
+    assert inc.recursive_warm_steps == len(batches) - 1
+
+    cold = IncrementalProgram(spark, prog, optimize=True)
+    allrows = [r for b in batches for r in b]
+    cold.step({"edge": ZSet.from_df(spark.createDataFrame(allrows, "src int, dst int"))})
+    warm_rows = sorted(
+        (r.src, r.dst) for r in inc.snapshot("reach").to_multiset_df().collect()
+    )
+    cold_rows = sorted(
+        (r.src, r.dst) for r in cold.snapshot("reach").to_multiset_df().collect()
+    )
+    assert warm_rows == cold_rows and len(warm_rows) > 0
+
+
+def test_nonlinear_recursion_never_warm_starts(spark):
+    prog = """
+    CREATE TABLE edge(src INTEGER, dst INTEGER);
+    CREATE RECURSIVE VIEW tc AS
+    SELECT src, dst FROM edge
+    UNION
+    SELECT a.src, b.dst FROM tc a, tc b WHERE a.dst = b.src;
+    """
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+
+    inc = IncrementalProgram(spark, prog, optimize=True)
+    inc.step({"edge": ZSet.from_df(spark.createDataFrame([(1, 2)], "src int, dst int"))})
+    inc.step({"edge": ZSet.from_df(spark.createDataFrame([(2, 3)], "src int, dst int"))})
+    assert inc.recursive_warm_steps == 0
+    rows = sorted((r.src, r.dst) for r in inc.snapshot("tc").to_multiset_df().collect())
+    assert rows == [(1, 2), (1, 3), (2, 3)]
