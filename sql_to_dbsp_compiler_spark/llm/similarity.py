@@ -447,7 +447,11 @@ def semdedup_drops(
     bounded; ``max_cluster`` guards the quadratic corner the same way
     ``max_bucket`` guards the LSH paths (oracles must mirror the cap).
     """
-    a = ivf_assign_to(corpus, centroids, id_col, vec_col)
+    # Materialize the assignment ONCE (lazy checkpoint): it feeds the
+    # size guard and both sides of the pair join, and Spark does not
+    # reuse the argmax subtree across consumers (no ReusedExchange) —
+    # without this the most expensive stage runs 3x.
+    a = ivf_assign_to(corpus, centroids, id_col, vec_col).localCheckpoint(eager=False)
     if max_cluster is not None:
         sizes = a.groupBy("centroid_id").agg(F.count("*").alias("__csz"))
         a = a.join(sizes, "centroid_id").where(F.col("__csz") <= max_cluster).drop("__csz")

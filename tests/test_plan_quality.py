@@ -209,3 +209,29 @@ def test_bloom_bits_broadcast_no_probe_shuffle_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x_bloom_prune")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_assignment_materialized_once(spark, sf_dir):
+    """x_semdedup: centroid assignment must be computed once (lazy
+    checkpoint → the pair join and the size guard scan the same RDD)
+    and the pair stage must be an equi-join on centroid_id, never a
+    cartesian over the corpus."""
+    plan = _plan(spark, sf_dir, "x_semdedup")
+    assert "CartesianProduct" not in plan
+    # the argmax subtree (broadcast centroid cross + WindowGroupLimit)
+    # would repeat per consumer without the checkpoint
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # formatted explain mentions each node twice (tree + details):
+    # partial+final WindowGroupLimit of the drop-rule topk = 4; the
+    # assignment argmax's own pair would push this to 8
+    assert plan.count("WindowGroupLimit") <= 4
+
+
+def test_unigram_logprob_stays_jvm_side(spark, sf_dir):
+    """x_unigram_logprob: tokenization is a Generate (posexplode), the
+    corpus total is a 1-row broadcast, and the per-doc fold is a
+    column expression — no Python UDFs anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "x_unigram_logprob")
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
