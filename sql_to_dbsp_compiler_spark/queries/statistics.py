@@ -414,3 +414,31 @@ def x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__m").isNotNull().alias("is_member"),
         )
     )
+
+
+@query(
+    "x_agg_boolean_set",
+    oracle="""
+    SELECT o_orderpriority AS pri,
+           bool_and(o_totalprice > 5000) AS all_big,
+           bool_or(o_orderstatus = 'F') AS any_f,
+           COUNT(*) AS n,
+           list_sort(list_distinct(list(o_orderstatus))) AS statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("aggregate", "boolean"),
+)
+def x_agg_boolean_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's remaining aggregate family: EVERY/SOME/ANY
+    (RustSqlRuntimeLibrary.java:66-68 — boolean aggregates) as Spark
+    bool_and/bool_or, and SET_AGG (:70) as sorted collect_set (the
+    sort pins engine-independent array order). Map-side partial
+    aggregation applies to all four — booleans fold to one byte per
+    group, the set is bounded by the status domain."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.bool_and(F.col("o_totalprice") > 5000).alias("all_big"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
+        F.count("*").alias("n"),
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+    )
