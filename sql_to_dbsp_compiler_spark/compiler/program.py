@@ -579,13 +579,34 @@ def compile_batch(
     for name, df in bound.items():
         df.createOrReplaceTempView(name)
     out: dict[str, DataFrame] = {}
+    taken = set(program.tables) | {v.name for v in program.views}
     for view in program.views:
         if view.recursive:
             # fixpoint views materialize eagerly (checkpointed rounds);
             # downstream views compose over the materialized result
             df = _eval_recursive_view(spark, view)
         else:
-            df = spark.sql(view.sql)
+            try:
+                df = spark.sql(view.sql)
+            except Exception as ex:  # noqa: BLE001
+                # Spark ≥4.0 runs WITH RECURSIVE ... UNION ALL natively
+                # but rejects the UNION (set) form — exactly the form
+                # that terminates on cyclic data. Expand the CTEs and
+                # fixpoint the recursive ones ourselves.
+                if "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE" not in str(ex):
+                    raise
+                parts = _split_ctes(view.sql)
+                if not parts or (
+                    {n for n, _, _ in parts[0]} & taken
+                ):  # malformed or name shadowing: keep the original error
+                    raise
+                ctes, outer = parts
+                for n, body, is_rec in ctes:
+                    if is_rec:
+                        _eval_recursive_view(spark, ViewDef(n, body, recursive=True))
+                    else:
+                        spark.sql(body).createOrReplaceTempView(n)
+                df = spark.sql(outer)
         if view.columns is not None:
             df = df.toDF(*view.columns)
         df.createOrReplaceTempView(view.name)
@@ -3979,16 +4000,20 @@ def _split_ctes(sql: str):
     to incremental circuits instead of falling back to whole-view
     naive recompute.
 
-    Returns None — caller keeps the view intact (naive ``spark.sql``
-    evaluates WITH natively) — for WITH RECURSIVE, a malformed
-    clause, or an outer statement that is not a plain SELECT. Scans
-    quote-aware: parens inside string literals don't count."""
+    WITH RECURSIVE is accepted: each CTE whose body references its own
+    name is flagged via the third tuple element (name, body, is_rec)
+    — callers route those to the fixpoint evaluator. Returns None —
+    caller keeps the view intact (naive ``spark.sql`` evaluates WITH
+    natively) — for a malformed clause or an outer statement that is
+    not a plain SELECT. Scans quote-aware: parens inside string
+    literals don't count."""
     m = _WITH_HEAD_RE.match(sql)
     if not m:
         return None
     rest = sql[m.end():]
-    if re.match(r"RECURSIVE\b", rest, re.IGNORECASE):
-        return None
+    mr = re.match(r"RECURSIVE\b\s*", rest, re.IGNORECASE)
+    if mr:
+        rest = rest[mr.end():]
     ctes: list[tuple[str, str]] = []
     while True:
         mm = re.match(r'\s*("[^"]+"|\w+)\s+AS\s*\(', rest, re.IGNORECASE)
@@ -4024,7 +4049,15 @@ def _split_ctes(sql: str):
     outer = rest.strip()
     if not re.match(r"SELECT\b", outer, re.IGNORECASE):
         return None
-    return ctes, outer
+    flagged = [
+        (
+            n,
+            body,
+            bool(re.search(rf"\b{re.escape(n)}\b", _strip_string_literals(body), re.IGNORECASE)),
+        )
+        for n, body in ctes
+    ]
+    return flagged, outer
 
 
 class IncrementalProgram:
@@ -4081,12 +4114,28 @@ class IncrementalProgram:
             parts = _split_ctes(view.sql) if not view.recursive else None
             if parts:
                 ctes, outer = parts
-                cte_names = [n for n, _ in ctes]
-                if len(set(cte_names)) == len(cte_names) and not (
-                    set(cte_names) & taken
+                cte_names = [n for n, _, _ in ctes]
+                # a recursive CTE expands to a hidden RECURSIVE view
+                # (fixpoint-evaluated) — but only when its body is a
+                # shape the fixpoint accepts (base ∪ rec, UNION set);
+                # otherwise keep the view intact: Spark ≥4.0 evaluates
+                # UNION ALL recursion natively on the naive path
+                def _expandable(n: str, body: str, is_rec: bool) -> bool:
+                    if not is_rec:
+                        return True
+                    try:
+                        _split_recursive_body(ViewDef(n, body, recursive=True))
+                        return True
+                    except ValueError:
+                        return False
+
+                if (
+                    len(set(cte_names)) == len(cte_names)
+                    and not (set(cte_names) & taken)
+                    and all(_expandable(n, b, r) for n, b, r in ctes)
                 ):
-                    for n, body in ctes:
-                        self._exec_views.append(ViewDef(n, body))
+                    for n, body, is_rec in ctes:
+                        self._exec_views.append(ViewDef(n, body, recursive=is_rec))
                         self._hidden.add(n)
                         taken.add(n)
                     view = ViewDef(view.name, outer, view.columns)

@@ -179,3 +179,64 @@ def test_nonlinear_recursion_never_warm_starts(spark):
     assert inc.recursive_warm_steps == 0
     rows = sorted((r.src, r.dst) for r in inc.snapshot("tc").to_multiset_df().collect())
     assert rows == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_with_recursive_cte_union_set_in_view(spark):
+    """WITH RECURSIVE ... UNION (set) inside an ordinary CREATE VIEW:
+    Spark 4.x rejects the set form natively
+    (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so compile_batch expands
+    the CTE and runs our fixpoint — terminating on the cycle."""
+    prog = """
+    CREATE TABLE edge(src INTEGER, dst INTEGER);
+    INSERT INTO edge VALUES (0,1),(1,2),(2,3),(3,1);
+    CREATE VIEW v AS
+    WITH RECURSIVE reach AS (
+        SELECT src, dst FROM edge WHERE src = 0
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edge e ON r.dst = e.src)
+    SELECT dst FROM reach;
+    """
+    out = compile_batch(spark, prog)
+    assert sorted(r.dst for r in out["v"].collect()) == [1, 2, 3]
+
+
+def test_with_recursive_cte_union_all_native(spark):
+    """UNION ALL recursion on acyclic data passes through to Spark's
+    native recursive CTE — both engines agree it's a bag fixpoint."""
+    prog = """
+    CREATE TABLE seed(x INTEGER);
+    INSERT INTO seed VALUES (1);
+    CREATE VIEW v AS
+    WITH RECURSIVE n AS (
+        SELECT x FROM seed
+        UNION ALL
+        SELECT x + 1 AS x FROM n WHERE x < 5)
+    SELECT x FROM n;
+    """
+    out = compile_batch(spark, prog)
+    assert sorted(r.x for r in out["v"].collect()) == [1, 2, 3, 4, 5]
+
+
+def test_incremental_with_recursive_cte(spark):
+    """The CTE decomposition marks a recursive CTE as a hidden
+    recursive view: IncrementalProgram maintains the outer view across
+    deltas and the plan shows the fixpoint kind for the hidden CTE."""
+    prog = """
+    CREATE TABLE edge(src INTEGER, dst INTEGER);
+    CREATE VIEW v AS
+    WITH RECURSIVE reach AS (
+        SELECT src, dst FROM edge WHERE src = 0
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edge e ON r.dst = e.src)
+    SELECT dst FROM reach;
+    """
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+
+    inc = IncrementalProgram(spark, prog, optimize=True)
+    assert inc.plan().get("reach") == "recursive-fixpoint", inc.plan()
+    inc.step({"edge": ZSet.from_df(spark.createDataFrame([(0, 1), (1, 2)], "src int, dst int"))})
+    d = inc.step({"edge": ZSet.from_df(spark.createDataFrame([(2, 0)], "src int, dst int"))})
+    assert sorted(r.dst for r in d["v"].df.collect()) == [0]
+    snap = sorted(r.dst for r in inc.snapshot("v").to_multiset_df().collect())
+    assert snap == [0, 1, 2]
+    assert "reach" not in inc.step({})  # hidden CTE is not an output
