@@ -299,6 +299,22 @@ def slt_statements(seed: int = 0) -> list[str]:
         "count(*) AS n FROM t WHERE ts IS NOT NULL "
         "GROUP BY date_trunc('month', ts)",
     ]
+    stmts += [
+        # WITH RECURSIVE ... UNION ALL on acyclic derivations: both
+        # engines evaluate this form natively (Spark ≥4.0 rejects the
+        # UNION set form, which routes through the repo's fixpoint
+        # evaluator instead — tests/test_recursive.py); through the
+        # program frontend these stay unexpanded on the naive path
+        "WITH RECURSIVE n AS (SELECT 1 AS x UNION ALL "
+        "SELECT x + 1 AS x FROM n WHERE x < 12) "
+        "SELECT x, x * x AS sq FROM n",
+        "WITH RECURSIVE s AS (SELECT min(k) AS x FROM u UNION ALL "
+        "SELECT x + 2 AS x FROM s WHERE x < 9) "
+        "SELECT x FROM s",
+        "WITH RECURSIVE f AS (SELECT 1 AS i, CAST(1 AS BIGINT) AS fact "
+        "UNION ALL SELECT i + 1 AS i, fact * (i + 1) AS fact FROM f "
+        "WHERE i < 10) SELECT i, fact FROM f",
+    ]
     return stmts
 
 

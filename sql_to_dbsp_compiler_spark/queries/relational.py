@@ -772,3 +772,34 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'key_mod', CAST(c_custkey % 7 AS DOUBLE)) AS (metric, val)"
         ),
     )
+
+
+@query(
+    "x_lateral_topn",
+    oracle="""
+    SELECT n.n_name, l.c_custkey, l.c_acctbal
+    FROM nation n JOIN LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3) l ON true
+    """,
+    tags=("join", "lateral", "topk"),
+)
+def x_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT (the reference
+    compiles Calcite Correlate nodes to nested circuits —
+    CalciteToDBSPCompiler.java:213 visitCorrelate). Spark SQL's JOIN
+    LATERAL is decorrelated by Catalyst into the same
+    window-rank-filter plan as an explicit per-group top-k — asserted
+    equivalent to `topk_per_group` semantics by the oracle."""
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_custkey, l.c_acctbal
+        FROM nation n JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3) l
+        """
+    )
