@@ -481,15 +481,18 @@ def _eval_recursive_view(spark: SparkSession, view: ViewDef, max_iters: int = 20
     """Evaluate a CREATE RECURSIVE VIEW body to fixpoint.
 
     The body is split on top-level UNION into base terms (no
-    self-reference) and recursive terms. Iteration is SEMI-NAIVE when
-    every recursive term references the view exactly once (the linear
-    case — the view name is bound to the last round's *delta*, the
-    standard Datalog evaluation); non-linear terms fall back to
-    binding the full accumulated set each round. Set (UNION DISTINCT)
-    semantics guarantee termination on finite domains — each round's
-    additions are subtracted against everything seen, so the total
-    grows strictly or the loop stops. UNION ALL recursion (bags) can
-    diverge on cyclic data and is rejected.
+    self-reference) and recursive terms. Iteration is SEMI-NAIVE: the
+    view name is bound to the last round's *delta* (the SQL standard's
+    working table, and Datalog's evaluation order), new rows are
+    de-duplicated against everything seen, and the loop stops when a
+    round adds nothing. Set (UNION DISTINCT) semantics guarantee
+    termination on finite domains. Rejected shapes (ValueError, like
+    mainstream engines): UNION ALL recursion (bags diverge on cyclic
+    data), more than one self-reference per term (working-table
+    semantics and fixpoint semantics disagree), and non-monotone /
+    non-SPJ recursive terms — aggregates, GROUP BY, window functions,
+    EXCEPT/INTERSECT, NOT IN/NOT EXISTS, outer joins, LIMIT — whose
+    delta-bound meaning is undefined.
 
     This goes beyond the reference compiler (no recursive queries in
     doc/sql/) but squarely inside the DBSP theory it implements —
@@ -498,21 +501,40 @@ def _eval_recursive_view(spark: SparkSession, view: ViewDef, max_iters: int = 20
     materializes via eager localCheckpoint, so lineage stays flat no
     matter the iteration count; each round is one distributed
     union+distinct+subtract — driver code never touches row data.
+    Each round advances derivations by one application of the
+    recursive terms, so depth-D recursion costs D rounds; for graph
+    closure at scale use the O(log n)-round star-contraction operator
+    (llm/dedup.py connected_components_star) instead.
     """
-    base_parts, rec_parts, linear = _split_recursive_body(view)
+    base_parts, rec_parts = _split_recursive_body(view)
     total = spark.sql(base_parts[0])
     cols = total.columns
     for p in base_parts[1:]:
         total = total.unionByName(spark.sql(p).toDF(*cols))
     total = total.distinct().localCheckpoint(eager=True)
-    total = _recursive_fixpoint(spark, view, cols, total, total, rec_parts, linear, max_iters)
+    total = _recursive_fixpoint(spark, view, cols, total, total, rec_parts, max_iters)
     total.createOrReplaceTempView(view.name)
     return total
 
 
-def _split_recursive_body(view: ViewDef) -> tuple[list[str], list[str], bool]:
-    """Split a recursive view body into (base_parts, rec_parts,
-    linear). Raises on shapes the fixpoint cannot evaluate safely."""
+# Constructs whose meaning under working-table (delta) binding is
+# undefined or non-monotone: mainstream engines reject them inside
+# recursive terms, and so do we. Conservative: matching anywhere in a
+# recursive term rejects it, even where a static-source NOT IN would
+# technically be safe for batch.
+_NON_SPJ_RE = re.compile(
+    r"\b(GROUP\s+BY|HAVING|EXCEPT|INTERSECT|NOT\s+IN|NOT\s+EXISTS|"
+    r"LEFT\s+(?:OUTER\s+)?JOIN|RIGHT\s+(?:OUTER\s+)?JOIN|FULL\s+(?:OUTER\s+)?JOIN|"
+    r"ANTI\s+JOIN|SEMI\s+JOIN|LIMIT|ORDER\s+BY)\b"
+    r"|\b(SUM|COUNT|AVG|MIN|MAX|STDDEV|VARIANCE|ARRAY_AGG|COLLECT_LIST|COLLECT_SET)\s*\("
+    r"|\bOVER\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _split_recursive_body(view: ViewDef) -> tuple[list[str], list[str]]:
+    """Split a recursive view body into (base_parts, rec_parts).
+    Raises ValueError on shapes the fixpoint cannot evaluate safely."""
     parts, seps = _split_union(view.sql)
     if len(parts) == 1:
         raise ValueError(f"recursive view {view.name}: body has no UNION (base ∪ recursive)")
@@ -529,8 +551,22 @@ def _split_recursive_body(view: ViewDef) -> tuple[list[str], list[str], bool]:
             f"recursive view {view.name}: need at least one base term and one "
             "self-referencing term"
         )
-    linear = all(len(name_re.findall(_strip_string_literals(p))) == 1 for p in rec_parts)
-    return base_parts, rec_parts, linear
+    for p in rec_parts:
+        masked = _strip_string_literals(p)
+        if len(name_re.findall(masked)) > 1:
+            raise ValueError(
+                f"recursive view {view.name}: a recursive term may reference the view "
+                "only once (working-table semantics; non-linear fixpoints diverge "
+                "from standard SQL recursion)"
+            )
+        m = _NON_SPJ_RE.search(masked)
+        if m:
+            raise ValueError(
+                f"recursive view {view.name}: {m.group(0).strip()!r} is not allowed in "
+                "a recursive term (non-monotone or undefined under working-table "
+                "binding); move it to a downstream view over the fixpoint"
+            )
+    return base_parts, rec_parts
 
 
 def _recursive_fixpoint(
@@ -540,14 +576,14 @@ def _recursive_fixpoint(
     total: DataFrame,
     delta: DataFrame,
     rec_parts: list[str],
-    linear: bool,
     max_iters: int,
 ) -> DataFrame:
-    """Iterate the recursive terms to fixpoint from (total, delta).
-    linear: bind the view name to last round's delta (semi-naive);
-    non-linear: bind the full set each round (naive, still correct)."""
+    """Semi-naive iteration to fixpoint from (total, delta): each
+    round binds the view name to the previous round's new rows (the
+    SQL standard's working table — sound because rejection rules
+    guarantee the terms are linear SPJ, distributive over union)."""
     for _ in range(max_iters):
-        (delta if linear else total).createOrReplaceTempView(view.name)
+        delta.createOrReplaceTempView(view.name)
         new = None
         for p in rec_parts:
             pdf = spark.sql(p).toDF(*cols)
@@ -558,7 +594,11 @@ def _recursive_fixpoint(
         total = total.unionByName(new).localCheckpoint(eager=True)
         delta = new
     else:
-        raise RuntimeError(f"recursive view {view.name}: no fixpoint after {max_iters} rounds")
+        raise RuntimeError(
+            f"recursive view {view.name}: no fixpoint after {max_iters} rounds "
+            "(raise max_iters for deep recursion, or use the log-round "
+            "star-contraction operator for graph closure)"
+        )
     return total
 
 
@@ -567,12 +607,14 @@ def compile_batch(
     program: SqlProgram | str,
     sources: dict[str, DataFrame] | None = None,
     sf_dir: str | None = None,
+    max_iters: int = 200,
 ) -> dict[str, DataFrame]:
     """Compile a SQL program; returns ``{view_name: DataFrame}`` for
     every view (the program's outputs), lazily evaluated — nothing
     runs until an action, and Catalyst optimizes each composed plan
     whole (chained views fuse; shared inputs are scanned with
-    pushdown per consumer)."""
+    pushdown per consumer). ``max_iters`` bounds recursive-view
+    fixpoint rounds (one recursion hop per round)."""
     if isinstance(program, str):
         program = SqlProgram.parse(program)
     bound = bind_sources(spark, program, sources, sf_dir)
@@ -584,7 +626,7 @@ def compile_batch(
         if view.recursive:
             # fixpoint views materialize eagerly (checkpointed rounds);
             # downstream views compose over the materialized result
-            df = _eval_recursive_view(spark, view)
+            df = _eval_recursive_view(spark, view, max_iters=max_iters)
         else:
             try:
                 df = spark.sql(view.sql)
@@ -603,10 +645,16 @@ def compile_batch(
                 ctes, outer = parts
                 for n, body, is_rec in ctes:
                     if is_rec:
-                        _eval_recursive_view(spark, ViewDef(n, body, recursive=True))
+                        _eval_recursive_view(
+                            spark, ViewDef(n, body, recursive=True), max_iters=max_iters
+                        )
                     else:
                         spark.sql(body).createOrReplaceTempView(n)
                 df = spark.sql(outer)
+                # the outer plan is resolved eagerly; drop the hidden
+                # CTE temp views so they don't leak into the session
+                for n, _, _ in ctes:
+                    spark.catalog.dropTempView(n)
         if view.columns is not None:
             df = df.toDF(*view.columns)
         df.createOrReplaceTempView(view.name)
@@ -4082,11 +4130,18 @@ class IncrementalProgram:
         program: SqlProgram | str,
         checkpoint_every: int = 8,
         optimize: bool = False,
+        max_iters: int = 200,
     ):
         self.spark = spark
         self.program = SqlProgram.parse(program) if isinstance(program, str) else program
+        self._max_iters = max_iters
         if not self.program.views:
             raise ValueError("program has no views")
+        # fail fast: a malformed/unsupported recursive body should
+        # error here, not on the first step
+        for v in self.program.views:
+            if v.recursive:
+                _split_recursive_body(v)
         # Integrated input state, one Z-set per table (starts empty).
         self._state: dict[str, ZSet] = {
             name: ZSet.from_df(_empty_table(spark, t))
@@ -4139,6 +4194,16 @@ class IncrementalProgram:
                         self._hidden.add(n)
                         taken.add(n)
                     view = ViewDef(view.name, outer, view.columns)
+                elif any(r and _expandable(n, b, r) for n, b, r in ctes):
+                    # a set-UNION recursive CTE that needs the fixpoint
+                    # evaluator but cannot be expanded (name collision
+                    # or duplicate CTE names): spark.sql would reject
+                    # it on every step — fail at construction instead
+                    raise ValueError(
+                        f"view {view.name}: WITH RECURSIVE ... UNION CTE cannot be "
+                        "expanded (CTE name collides with a table/view or repeats); "
+                        "rename the CTE"
+                    )
             self._exec_views.append(view)
 
         # Optimized pass: map each view to an incremental operator
@@ -4585,7 +4650,9 @@ class IncrementalProgram:
                     # anything else recomputes the fixpoint from scratch
                     snap_df = self._warm_recursive(view, in_deltas, out)
                     if snap_df is None:
-                        snap_df = _eval_recursive_view(self.spark, view)
+                        snap_df = _eval_recursive_view(
+                            self.spark, view, max_iters=self._max_iters
+                        )
                 else:
                     snap_df = self.spark.sql(view.sql)
                 if view.columns is not None:
@@ -4644,11 +4711,20 @@ class IncrementalProgram:
         prev = self._view_state.get(view.name)
         if prev is None:
             return None
+        if view.columns is not None:
+            # the stored snapshot carries the RENAMED columns; the
+            # recursive terms are written against the body's natural
+            # names — recompute cold rather than bind a mismatched T
+            return None
         try:
-            base_parts, rec_parts, linear = _split_recursive_body(view)
+            base_parts, rec_parts = _split_recursive_body(view)
         except ValueError:
             return None
-        if not linear:
+        # recursive terms are SPJ by the split's rejection rules; base
+        # terms are unrestricted in batch, but a non-monotone base
+        # (NOT IN, EXCEPT, aggregates ...) can SHRINK under an
+        # insert-only source delta — warm-start only over SPJ bases
+        if any(_NON_SPJ_RE.search(_strip_string_literals(p)) for p in base_parts):
             return None
 
         known = set(self.program.tables) | set(self._view_state) | set(out)
@@ -4711,6 +4787,8 @@ class IncrementalProgram:
             T.createOrReplaceTempView(view.name)
             return T
         total = T.unionByName(delta0).localCheckpoint(eager=True)
-        total = _recursive_fixpoint(spark, view, cols, total, delta0, rec_parts, True, 200)
+        total = _recursive_fixpoint(
+            spark, view, cols, total, delta0, rec_parts, self._max_iters
+        )
         total.createOrReplaceTempView(view.name)
         return total

@@ -174,14 +174,17 @@ def unigram_logprob(
     DuckDB's ``list_reduce(list(lp ORDER BY pos))`` — bit-identical
     doubles despite float addition being non-associative.
 
-    Scale shape: tokenize once (posexplode), one shuffle to count the
-    vocab, one shuffle-join token→vocab (the vocab is NOT broadcast —
-    at 100 TB it is large), one groupBy doc. The per-doc collect_list
-    is bounded by document length, never by corpus size.
+    Scale shape: tokenize once (posexplode, materialized via lazy
+    checkpoint — the token table feeds BOTH the vocab count and the
+    token→vocab join, and Spark does not reuse the explode subtree
+    across consumers), one shuffle to count the vocab, one
+    shuffle-join token→vocab (the vocab is NOT broadcast — at 100 TB
+    it is large), one groupBy doc. The per-doc collect_list is
+    bounded by document length, never by corpus size.
     """
     tok = df.select(
         F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "word")
-    )
+    ).localCheckpoint(eager=False)
     vocab = tok.groupBy("word").agg(F.count("*").alias("cnt"))
     tot = vocab.agg(F.sum("cnt").alias("total"))
     lp = (

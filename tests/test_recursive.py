@@ -48,10 +48,10 @@ def test_downstream_view_composes_over_fixpoint(spark):
     assert out["reach_count"].collect()[0].n == 3
 
 
-def test_nonlinear_doubling_closure(spark):
-    # reach⋈reach (two self-references) → naive fixpoint binding the
-    # full set; transitive closure by doubling converges to the same
-    # closure as the linear form
+def test_nonlinear_recursion_rejected(spark):
+    # reach⋈reach (two self-references): working-table semantics and
+    # fixpoint semantics disagree (doubling misses odd path lengths
+    # under the standard's binding), so — like Postgres — reject
     prog = """
     CREATE TABLE edge(src INTEGER, dst INTEGER);
     INSERT INTO edge VALUES (1,2),(2,3),(3,4),(4,5);
@@ -60,10 +60,34 @@ def test_nonlinear_doubling_closure(spark):
     UNION
     SELECT a.src, b.dst FROM tc a, tc b WHERE a.dst = b.src;
     """
-    out = compile_batch(spark, prog)
-    rows = sorted((r.src, r.dst) for r in out["tc"].collect())
-    expect = sorted((i, j) for i in range(1, 6) for j in range(i + 1, 6))
-    assert rows == expect
+    with pytest.raises(ValueError, match="only once"):
+        compile_batch(spark, prog)
+
+
+def test_nonmonotone_recursive_term_rejected(spark):
+    # aggregates / NOT IN inside a recursive term have no defined
+    # meaning under working-table binding — rejected like mainstream
+    # engines, with a pointer to move them downstream
+    prog = """
+    CREATE TABLE edge(src INTEGER, dst INTEGER);
+    CREATE RECURSIVE VIEW r AS
+    SELECT src, dst FROM edge WHERE src = 0
+    UNION
+    SELECT r2.src, max(e.dst) AS dst FROM r r2, edge e WHERE r2.dst = e.src;
+    """
+    with pytest.raises(ValueError, match="not allowed in"):
+        compile_batch(spark, prog)
+    prog2 = """
+    CREATE TABLE edge(src INTEGER, dst INTEGER);
+    CREATE TABLE blocked(n INTEGER);
+    CREATE RECURSIVE VIEW r AS
+    SELECT src, dst FROM edge WHERE src = 0
+    UNION
+    SELECT r2.src, e.dst FROM r r2, edge e
+    WHERE r2.dst = e.src AND e.dst NOT IN (SELECT n FROM blocked);
+    """
+    with pytest.raises(ValueError, match="not allowed in"):
+        compile_batch(spark, prog2)
 
 
 def test_union_all_recursion_rejected(spark):
@@ -163,7 +187,9 @@ def test_warm_start_matches_cold_recompute(spark):
     assert warm_rows == cold_rows and len(warm_rows) > 0
 
 
-def test_nonlinear_recursion_never_warm_starts(spark):
+def test_incremental_rejects_bad_recursion_at_construction(spark):
+    """Malformed recursive views fail at IncrementalProgram
+    construction, not on the first step."""
     prog = """
     CREATE TABLE edge(src INTEGER, dst INTEGER);
     CREATE RECURSIVE VIEW tc AS
@@ -171,14 +197,42 @@ def test_nonlinear_recursion_never_warm_starts(spark):
     UNION
     SELECT a.src, b.dst FROM tc a, tc b WHERE a.dst = b.src;
     """
-    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+    with pytest.raises(ValueError, match="only once"):
+        IncrementalProgram(spark, prog, optimize=True)
 
-    inc = IncrementalProgram(spark, prog, optimize=True)
-    inc.step({"edge": ZSet.from_df(spark.createDataFrame([(1, 2)], "src int, dst int"))})
-    inc.step({"edge": ZSet.from_df(spark.createDataFrame([(2, 3)], "src int, dst int"))})
-    assert inc.recursive_warm_steps == 0
-    rows = sorted((r.src, r.dst) for r in inc.snapshot("tc").to_multiset_df().collect())
-    assert rows == [(1, 2), (1, 3), (2, 3)]
+
+def test_incremental_rejects_colliding_recursive_cte(spark):
+    """A set-UNION recursive CTE whose name collides with a table
+    cannot be expanded; construction fails with a rename hint instead
+    of every step() raising Spark's unsupported-recursion error."""
+    prog = """
+    CREATE TABLE edge(src INTEGER, dst INTEGER);
+    CREATE TABLE reach(src INTEGER, dst INTEGER);
+    CREATE VIEW v AS
+    WITH RECURSIVE reach AS (
+        SELECT src, dst FROM edge WHERE src = 0
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edge e ON r.dst = e.src)
+    SELECT dst FROM reach;
+    """
+    with pytest.raises(ValueError, match="rename the CTE"):
+        IncrementalProgram(spark, prog, optimize=True)
+
+
+def test_deep_recursion_respects_max_iters(spark):
+    """max_iters is plumbed through compile_batch: a chain deeper than
+    the bound raises, a raised bound succeeds."""
+    rows = ", ".join(f"({i},{i + 1})" for i in range(250))
+    prog = f"""
+    CREATE TABLE edge(src INTEGER, dst INTEGER);
+    INSERT INTO edge VALUES {rows};
+    CREATE RECURSIVE VIEW reach AS
+    SELECT src, dst FROM edge WHERE src = 0
+    UNION
+    SELECT r.src, e.dst FROM reach r, edge e WHERE r.dst = e.src;
+    """
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        compile_batch(spark, prog, max_iters=20)
 
 
 def test_with_recursive_cte_union_set_in_view(spark):
