@@ -294,3 +294,49 @@ def test_incremental_with_recursive_cte(spark):
     snap = sorted(r.dst for r in inc.snapshot("v").to_multiset_df().collect())
     assert snap == [0, 1, 2]
     assert "reach" not in inc.step({})  # hidden CTE is not an output
+
+
+def test_recursive_view_driven_by_stream(spark, tmp_path):
+    """Continuous transitive closure: a recursive view maintained by
+    run_program_on_stream — each micro-batch of edges is an insert
+    Z-set delta, warm-starting the fixpoint from the previous total;
+    the final snapshot equals the batch fixpoint over all edges."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql.types import StructType
+
+    from sql_to_dbsp_compiler_spark.streaming.incremental import (
+        run_program_on_stream,
+        stream_from_dir,
+    )
+
+    prog = """
+    CREATE TABLE edge(src INTEGER, dst INTEGER);
+    CREATE RECURSIVE VIEW reach AS
+    SELECT src, dst FROM edge WHERE src = 0
+    UNION
+    SELECT r.src, e.dst FROM reach r, edge e WHERE r.dst = e.src;
+    """
+    batches = [[(0, 1), (1, 2)], [(2, 3)], [(3, 1), (0, 9)]]
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, b in enumerate(batches):
+        d = str(tmp_path / f"b{i}")
+        spark.createDataFrame(b, "src int, dst int").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        shutil.copy(glob.glob(os.path.join(d, "*.parquet"))[0],
+                    os.path.join(flat, f"batch_{i}.parquet"))
+    schema = StructType.fromDDL("src int, dst int")
+    inc = run_program_on_stream(
+        spark, prog, "edge", stream_from_dir(spark, flat, schema)
+    )
+    assert inc.plan()["reach"] == "recursive-fixpoint"
+    assert inc.recursive_warm_steps >= 1  # later micro-batches warm-start
+    got = sorted(
+        (r.src, r.dst) for r in inc.snapshot("reach").to_multiset_df().collect()
+    )
+    # closure from 0 over edges {0->1,1->2,2->3,3->1,0->9}
+    assert got == [(0, 1), (0, 2), (0, 3), (0, 9)]
