@@ -228,10 +228,13 @@ def test_semdedup_assignment_materialized_once(spark, sf_dir):
 
 
 def test_unigram_logprob_stays_jvm_side(spark, sf_dir):
-    """x_unigram_logprob: tokenization is a Generate (posexplode), the
-    corpus total is a 1-row broadcast, and the per-doc fold is a
-    column expression — no Python UDFs anywhere in the plan."""
+    """x_unigram_logprob: the token table is materialized ONCE (lazy
+    checkpoint → both the vocab count and the token→vocab join scan
+    the same RDD, visible as ExistingRDD in the plan instead of two
+    Generate subtrees), and the per-doc fold is a column expression —
+    no Python UDFs anywhere in the plan."""
     plan = _plan(spark, sf_dir, "x_unigram_logprob")
-    assert "Generate" in plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "Generate" not in plan  # the explode ran once, behind the checkpoint
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
