@@ -4152,7 +4152,9 @@ class IncrementalProgram:
         self._steps = 0
         self._checkpoint_every = checkpoint_every
         # observability: # of steps where a recursive view warm-started
+        # (insert-only delta rule) or ran delete-and-rederive
         self.recursive_warm_steps = 0
+        self.recursive_dred_steps = 0
 
         # CTE decomposition (the reference's Calcite planner erases
         # WITH into ordinary sub-plans): register each CTE as a
@@ -4746,15 +4748,18 @@ class IncrementalProgram:
             dz = delta_of_source(s)
             if dz is None:
                 continue
-            dzc = dz.consolidate()
-            if dzc.df.where(F.col(WEIGHT) < 0).limit(1).count() > 0:
-                return None  # retraction: the fixpoint may shrink
-            changed[s] = dzc
+            changed[s] = dz.consolidate()
         for p in rec_parts:
             masked = _strip_string_literals(p)
             for s in changed:
                 if len(re.findall(rf"\b{re.escape(s)}\b", masked, re.IGNORECASE)) > 1:
                     return None  # non-linear in a changed source
+        if any(
+            dz.df.where(F.col(WEIGHT) < 0).limit(1).count() > 0
+            for dz in changed.values()
+        ):
+            # retractions: delete-and-rederive instead of cold recompute
+            return self._dred_recursive(view, base_parts, rec_parts, refs, changed, prev)
 
         spark = self.spark
         T = prev.to_multiset_df().localCheckpoint(eager=False)
@@ -4792,3 +4797,165 @@ class IncrementalProgram:
         )
         total.createOrReplaceTempView(view.name)
         return total
+
+    def _dred_recursive(self, view, base_parts, rec_parts, refs, changed, prev):
+        """Delete-and-rederive (DRed, Gupta-Mumick-Subrahmanian) for a
+        recursive view under retractions — the classic incremental
+        algorithm the naive cold recompute replaces:
+
+        1. OVERDELETE: seed with base facts lost (base_old − base_new)
+           plus every recursive term evaluated over the OLD world with
+           one changed source bound to its deleted rows; propagate
+           through the recursion (view bound to the frontier, sources
+           OLD) — everything whose SOME derivation used a deleted fact.
+        2. REDERIVE: facts in the overdeleted set that still have a
+           derivation in the NEW world (from surviving base facts or
+           surviving view facts) are put back, to fixpoint within the
+           overdeleted set.
+        3. INSERT: the ordinary warm-start seed (new base facts +
+           recursive terms over inserted source rows) finishes mixed
+           insert/delete steps.
+
+        Cost ∝ facts whose derivations are touched, not |fixpoint|.
+        Any loop exhausting max_iters falls back to cold recompute
+        (returns None); temp views are re-bound to the NEW snapshots
+        on every exit path so the fallback sees correct state."""
+        spark = self.spark
+        T = prev.to_multiset_df().localCheckpoint(eager=False)
+        cols = T.columns
+        all_srcs = {s for p in base_parts + rec_parts for s in refs(p)}
+
+        def state_z(s: str) -> ZSet:
+            if s in self.program.tables:
+                return self._state[s]
+            return self._view_state[s]
+
+        def signed_rows(s: str, sign: int) -> DataFrame:
+            dz = changed.get(s)
+            if dz is None:
+                return None
+            part = dz.df.where(
+                F.col(WEIGHT) < 0 if sign < 0 else F.col(WEIGHT) > 0
+            )
+            if sign < 0:
+                part = part.withColumn(WEIGHT, -F.col(WEIGHT))
+            return ZSet(part).to_multiset_df()
+
+        NEW = {s: state_z(s).to_multiset_df() for s in all_srcs}
+        OLD = {
+            s: (
+                state_z(s).add(changed[s].neg()).consolidate()
+                if s in changed
+                else state_z(s)
+            ).to_multiset_df()
+            for s in all_srcs
+        }
+
+        def bind(mapping):
+            for s, df in mapping.items():
+                df.createOrReplaceTempView(s)
+
+        def union_eval(parts) -> DataFrame:
+            acc = None
+            for p in parts:
+                pdf = spark.sql(p).toDF(*cols)
+                acc = pdf if acc is None else acc.unionByName(pdf)
+            return acc
+
+        try:
+            # --- phase 0: base terms in both worlds
+            bind(NEW)
+            base_new = union_eval(base_parts).distinct().localCheckpoint(eager=True)
+            bind(OLD)
+            base_old = union_eval(base_parts).distinct()
+
+            # --- phase 1: overdelete
+            d_parts = [base_old.subtract(base_new)]
+            T.createOrReplaceTempView(view.name)
+            for p in rec_parts:
+                for s in refs(p):
+                    deleted = signed_rows(s, -1)
+                    if deleted is None:
+                        continue
+                    bind({s: deleted})
+                    try:
+                        d_parts.append(spark.sql(p).toDF(*cols))
+                    finally:
+                        bind({s: OLD[s]})
+            D = d_parts[0]
+            for pdf in d_parts[1:]:
+                D = D.unionByName(pdf)
+            D = D.distinct().intersect(T).localCheckpoint(eager=True)
+            frontier = D
+            for _ in range(self._max_iters):
+                if frontier.isEmpty():
+                    break
+                frontier.createOrReplaceTempView(view.name)
+                nxt = (
+                    union_eval(rec_parts)
+                    .distinct()
+                    .intersect(T)
+                    .subtract(D)
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.isEmpty():
+                    break
+                D = D.unionByName(nxt).localCheckpoint(eager=True)
+                frontier = nxt
+            else:
+                return None  # overdeletion didn't settle: recompute cold
+
+            # --- phase 2: rederive within D over the NEW world
+            bind(NEW)
+            T1 = T.subtract(D).localCheckpoint(eager=True)
+            T1.createOrReplaceTempView(view.name)
+            seed = base_new.intersect(D)
+            seed = seed.unionByName(union_eval(rec_parts).intersect(D))
+            seed = seed.distinct().localCheckpoint(eager=True)
+            total = T1
+            delta = seed
+            for _ in range(self._max_iters):
+                if delta.isEmpty():
+                    break
+                total = total.unionByName(delta).localCheckpoint(eager=True)
+                delta.createOrReplaceTempView(view.name)
+                delta = (
+                    union_eval(rec_parts)
+                    .distinct()
+                    .intersect(D)
+                    .subtract(total)
+                    .localCheckpoint(eager=True)
+                )
+            else:
+                return None
+
+            # --- phase 3: insertions (mixed steps), ordinary warm seed
+            total.createOrReplaceTempView(view.name)
+            i_parts = [base_new]
+            for p in rec_parts:
+                for s in refs(p):
+                    inserted = signed_rows(s, 1)
+                    if inserted is None:
+                        continue
+                    bind({s: inserted})
+                    try:
+                        i_parts.append(spark.sql(p).toDF(*cols))
+                    finally:
+                        bind({s: NEW[s]})
+            ins = i_parts[0]
+            for pdf in i_parts[1:]:
+                ins = ins.unionByName(pdf)
+            delta3 = ins.distinct().subtract(total).localCheckpoint(eager=True)
+            if not delta3.isEmpty():
+                total = total.unionByName(delta3).localCheckpoint(eager=True)
+                try:
+                    total = _recursive_fixpoint(
+                        spark, view, cols, total, delta3, rec_parts, self._max_iters
+                    )
+                except RuntimeError:
+                    return None  # insert fixpoint didn't settle: recompute cold
+            self.recursive_dred_steps += 1
+            total.createOrReplaceTempView(view.name)
+            return total
+        finally:
+            bind(NEW)
