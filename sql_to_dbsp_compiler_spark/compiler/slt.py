@@ -455,7 +455,7 @@ def slt_random_statements(seed: int = 0, n: int = 150) -> list[str]:
 
     out: list[str] = []
     while len(out) < n:
-        kind = rng.randrange(7)
+        kind = rng.randrange(8)
         if kind == 0:  # grouped aggregate (+ optional HAVING)
             k = rng.choice(keys)
             picked = rng.sample(aggs, rng.randint(1, 3))
@@ -539,6 +539,16 @@ def slt_random_statements(seed: int = 0, n: int = 150) -> list[str]:
                 f"SELECT id, ({e1}) AS e FROM t WHERE {rf()} "
                 f"ORDER BY coalesce({e1}, -999999) {rng.choice(['ASC', 'DESC'])}, id "
                 f"LIMIT {rng.randint(3, 9)}"
+            )
+        elif kind == 7:  # WITH RECURSIVE ... UNION ALL (acyclic counter)
+            lo = rng.randint(-3, 3)
+            step = rng.randint(1, 3)
+            hi = lo + rng.randint(5, 25)
+            e = rng.choice(["x", "x * 2", "x + coalesce(x % 3, 0)", "x * x"])
+            out.append(
+                f"WITH RECURSIVE rn AS (SELECT {lo} AS x UNION ALL "
+                f"SELECT x + {step} AS x FROM rn WHERE x < {hi}) "
+                f"SELECT x, ({e}) AS e FROM rn"
             )
         else:  # CTE: filtered-aggregate, re-aggregated, or joined WITH
             k = rng.choice(keys)
