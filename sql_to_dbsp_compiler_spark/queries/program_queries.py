@@ -458,7 +458,7 @@ _RECURSIVE_PROGRAM = """
 CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR,
                        source VARCHAR, n_chars BIGINT);
 CREATE VIEW edges AS
-    SELECT DISTINCT doc_id % 11 AS src, (doc_id * 7 + 3) % 11 AS dst
+    SELECT DISTINCT doc_id % 23 AS src, ((doc_id * 7 + 3) % 29) % 23 AS dst
     FROM documents WHERE doc_id < 200;
 CREATE RECURSIVE VIEW reach AS
 SELECT src, dst FROM edges WHERE src < 3
@@ -471,7 +471,7 @@ SELECT r.src, e.dst FROM reach r, edges e WHERE r.dst = e.src;
     "x_program_recursive",
     oracle="""
     WITH RECURSIVE edges AS (
-        SELECT DISTINCT doc_id % 11 AS src, (doc_id * 7 + 3) % 11 AS dst
+        SELECT DISTINCT doc_id % 23 AS src, ((doc_id * 7 + 3) % 29) % 23 AS dst
         FROM documents WHERE doc_id < 200),
     reach AS (
         SELECT src, dst FROM edges WHERE src < 3
@@ -498,11 +498,17 @@ def x_program_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = IncrementalProgram(spark, _RECURSIVE_PROGRAM, optimize=True)
     assert inc.plan()["reach"] == "recursive-fixpoint", inc.plan()
     d = load_table(spark, sf_dir, "documents")
+    # grow + CHURN: step 2 deletes doc_ids ≡ 0 (mod 12) while adding
+    # others, so the fixpoint is maintained by all three modes across
+    # the run — cold (step 1), delete-and-rederive (step 2), and the
+    # insert-only warm start (step 3) — all under the value oracle
     snapshots = [
         d.where(F.col("doc_id") % 3 == 0),
-        d.where(F.col("doc_id") % 3 != 2),
+        d.where((F.col("doc_id") % 4 != 0) | (F.col("doc_id") % 3 == 1)),
         d,
     ]
     for z in differentiate(snapshots):
         inc.step({"documents": z})
+    assert inc.recursive_dred_steps >= 1, "churn step must take the DRed path"
+    assert inc.recursive_warm_steps >= 1, "growth step must warm-start"
     return inc.snapshot("reach").to_multiset_df()
