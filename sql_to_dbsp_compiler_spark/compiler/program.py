@@ -588,7 +588,7 @@ def _recursive_fixpoint(
         for p in rec_parts:
             pdf = spark.sql(p).toDF(*cols)
             new = pdf if new is None else new.unionByName(pdf)
-        new = new.distinct().subtract(total).localCheckpoint(eager=True)
+        new = new.subtract(total).localCheckpoint(eager=True)
         if new.isEmpty():
             break
         total = total.unionByName(new).localCheckpoint(eager=True)
@@ -4646,10 +4646,10 @@ class IncrementalProgram:
                 d = total.consolidate()
             else:  # naive D∘Q∘I: recompute snapshot, diff vs previous
                 if view.recursive:
-                    # insert-only deltas on a linear monotone recursion:
-                    # warm-start semi-naive from the previous fixpoint
-                    # (the DBSP delta rule for recursive circuits);
-                    # anything else recomputes the fixpoint from scratch
+                    # insert-only deltas warm-start semi-naive from the
+                    # previous fixpoint (the DBSP delta rule); steps
+                    # with retractions run delete-and-rederive; only
+                    # guarded-out shapes recompute from scratch
                     snap_df = self._warm_recursive(view, in_deltas, out)
                     if snap_df is None:
                         snap_df = _eval_recursive_view(
@@ -4700,10 +4700,11 @@ class IncrementalProgram:
         None when the safe preconditions don't hold.
 
         Preconditions: a previous fixpoint exists; the recursion is
-        LINEAR; every source this view reads (tables and upstream
-        views) changed by an insert-only delta this step; and each
-        recursive term references each changed source at most once.
-        Then the new fixpoint T' ⊇ T and semi-naive iteration can be
+        LINEAR with SPJ base terms; and each recursive term references
+        each changed source at most once. Steps whose source deltas
+        carry retractions dispatch to :meth:`_dred_recursive`; the
+        insert-only case continues here, where the new fixpoint
+        T' ⊇ T and semi-naive iteration can be
         seeded with the delta rule for multilinear terms: re-evaluated
         base terms minus T, plus each recursive term evaluated with
         the view bound to T and ONE changed source bound to its delta
@@ -4786,7 +4787,7 @@ class IncrementalProgram:
         seed = seeds[0]
         for sdf in seeds[1:]:
             seed = seed.unionByName(sdf)
-        delta0 = seed.distinct().subtract(T).localCheckpoint(eager=True)
+        delta0 = seed.subtract(T).localCheckpoint(eager=True)
         self.recursive_warm_steps += 1
         if delta0.isEmpty():
             T.createOrReplaceTempView(view.name)
@@ -4830,7 +4831,10 @@ class IncrementalProgram:
                 return self._state[s]
             return self._view_state[s]
 
-        def signed_rows(s: str, sign: int) -> DataFrame:
+        def signed_rows(s: str, sign: int) -> "DataFrame | None":
+            """Deleted (sign<0) / inserted rows of s as a positive
+            multiset, or None when that side is empty — built once per
+            (source, side), not per recursive term."""
             dz = changed.get(s)
             if dz is None:
                 return None
@@ -4839,15 +4843,25 @@ class IncrementalProgram:
             )
             if sign < 0:
                 part = part.withColumn(WEIGHT, -F.col(WEIGHT))
-            return ZSet(part).to_multiset_df()
+            df = ZSet(part).to_multiset_df().localCheckpoint(eager=True)
+            return None if df.isEmpty() else df
 
-        NEW = {s: state_z(s).to_multiset_df() for s in all_srcs}
+        deleted_of = {s: signed_rows(s, -1) for s in changed}
+        inserted_of = {s: signed_rows(s, 1) for s in changed}
+        # snapshots feed every round of every phase — checkpoint so the
+        # consolidate+explode subtrees run once, not per Spark job
+        NEW = {
+            s: state_z(s).to_multiset_df().localCheckpoint(eager=False)
+            for s in all_srcs
+        }
         OLD = {
             s: (
                 state_z(s).add(changed[s].neg()).consolidate()
                 if s in changed
                 else state_z(s)
-            ).to_multiset_df()
+            )
+            .to_multiset_df()
+            .localCheckpoint(eager=False)
             for s in all_srcs
         }
 
@@ -4874,7 +4888,7 @@ class IncrementalProgram:
             T.createOrReplaceTempView(view.name)
             for p in rec_parts:
                 for s in refs(p):
-                    deleted = signed_rows(s, -1)
+                    deleted = deleted_of.get(s)
                     if deleted is None:
                         continue
                     bind({s: deleted})
@@ -4885,7 +4899,7 @@ class IncrementalProgram:
             D = d_parts[0]
             for pdf in d_parts[1:]:
                 D = D.unionByName(pdf)
-            D = D.distinct().intersect(T).localCheckpoint(eager=True)
+            D = D.intersect(T).localCheckpoint(eager=True)
             frontier = D
             for _ in range(self._max_iters):
                 if frontier.isEmpty():
@@ -4893,7 +4907,6 @@ class IncrementalProgram:
                 frontier.createOrReplaceTempView(view.name)
                 nxt = (
                     union_eval(rec_parts)
-                    .distinct()
                     .intersect(T)
                     .subtract(D)
                     .localCheckpoint(eager=True)
@@ -4921,7 +4934,6 @@ class IncrementalProgram:
                 delta.createOrReplaceTempView(view.name)
                 delta = (
                     union_eval(rec_parts)
-                    .distinct()
                     .intersect(D)
                     .subtract(total)
                     .localCheckpoint(eager=True)
@@ -4934,7 +4946,7 @@ class IncrementalProgram:
             i_parts = [base_new]
             for p in rec_parts:
                 for s in refs(p):
-                    inserted = signed_rows(s, 1)
+                    inserted = inserted_of.get(s)
                     if inserted is None:
                         continue
                     bind({s: inserted})
@@ -4945,7 +4957,7 @@ class IncrementalProgram:
             ins = i_parts[0]
             for pdf in i_parts[1:]:
                 ins = ins.unionByName(pdf)
-            delta3 = ins.distinct().subtract(total).localCheckpoint(eager=True)
+            delta3 = ins.subtract(total).localCheckpoint(eager=True)
             if not delta3.isEmpty():
                 total = total.unionByName(delta3).localCheckpoint(eager=True)
                 try:
