@@ -4900,10 +4900,21 @@ class IncrementalProgram:
             for pdf in d_parts[1:]:
                 D = D.unionByName(pdf)
             D = D.intersect(T).localCheckpoint(eager=True)
+            # DRed pays off when deletions invalidate a small slice of
+            # the fixpoint (tree-like derivations). On dense graphs a
+            # few deleted edges can overdelete nearly everything —
+            # rederiving it all costs more than recomputing cold — so
+            # on non-trivial fixpoints bail once the overdeleted set
+            # passes half (tiny fixpoints skip the check: either path
+            # is cheap, and the blast-radius ratio is meaningless at
+            # a handful of facts).
+            t_count = T.count()
             frontier = D
             for _ in range(self._max_iters):
                 if frontier.isEmpty():
                     break
+                if t_count > 1000 and D.count() > 0.5 * t_count:
+                    return None  # overdeletion blast radius too large
                 frontier.createOrReplaceTempView(view.name)
                 nxt = (
                     union_eval(rec_parts)
