@@ -128,11 +128,16 @@ def ivf_train_kmeans(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_n: int = 100_000,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF training with REAL k-means: distributed Lloyd iterations via
-    pyspark.ml.KMeans (JVM-side, map-side partial sums per iteration —
-    scales to any corpus). Vectors are L2-normalized first so euclidean
-    k-means clusters align with cosine similarity. Returns (centroids,
+    pyspark.ml.KMeans (JVM-side, map-side partial sums per iteration).
+    Vectors are L2-normalized first so euclidean k-means clusters
+    align with cosine similarity. The FIT runs on a bounded
+    deterministic sample (first ``sample_n`` by id — the same cap PQ
+    codebook training uses): quantizer quality saturates long before
+    the corpus size, so at 100 TB training cost is constant while
+    ASSIGNMENT still covers every vector. Returns (centroids,
     assignments) in the same shape as ivf_assign."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -142,9 +147,10 @@ def ivf_train_kmeans(
     c = c.withColumn("__n", F.sqrt(dot(F.col("vec"), F.col("vec"))))
     c = c.withColumn("__unit", F.transform("vec", lambda x: x / F.col("__n")))
     feat = c.withColumn("__feat", array_to_vector("__unit"))
+    fit_on = feat.orderBy(id_col).limit(sample_n) if sample_n is not None else feat
     model = KMeans(
         k=nlist, maxIter=max_iter, seed=seed, featuresCol="__feat", predictionCol="centroid_id"
-    ).fit(feat)
+    ).fit(fit_on)
     assigned = model.transform(feat).select(id_col, "vec", "centroid_id")
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
