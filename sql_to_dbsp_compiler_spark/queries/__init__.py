@@ -9,6 +9,7 @@ from sql_to_dbsp_compiler_spark.queries import (  # noqa: E402,F401
     functions_sql2,
     llm_queries,
     nexmark,
+    pipeline2,
     postgres_edges,
     program_queries,
     reference_surface,

@@ -238,3 +238,34 @@ def test_unigram_logprob_stays_jvm_side(spark, sf_dir):
     assert "Generate" not in plan  # the explode ran once, behind the checkpoint
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_chunking_is_shuffle_free_generate(spark, sf_dir):
+    """x_doc_chunking: chunk offsets come from sequence→explode, so
+    the whole op is a narrow Generate pipelined with the scan — no
+    Exchange, no Python in the row path."""
+    plan = _plan(spark, sf_dir, "x_doc_chunking")
+    assert "Generate" in plan
+    assert "Exchange" not in plan, "chunking must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_classifier_scores_without_shuffle_or_udf(spark, sf_dir):
+    """x_quality_classifier: training happens once at build time; the
+    returned scoring plan is a pure multiply-add projection over the
+    scan — no Exchange, no UDF, no join against the weights table."""
+    plan = _plan(spark, sf_dir, "x_quality_classifier")
+    assert "Exchange" not in plan, "scoring must be a narrow projection"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, "weights must be inlined literals, not joined"
+
+
+def test_gapfill_locf_single_window_no_cartesian(spark, sf_dir):
+    """x_gapfill_locf: per-key grid via sequence/explode (Generate),
+    LOCF is one Window over user_id; the grid↔obs join must be an
+    equi-join, never a cartesian against a global calendar."""
+    plan = _plan(spark, sf_dir, "x_gapfill_locf")
+    assert "Generate" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
