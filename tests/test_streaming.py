@@ -355,3 +355,76 @@ def test_streaming_lsh_neardup_matches_batch(spark, tmp_path_factory):
     result = run_incremental(stream, streaming_lsh_neardup, output_mode="append")
     got = {(r["id_a"], r["id_b"]) for r in result.collect()}
     assert got == expected
+
+
+def test_stream_stream_full_outer_join(spark, events_schema, tmp_path):
+    """FULL OUTER stream-stream join: unmatched rows on BOTH sides
+    emit NULL-padded once the watermark passes their bound — the last
+    outer-join variant not yet exercised (inner and left_outer are
+    above). Same sentinel technique to flush final state."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from sql_to_dbsp_compiler_spark.streaming.joins import stream_stream_join
+
+    base, out = str(tmp_path / "b"), str(tmp_path / "files")
+    os.makedirs(out)
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    cuts = ["2024-01-11", "2024-01-21"]
+    parts = [
+        e.where(F.col("ts") < cuts[0]),
+        e.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        e.where(F.col("ts") >= cuts[1]),
+    ]
+    sentinels = spark.createDataFrame(
+        [
+            (10**9, datetime.datetime(2024, 6, 1), -1, "purchase", 0.0, "{}"),
+            (10**9 + 1, datetime.datetime(2024, 6, 1), -2, "click", 0.0, "{}"),
+        ],
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).select(*[f.name for f in e.schema.fields])
+    for i, b in enumerate(parts + [sentinels]):
+        d = os.path.join(base, f"b{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(d)
+        shutil.copy(glob.glob(os.path.join(d, "*.parquet"))[0], os.path.join(out, f"batch_{i}.parquet"))
+
+    def sides(df):
+        p = df.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+        )
+        c = df.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+        )
+        return p, c
+
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTE"))
+    )
+    sp, sc = sides(stream_from_dir(spark, out, events_schema))
+    q = (
+        stream_stream_join(sp, sc, cond, "2 days", "2 days", "p_ts", "c_ts", how="full_outer")
+        .writeStream.format("memory")
+        .queryName("ss_full")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination()
+    keep = (F.col("p_id").isNull() | (F.col("p_id") < 10**9)) & (
+        F.col("c_id").isNull() | (F.col("c_id") < 10**9)
+    )
+    result = spark.table("ss_full").where(keep)
+
+    bp, bc = sides(spark.read.parquet(out))
+    batch = bp.join(bc, cond, "full_outer").where(keep)
+    assert sorted(
+        map(tuple, result.fillna(-1).collect())
+    ) == sorted(map(tuple, batch.fillna(-1).collect()))
+    # non-trivial on both sides: unmatched purchases AND unmatched clicks
+    assert batch.where(F.col("c_id").isNull()).count() > 0
+    assert batch.where(F.col("p_id").isNull()).count() > 0
