@@ -220,6 +220,190 @@ def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# x_bm25_topk — inverted-index BM25 retrieval
+# --------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    ("q1", "hash join"),
+    ("q2", "window agg stream"),
+    ("q3", "slow scan filter"),
+    ("q4", "customer order line"),
+    ("q5", "vector data column"),
+]
+# k1 = 1.2, b = 0.75 → the float literals below are k1+1, k1, 1-b, b.
+_BM25_TOPK = 10
+_BM25_IDF_PATH = "/root/repo/.artifacts/bm25_idf.parquet"
+
+
+@query(
+    "x_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               lower(unnest(list_filter(string_split(text, ' '), x -> x <> '')))
+                   AS word
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    -- per-word idf from the persisted artifact; the join re-verifies
+    -- the artifact's df and n_docs against THIS engine's recount, so
+    -- only the ln() evaluation itself is shared input (JVM Math.log
+    -- differs from libm by 1 ulp on some arguments).
+    ia AS (SELECT word, df, n_docs, idf
+           FROM read_parquet('{_BM25_IDF_PATH}/*.parquet')),
+    q(query_id, qtext) AS (
+        VALUES {", ".join(f"('{qid}', '{qt}')" for qid, qt in _BM25_QUERIES)}
+    ),
+    qt AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS word FROM q),
+    hit AS (
+        SELECT qt.query_id, tf.doc_id, tf.word,
+               ia.idf
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                             / (CAST(s.sum_dl AS DOUBLE)
+                                                / s.n_docs)))))
+                   AS contrib
+        FROM qt
+        JOIN tf ON qt.word = tf.word
+        JOIN df ON tf.word = df.word
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats s
+        JOIN ia ON ia.word = df.word AND ia.df = df.df
+               AND ia.n_docs = s.n_docs
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               0.0 + list_reduce(list(contrib ORDER BY word), (a, b) -> a + b)
+                   AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+        FROM hit GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score, n_terms_hit, rn FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+        FROM scored
+    ) WHERE rn <= {_BM25_TOPK}
+    """,
+    tags=("llm", "retrieval"),
+)
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Sparck-Jones, k1=1.2, b=0.75)
+    — the lexical-search face of the similarity stack (ANN covers the
+    dense face). Inverted-index shape: one shuffle builds per-doc term
+    frequencies, document frequencies and lengths are small reusable
+    aggregates, the tiny query-term table broadcasts into the tf
+    postings, and per-query top-k is a WindowGroupLimit. At 100 TB the
+    tf/df/dl tables are exactly the artifacts a search pipeline would
+    persist once and reuse per query batch.
+
+    Bit-exact across engines: corpus stats divide exact integers, the
+    per-(query, doc) score is an ORDERED fold over terms (sorted by
+    word) — never an unordered SUM of doubles — and the one
+    transcendental (idf's ln) is evaluated ONCE driver-side and
+    persisted: JVM Math.log and libm ln disagree by 1 ulp on some
+    arguments, so in-engine ln on both sides would hash-mismatch. The
+    artifact join re-checks (word, df, n_docs) against the oracle's
+    own recount, so the counts feeding idf stay fully verified."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " ", -1), lambda w: w != "")
+        ).alias("w0"),
+    ).select("doc_id", F.lower("w0").alias("word"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id string, qtext string")
+    qt = q.select(
+        "query_id", F.explode(F.split("qtext", " ", -1)).alias("word")
+    )
+
+    # idf for the (few) query terms, computed ONCE driver-side with
+    # C libm (matches DuckDB; JVM Math.log is 1 ulp off on some
+    # inputs) and persisted keyed by (word, df, n_docs) so the oracle
+    # re-verifies the counts it was derived from.
+    import math
+
+    qwords = sorted({w for _, qtext in _BM25_QUERIES for w in qtext.split()})
+    n_docs = stats.collect()[0]["n_docs"]
+    idf_rows = [
+        (
+            r["word"],
+            int(r["df"]),
+            int(n_docs),
+            math.log(
+                ((float(n_docs - r["df"]) + 0.5) / (float(r["df"]) + 0.5))
+                + 1.0
+            ),
+        )
+        for r in df.where(F.col("word").isin(qwords)).collect()
+    ]
+    spark.createDataFrame(
+        idf_rows, "word string, df long, n_docs long, idf double"
+    ).coalesce(1).write.mode("overwrite").parquet(_BM25_IDF_PATH)
+    ia = spark.read.parquet(_BM25_IDF_PATH)
+
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    tf_norm = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl))
+    )
+    hit = (
+        F.broadcast(qt)
+        .join(tf, "word")
+        .join(df, "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(
+            F.broadcast(
+                ia.select(
+                    F.col("word").alias("ia_word"),
+                    F.col("df").alias("ia_df"),
+                    F.col("n_docs").alias("ia_n"),
+                    "idf",
+                )
+            ),
+            (F.col("ia_df") == F.col("df"))
+            & (F.col("ia_n") == F.col("n_docs"))
+            & (F.col("word") == F.col("ia_word")),
+        )
+        .select(
+            "query_id", "doc_id", "word",
+            (F.col("idf") * tf_norm).alias("contrib"),
+        )
+    )
+    scored = hit.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("word", "contrib"))
+                ),
+                lambda x: x["contrib"],
+            ),
+            F.lit(0.0),
+            lambda a, c: a + c,
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= _BM25_TOPK)
+    )
+
+
+# --------------------------------------------------------------------
 # x_gapfill_locf — time-grid densification + forward fill
 # --------------------------------------------------------------------
 

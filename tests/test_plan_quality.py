@@ -269,3 +269,17 @@ def test_gapfill_locf_single_window_no_cartesian(spark, sf_dir):
     assert "Window" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_broadcasts_queries_and_group_limits(spark, sf_dir):
+    """x_bm25_topk: query terms / stats / idf artifact all broadcast
+    into the postings join (the only shuffles are the tf/dl
+    aggregations), and the per-query top-k prunes via
+    WindowGroupLimit. The 1-row stats cross join is the only
+    nested-loop (formatted explain lists each node twice)."""
+    plan = _plan(spark, sf_dir, "x_bm25_topk")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
