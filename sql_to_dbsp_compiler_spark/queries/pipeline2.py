@@ -196,7 +196,10 @@ def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr = LogisticRegression(
         featuresCol="features", labelCol="label", maxIter=25, regParam=0.01
     )
-    model = lr.fit(asm.transform(sample))
+    # The bounded sample is tiny relative to the cluster; coalesce so
+    # each LBFGS iteration is a couple of tasks instead of a 32-task
+    # barrier of micro-partitions (pure scheduler overhead).
+    model = lr.fit(asm.transform(sample).coalesce(4))
     rows = [("__intercept__", float(model.intercept))] + [
         (name, float(w)) for name, w in zip(_FEATURES, model.coefficients)
     ]
@@ -315,11 +318,20 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.col("text"), " ", -1), lambda w: w != "")
         ).alias("w0"),
     ).select("doc_id", F.lower("w0").alias("word"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # The postings table is consumed four times (df, stats, the idf
+    # artifact collect, and the scoring join); checkpoint it lazily so
+    # the tokenize+count shuffle runs ONCE (at 100 TB this is the
+    # inverted index a pipeline persists). dl is derived from tf
+    # (SUM(tf) == token count), avoiding a second pass over tokens.
+    tf = (
+        tok.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     q = spark.createDataFrame(_BM25_QUERIES, "query_id string, qtext string")
     qt = q.select(
