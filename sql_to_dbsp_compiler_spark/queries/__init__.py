@@ -7,6 +7,7 @@ from sql_to_dbsp_compiler_spark.queries import (  # noqa: E402,F401
     edge_semantics,
     functions_sql,
     functions_sql2,
+    layout,
     llm_queries,
     nexmark,
     pipeline2,
