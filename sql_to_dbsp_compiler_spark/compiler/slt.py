@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 import random
+import re
 from dataclasses import dataclass
 
 # --- the shared fixture table ---------------------------------------------
@@ -300,6 +301,29 @@ def slt_statements(seed: int = 0) -> list[str]:
         "GROUP BY date_trunc('month', ts)",
     ]
     stmts += [
+        # IGNORE NULLS window navigation (LAG/LEAD/FIRST/LAST/NTH).
+        # Written in the DuckDB placement — f(args IGNORE NULLS) — and
+        # rewritten to Spark's f(args) IGNORE NULLS by
+        # to_spark_dialect. The reference pins these semantics
+        # (sqllib window functions honour the SQL:2011 null treatment
+        # clause); Spark's default is RESPECT NULLS, so an unrewritten
+        # statement would silently diverge on every NULL-bearing gap.
+        "SELECT id, last_value(a IGNORE NULLS) OVER (ORDER BY id) AS lv "
+        "FROM t",
+        "SELECT id, first_value(b IGNORE NULLS) OVER (ORDER BY id DESC) "
+        "AS fv FROM t",
+        "SELECT id, lag(a IGNORE NULLS) OVER (ORDER BY id) AS la, "
+        "lead(a IGNORE NULLS) OVER (ORDER BY id) AS le FROM t",
+        "SELECT id, lag(b, 2 IGNORE NULLS) OVER (ORDER BY id) AS la2 FROM t",
+        "SELECT id, nth_value(a, 2 IGNORE NULLS) OVER (ORDER BY id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv "
+        "FROM t",
+        # partitioned variant — the LOCF shape (gap-fill carries the
+        # last observation forward within each series)
+        "SELECT id, last_value(a IGNORE NULLS) OVER (PARTITION BY (b > 0) "
+        "ORDER BY id) AS lv FROM t",
+    ]
+    stmts += [
         # WITH RECURSIVE ... UNION ALL on acyclic derivations: both
         # engines evaluate this form natively (Spark ≥4.0 rejects the
         # UNION set form, which routes through the repo's fixpoint
@@ -322,10 +346,18 @@ def slt_statements(seed: int = 0) -> list[str]:
 
 SPARK_TYPE_REWRITES = [("AS VARCHAR", "AS STRING")]
 
+# DuckDB places the null-treatment clause inside the call —
+# f(args IGNORE NULLS) — Spark after it: f(args) IGNORE NULLS.
+# Args may contain one balanced paren level (e.g. coalesce(a, 0)).
+_IGNORE_NULLS_RE = re.compile(
+    r"\(((?:[^()]|\([^()]*\))*?)\s+IGNORE NULLS\)"
+)
+
 
 def to_spark_dialect(sql: str) -> str:
     for old, new in SPARK_TYPE_REWRITES:
         sql = sql.replace(old, new)
+    sql = _IGNORE_NULLS_RE.sub(r"(\1) IGNORE NULLS", sql)
     return sql
 
 
