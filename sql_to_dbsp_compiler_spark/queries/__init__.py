@@ -20,6 +20,7 @@ from sql_to_dbsp_compiler_spark.queries import (  # noqa: E402,F401
     tpch2,
     tpch3,
     training_data,
+    vocab,
     windows_batch,
 )
 

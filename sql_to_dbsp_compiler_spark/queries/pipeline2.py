@@ -488,3 +488,68 @@ def x_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("obs_value").isNull().alias("is_gap"),
         F.last("obs_value", ignorenulls=True).over(w).alias("value_locf"),
     )
+
+
+# --------------------------------------------------------------------
+# x_scd2_dimension — CDC change stream -> type-2 dimension history
+# --------------------------------------------------------------------
+
+
+@query(
+    "x_scd2_dimension",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), changes AS (
+        SELECT user_id, event_type, ts AS valid_from
+        FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from) IS NULL)
+               AS is_current
+    FROM changes
+    """,
+    tags=("cdc", "dimension", "window"),
+)
+def x_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change stream: collapse
+    each user's event sequence into attribute VERSIONS — a row per
+    distinct run of event_type with [valid_from, valid_to) effective
+    interval and an is_current flag. The batch face of CDC apply /
+    MERGE INTO dimension maintenance.
+
+    Scale shape: change detection (lag) and interval assignment (lead)
+    are two window passes over the SAME (user_id, time) partitioning,
+    so Catalyst reuses one hash exchange; no joins, no state beyond
+    the per-key sort. At 100 TB this is a single shuffle keyed by the
+    dimension's natural key — the minimum any SCD2 builder can do.
+    valid_from ties are broken by event_id (total order), mirrored in
+    the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lag("event_type").over(w).alias("__prev"),
+        )
+        .where(F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type")))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
