@@ -87,3 +87,85 @@ def running_topk_per_key(events: DataFrame, k: int = 3) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+SCD2_OUTPUT_SCHEMA = (
+    "user_id long, event_type string, valid_from timestamp, "
+    "valid_to timestamp, is_current boolean, seq long"
+)
+
+
+class Scd2Processor(StatefulProcessor):
+    """Streaming SCD2 dimension maintenance: per-key state holds the
+    OPEN version (event_type, valid_from) and the per-key changelog
+    sequence. On each attribute change the processor emits two
+    changelog rows — the previous version CLOSED (valid_to set,
+    is_current False) and the new version OPEN — so a consumer
+    reconstructs the dimension with last-seq-wins per (key,
+    valid_from). This is the streaming face of the batch
+    x_scd2_dimension query (queries/pipeline2.py); equality of the
+    reconstruction with the batch result is the test gate.
+
+    Rows within and across micro-batches are consumed in (ts,
+    event_id) order per key; late rows older than the open version's
+    valid_from are counted into state-safety (ignored) rather than
+    rewriting history — the same contract a watermark-bounded CDC
+    apply gives. State is O(1) per key regardless of stream length."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._open = handle.getValueState(
+            "open", "event_type string, valid_from timestamp"
+        )
+        self._seq = handle.getValueState("seq", "seq long")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        incoming = []
+        for pdf in rows:
+            incoming.extend(
+                (ts.to_pydatetime(), int(e), str(t))
+                for ts, e, t in zip(pdf["ts"], pdf["event_id"], pdf["event_type"])
+            )
+        incoming.sort(key=lambda r: (r[0], r[1]))
+        cur = self._open.get() if self._open.exists() else None
+        cur_type, cur_from = (cur[0], cur[1]) if cur else (None, None)
+        seq = self._seq.get()[0] if self._seq.exists() else 0
+        out = []
+        uid = int(key[0])
+        for ts, _eid, etype in incoming:
+            if cur_type is None:
+                cur_type, cur_from = etype, ts
+                seq += 1
+                out.append((uid, etype, ts, None, True, seq))
+            elif ts < cur_from:
+                continue  # late row older than the open version
+            elif etype != cur_type:
+                seq += 1
+                out.append((uid, cur_type, cur_from, ts, False, seq))
+                seq += 1
+                out.append((uid, etype, ts, None, True, seq))
+                cur_type, cur_from = etype, ts
+        self._open.update((cur_type, cur_from))
+        self._seq.update((seq,))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "event_type", "valid_from",
+                "valid_to", "is_current", "seq",
+            ],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_scd2(events: DataFrame) -> DataFrame:
+    """events(user_id, event_id, event_type, ts) stream → SCD2
+    changelog (last-seq-wins per (user_id, valid_from))."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        Scd2Processor(),
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

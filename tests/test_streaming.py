@@ -571,3 +571,148 @@ def test_running_topk_processor_transition_function():
     assert list(out2["event_id"]) == [2, 4, 5]  # 7.0 evicts 5.0
     assert list(out2["seq"]) == [2, 2, 2]
     assert p._topk.rows == [(2, 9.0), (4, 9.0), (5, 7.0)]
+
+
+def test_scd2_processor_transition_function():
+    """Streaming SCD2 per-key transition logic with fake state: opens,
+    closes on change, skips no-change and late rows, seq totals order
+    the changelog; reconstruction (last seq per valid_from) equals the
+    batch SCD2 of the same rows."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from sql_to_dbsp_compiler_spark.streaming.transform_state import (
+        Scd2Processor,
+    )
+
+    class FakeValue:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    p = Scd2Processor()
+    p._open, p._seq = FakeValue(), FakeValue()
+
+    def T(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    def norm(v):
+        if v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+            return None
+        return v.to_pydatetime() if isinstance(v, pd.Timestamp) else v
+
+    def feed(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_id", "event_type"])
+        outs = list(p.handleInputRows((7,), iter([pdf]), None))
+        return [
+            tuple(norm(v) for v in r)
+            for r in outs[0].itertuples(index=False)
+        ]
+
+    out1 = feed([(T(1), 1, "view"), (T(2), 2, "view"), (T(3), 3, "buy")])
+    assert out1 == [
+        (7, "view", T(1), None, True, 1),
+        (7, "view", T(1), T(3), False, 2),
+        (7, "buy", T(3), None, True, 3),
+    ]
+    # batch 2: no-change row, then a change; a late row (< open
+    # valid_from) is ignored
+    out2 = feed([(T(2), 9, "buy"), (T(4), 4, "buy"), (T(5), 5, "view")])
+    assert out2 == [
+        (7, "buy", T(3), T(5), False, 4),
+        (7, "view", T(5), None, True, 5),
+    ]
+    assert p._open.v == ("view", T(5))
+
+    # reconstruction: last seq per valid_from == batch SCD2 over all rows
+    final = {}
+    for row in out1 + out2:
+        final[row[2]] = row
+    got = sorted(final.values(), key=lambda r: r[2])
+    assert [(r[1], r[2], r[3], r[4]) for r in got] == [
+        ("view", T(1), T(3), False),
+        ("buy", T(3), T(5), False),
+        ("view", T(5), None, True),
+    ]
+
+
+def test_transform_with_state_scd2_matches_batch(spark, tmp_path):
+    """Streaming SCD2 across 3 ts-ordered micro-batches reconstructs
+    exactly the batch x_scd2_dimension result. Protobuf-gated like the
+    topk round-trip (transformWithStateInPandas state-server)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs the protobuf runtime",
+    )
+    import os
+
+    from sql_to_dbsp_compiler_spark.queries import REGISTRY
+    from sql_to_dbsp_compiler_spark.streaming.transform_state import (
+        streaming_scd2,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "files")
+    os.makedirs(out)
+    e = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    qs = e.selectExpr(
+        "percentile_approx(cast(ts as double), array(0.33, 0.66)) as q"
+    ).collect()[0].q
+    t1, t2 = qs[0], qs[1]
+    parts = [
+        e.where(F.col("ts").cast("double") <= t1),
+        e.where(
+            (F.col("ts").cast("double") > t1)
+            & (F.col("ts").cast("double") <= t2)
+        ),
+        e.where(F.col("ts").cast("double") > t2),
+    ]
+    for i, b in enumerate(parts):
+        b.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"_b{i}")
+        )
+    import glob
+    import shutil
+
+    for i in range(3):
+        src = glob.glob(os.path.join(out, f"_b{i}", "*.parquet"))[0]
+        shutil.copy(src, os.path.join(out, f"batch_{i}.parquet"))
+        shutil.rmtree(os.path.join(out, f"_b{i}"))
+
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    stream = stream_from_dir(spark, out, _parse_ddl(schema))
+    q = (
+        streaming_scd2(stream)
+        .writeStream.format("memory")
+        .queryName("tws_scd2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination()
+
+    emitted = spark.table("tws_scd2")
+    last = emitted.groupBy("user_id", "valid_from").agg(
+        F.max("seq").alias("seq")
+    )
+    final = emitted.join(last, ["user_id", "valid_from", "seq"]).select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+    batch = REGISTRY["x_scd2_dimension"].fn(spark, sf).select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
