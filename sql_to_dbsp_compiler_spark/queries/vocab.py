@@ -74,3 +74,87 @@ def x_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_idx int, left string, right string, pair_count long"
     )
+
+
+# --------------------------------------------------------------------
+# x_token_budget_mix — per-source token-budget mixture selection
+# --------------------------------------------------------------------
+
+# token budget per source (tokens, whitespace count) — the mixture
+# recipe a pretraining run pins ("N tokens of web, M of code, ...").
+# Sized so the cut is exercised at every test SF (per-source totals
+# are ~1.3k tokens at sf0.01, ~13k at sf0.1).
+_BUDGETS = {"src0": 400, "src1": 900, "src2": 2000}
+_BUDGET_DEFAULT = 700
+_BUDGET_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _BUDGETS.items()
+)
+
+
+@query(
+    "x_token_budget_mix",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               CASE source {_BUDGET_CASE} ELSE {_BUDGET_DEFAULT} END
+                   AS budget
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tokens, budget,
+               sum(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY h, doc_id) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= budget
+    """,
+    tags=("llm", "training", "mixing"),
+)
+def x_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing under token budgets: each source contributes
+    documents in a deterministic md5(doc_id) shuffle order until its
+    token budget is exhausted (running window sum, cut at the budget).
+    This is how a pretraining recipe pins "N tokens of web, M of
+    wiki": reproducible across engines, reruns, and repartitioning
+    because the selection order is a content hash, not rand() or
+    partition order.
+
+    Scale shape: ONE window shuffle partitioned by source. The
+    per-source sort is the honest cost of an exact budget cut; at
+    100 TB with few sources the sort is the skew risk, so a real run
+    would pre-aggregate n_tokens per doc (done here scan-side) and,
+    if a source dominates, two-phase it: hash-range prefix-sum the
+    per-bucket token totals, broadcast the cut bucket, and sort only
+    within it. The exact windowed form is the oracle-checkable
+    semantics both share."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), " ", -1), lambda w: w != "")
+    )
+    budget = F.lit(_BUDGET_DEFAULT)
+    for k, v in _BUDGETS.items():
+        budget = F.when(F.col("source") == k, v).otherwise(budget)
+    t = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        budget.alias("budget"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= F.col("budget"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )
