@@ -243,3 +243,64 @@ def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wf).alias("last_key"),
         F.nth_value("o_orderkey", 3).over(wf).alias("third_key"),
     )
+
+
+@query(
+    "x_window_ignore_nulls",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+        FROM events WHERE user_id <= 40
+    )
+    SELECT event_id, user_id,
+           lag(v IGNORE NULLS) OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS prev_v,
+           lead(v IGNORE NULLS) OVER (PARTITION BY user_id
+                                      ORDER BY event_id) AS next_v,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                                            ORDER BY event_id) AS locf_v,
+           first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_obs,
+           nth_value(v, 2 IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_obs
+    FROM e
+    """,
+    tags=("window", "nulls"),
+)
+def x_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2011 null-treatment clause across the navigation family —
+    LAG/LEAD/LAST_VALUE (running LOCF)/FIRST_VALUE/NTH_VALUE, all
+    IGNORE NULLS over a synthesized NULL-bearing measure. Both
+    engines default to RESPECT NULLS, and the clause sits in
+    different syntactic positions (Spark: after the call; DuckDB:
+    inside it) — exactly the divergence territory the SLT bank also
+    pins; this registry twin makes it driver-auditable. One window
+    shuffle, all frames share the (user_id, event_id) sort."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 40)
+    v = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base = e.select("event_id", "user_id", v.alias("v"))
+    # lag/lead don't expose ignoreNulls in the Python API — SQL form
+    nav = F.expr(
+        "lag(v) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY event_id)"
+    )
+    nxt = F.expr(
+        "lead(v) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY event_id)"
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        nav.alias("prev_v"),
+        nxt.alias("next_v"),
+        F.last("v", ignorenulls=True).over(w).alias("locf_v"),
+        F.first("v", ignorenulls=True).over(wf).alias("first_obs"),
+        F.nth_value("v", 2, ignoreNulls=True).over(wf).alias("second_obs"),
+    ).drop("v")
