@@ -553,3 +553,54 @@ def x_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------
+# x_cdc_apply — last-writer-wins changelog apply with deletes
+# --------------------------------------------------------------------
+
+
+@query(
+    "x_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("cdc", "dimension"),
+)
+def x_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog apply with last-writer-wins and tombstones: the
+    events stream is read as a CDC feed keyed by user_id — the newest
+    record (ts, event_id total order) decides each key's final state,
+    and a trailing 'error' record acts as a DELETE tombstone, removing
+    the key from the materialized table entirely. This is the MERGE
+    INTO / upsert-compaction kernel every CDC-fed lakehouse table
+    runs; the SCD2 query above keeps the history, this one keeps the
+    snapshot.
+
+    Scale shape: one window shuffle on the key with a rank-1 cut
+    (WindowGroupLimit pushes the filter below the sort at the
+    executor, so no full per-key materialization); the tombstone
+    filter is a post-window predicate. Equivalent at 100 TB to
+    max-by-timestamp compaction — no join, no second shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
