@@ -604,3 +604,59 @@ def x_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("last_ts"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# x_data_profile — per-column profiling in one scan (ANALYZE kernel)
+# --------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
+
+
+@query(
+    "x_data_profile",
+    oracle=f"""
+    WITH u AS (
+        {' UNION ALL '.join(
+            f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS v FROM orders"
+            for c in _PROFILE_COLS
+        )}
+    )
+    SELECT col_name,
+           count(*) AS n_rows,
+           count(v) AS n_nonnull,
+           count(DISTINCT v) AS n_distinct,
+           min(v) AS min_str,
+           max(v) AS max_str
+    FROM u GROUP BY col_name
+    """,
+    tags=("profiling", "stats"),
+)
+def x_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — the ANALYZE/stats-collection kernel: for a
+    column set, row/non-null/exact-distinct counts and string min/max
+    in ONE scan. Implemented as an unpivot (`stack`) into
+    (col_name, value) rows and a single grouped aggregate, so adding
+    columns widens the explode factor, not the number of passes. At
+    100 TB: one scan + one shuffle keyed by column name; for a real
+    deployment swap exact COUNT(DISTINCT) for approx_count_distinct
+    and the shuffle drops to map-side partials only (exact kept here
+    because the oracle pins it value-for-value)."""
+    o = load_table(spark, sf_dir, "orders")
+    stack_expr = "stack({n}, {args}) AS (col_name, v)".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(
+            f"'{c}', CAST({c} AS STRING)" for c in _PROFILE_COLS
+        ),
+    )
+    return (
+        o.selectExpr(stack_expr)
+        .groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v").alias("n_nonnull"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.min("v").alias("min_str"),
+            F.max("v").alias("max_str"),
+        )
+    )
