@@ -891,7 +891,8 @@ def _parse_window_agg(m: "re.Match"):
 # to scope affected-partition recompute.
 _WINFN_ITEM_RE = re.compile(
     r"^(?P<fn>ROW_NUMBER|RANK|DENSE_RANK|NTILE|LAG|LEAD|FIRST_VALUE|LAST_VALUE"
-    r"|SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<arg>[^()]*)\s*\)\s+OVER\s*\(\s*"
+    r"|NTH_VALUE|SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<arg>[^()]*)\s*\)"
+    r"(?:\s+(?:IGNORE|RESPECT)\s+NULLS)?\s+OVER\s*\(\s*"
     r"PARTITION\s+BY\s+(?P<part>[\w\s,]+?)\s+ORDER\s+BY\s+(?P<order>[\w\s,]+?)"
     r"(?:\s+(?:ROWS|RANGE)\s+BETWEEN\s+[^()]+?)?\s*\)\s+AS\s+(?P<alias>\w+)$",
     re.IGNORECASE | re.DOTALL,

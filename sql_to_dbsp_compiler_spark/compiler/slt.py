@@ -322,6 +322,15 @@ def slt_statements(seed: int = 0) -> list[str]:
         # last observation forward within each series)
         "SELECT id, last_value(a IGNORE NULLS) OVER (PARTITION BY (b > 0) "
         "ORDER BY id) AS lv FROM t",
+        # SCD2 shape: lag change-detection in a CTE, then lead
+        # interval assignment — two window levels over one key
+        "WITH ch AS (SELECT id, s, ts FROM (SELECT id, s, ts, "
+        "lag(s) OVER (PARTITION BY (a IS NULL) ORDER BY ts, id) AS ps "
+        "FROM t WHERE ts IS NOT NULL) "
+        "WHERE ps IS NULL OR ps IS DISTINCT FROM s) "
+        "SELECT id, s, ts AS valid_from, "
+        "lead(ts) OVER (PARTITION BY (id % 2) ORDER BY ts, id) AS valid_to "
+        "FROM ch",
     ]
     stmts += [
         # WITH RECURSIVE ... UNION ALL on acyclic derivations: both

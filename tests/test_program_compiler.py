@@ -2171,3 +2171,41 @@ def test_recognizer_cte_views_compile_to_chained_circuits(spark):
             a = sorted((tuple(r) for r in oo[v].to_multiset_df().collect()), key=repr)
             b = sorted((tuple(r) for r in nn[v].to_multiset_df().collect()), key=repr)
             assert a == b, f"{v} step {step}: {a} vs {b}"
+
+
+def test_recognizer_ignore_nulls_window(spark):
+    """SQL:2011 null-treatment windows (LAST_VALUE/LAG ... IGNORE
+    NULLS) recognize as partitioned-window circuits — the clause
+    changes the per-partition computation Catalyst runs, not the
+    touched-partition recompute scoping — and optimized == naive
+    across insert AND retraction steps over NULL-bearing values."""
+    prog = """
+    CREATE TABLE obs(id INTEGER, grp INTEGER, val INTEGER);
+    CREATE VIEW v_locf AS SELECT id, grp,
+        LAST_VALUE(val) IGNORE NULLS OVER (PARTITION BY grp ORDER BY id) AS locf,
+        LAG(val) IGNORE NULLS OVER (PARTITION BY grp ORDER BY id) AS prev_obs,
+        NTH_VALUE(val, 2) OVER (PARTITION BY grp ORDER BY id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_any
+        FROM obs WHERE grp IS NOT NULL;
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=1)
+    naive = IncrementalProgram(spark, prog, optimize=False, checkpoint_every=1)
+    assert opt.plan()["v_locf"] == "partitioned-window"
+
+    schema = "id int, grp int, val int, __weight long"
+    steps = [
+        # inserts with NULL gaps
+        [(1, 0, 10, 1), (2, 0, None, 1), (3, 0, 30, 1),
+         (4, 1, None, 1), (5, 1, 50, 1)],
+        # retract an observed value (LOCF chain must re-route) + insert
+        [(3, 0, 30, -1), (6, 0, None, 1), (7, 1, 70, 1)],
+        # retract a NULL row and the partition's first row
+        [(2, 0, None, -1), (1, 0, 10, -1), (8, 0, 80, 1)],
+    ]
+    for i, rows in enumerate(steps):
+        d_o = {"obs": ZSet(spark.createDataFrame(rows, schema))}
+        d_n = {"obs": ZSet(spark.createDataFrame(rows, schema))}
+        out_o = opt.step(d_o)
+        out_n = naive.step(d_n)
+        assert _zrows(out_o["v_locf"]) == _zrows(out_n["v_locf"]), f"step {i}"
+    assert _zrows(opt.snapshot("v_locf")) == _zrows(naive.snapshot("v_locf"))
