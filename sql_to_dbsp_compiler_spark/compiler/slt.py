@@ -522,6 +522,22 @@ def slt_random_statements(seed: int = 0, n: int = 150) -> list[str]:
                     f"WHERE {rf()}"
                 )
         elif kind == 2:  # window over deterministic order
+            if rng.random() < 0.35:
+                # navigation with the SQL:2011 null-treatment clause
+                # (DuckDB placement; to_spark_dialect moves it out)
+                nav = rng.choice([
+                    "lag(a IGNORE NULLS)",
+                    "lead(b IGNORE NULLS)",
+                    "last_value(a IGNORE NULLS)",
+                    "first_value(b IGNORE NULLS)",
+                    "lag(a, 2 IGNORE NULLS)",
+                ])
+                part = rng.choice(["", f"PARTITION BY {rng.choice(keys)} "])
+                out.append(
+                    f"SELECT id, {nav} OVER ({part}ORDER BY id) AS nv "
+                    f"FROM t WHERE {rf()}"
+                )
+                continue
             w = rng.choice(winfns)
             part = rng.choice(["", f"PARTITION BY {rng.choice(keys)} "])
             frame = (
