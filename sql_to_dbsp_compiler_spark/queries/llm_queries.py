@@ -1251,3 +1251,45 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids.write.mode("overwrite").parquet(_SEMDEDUP_CENTROID_PATH)
     cent = spark.read.parquet(_SEMDEDUP_CENTROID_PATH)
     return semdedup_drops(e, cent, tau=0.35)
+
+
+@query(
+    "x_media_dedup",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1]
+                   AS media_type,
+               md5(text) AS content_md5
+        FROM documents
+    )
+    SELECT content_md5, media_type,
+           count(*) AS n_copies,
+           min(media_id) AS canonical_id
+    FROM m GROUP BY content_md5, media_type
+    HAVING count(*) >= 1
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def x_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal exact dedup by content hash: md5 over the opaque
+    binary payload (the first pass every image/audio dedup pipeline
+    runs before any perceptual hashing), grouped with the media type,
+    keeping the lowest media_id as canonical. The hash is computed
+    map-side on the binary column — at 100 TB the shuffle carries
+    (16-byte digest, type) pairs, never payload bytes; one shuffle
+    with map-side partial aggregation. Oracle reproduces the digest
+    from the text the synthetic payload encodes."""
+    m = media_table(load_table(spark, sf_dir, "documents"))
+    return (
+        m.select(
+            "media_id",
+            "media_type",
+            F.md5(F.col("payload")).alias("content_md5"),
+        )
+        .groupBy("content_md5", "media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("canonical_id"),
+        )
+    )
