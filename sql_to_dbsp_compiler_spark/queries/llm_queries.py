@@ -1293,3 +1293,52 @@ def x_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("media_id").alias("canonical_id"),
         )
     )
+
+
+@query(
+    "x_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id >= 10)
+    SELECT query_id, vec_id, sim, rn FROM (
+        SELECT query_id, vec_id, list_cosine_similarity(qv, cv) AS sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY list_cosine_similarity(qv, cv) DESC, vec_id)
+                    AS BIGINT) AS rn
+        FROM q JOIN c ON c.label <> q.qlabel
+    ) WHERE rn <= 5
+    """,
+    tags=("llm", "similarity", "training"),
+)
+def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (query) embedding, the top-5 most-similar vectors whose LABEL
+    DIFFERS — the high-scoring non-positives a contrastive loss
+    learns the most from. Same plan as brute-force ANN (anchors
+    broadcast, one corpus scan, per-anchor WindowGroupLimit) with the
+    label-exclusion folded into the join condition so excluded pairs
+    never reach the scorer. At 100 TB the corpus side stays
+    partition-parallel; swap the scorer for the SRP-LSH or IVF path
+    when the anchor set itself is large (same exclusion predicate
+    applies post-candidate)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from sql_to_dbsp_compiler_spark.llm.similarity import as_double_array, cosine
+    from sql_to_dbsp_compiler_spark.operators.topk import topk_per_group
+
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        as_double_array(F.col("embedding")).alias("qv"),
+    )
+    c = e.where(F.col("vec_id") >= 10).select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("cv")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("label") != F.col("qlabel"), "inner"
+    ).select("query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    return topk_per_group(
+        scored, ["query_id"], [F.col("sim").desc(), F.col("vec_id")], 5
+    ).withColumn("rn", F.col("rn").cast("bigint"))
