@@ -716,3 +716,88 @@ def test_transform_with_state_scd2_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, final.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_streaming_checkpoint_restart_recovers_state(spark, tmp_path):
+    """Exactly-once restart from a checkpoint: a watermarked tumbling
+    aggregate runs over two files, STOPS, and a NEW query (same
+    checkpoint, same sink) processes two more. The windows whose state
+    was built BEFORE the stop are only finalized (watermark passes)
+    AFTER the restart — so correct output proves the state store and
+    watermark recovered, and the file-sink manifest proves no batch
+    was emitted twice. This is the fault-tolerance contract the
+    reference delegates to its host; here it is Structured
+    Streaming's checkpoint, exercised end-to-end."""
+    import datetime as dt
+    import os
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src)
+
+    def T(h, m=0):
+        return dt.datetime(2024, 3, 1, h, m)
+
+    schema = "user_id long, event_type string, ts timestamp"
+    files = [
+        [(1, "a", T(1, 10)), (2, "a", T(1, 20)), (3, "b", T(2, 30))],
+        [(4, "c", T(5, 0))],
+        [(5, "d", T(8, 0))],
+        [(6, "e", T(9, 0))],
+    ]
+
+    def add_file(i):
+        spark.createDataFrame(files[i], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"_f{i}"))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / f"_f{i}" / "*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"f{i}.parquet"))
+        shutil.rmtree(str(tmp_path / f"_f{i}"))
+
+    def run_once():
+        stream = stream_from_dir(spark, src, _parse_ddl(schema))
+        agged = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"),
+                "n",
+            )
+        )
+        q = (
+            agged.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.awaitTermination()
+
+    add_file(0)
+    add_file(1)
+    run_once()  # builds state for h1/h2/h5 windows; none finalized yet
+    first = {tuple(r) for r in spark.read.parquet(sink).collect()} if (
+        os.path.exists(sink) and any(f.endswith(".parquet") for f in os.listdir(sink))
+    ) else set()
+
+    add_file(2)
+    add_file(3)
+    run_once()  # RESTART from checkpoint: finalizes h1/h2 (wm 04:00) and h5 (07:00)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    want = [
+        (T(1), T(2), 2),   # two 'a' rows — state from BEFORE the restart
+        (T(2), T(3), 1),
+        (T(5), T(6), 1),
+    ]
+    assert got == want, (got, first)
+    # no duplicates across the restart (exactly-once file sink)
+    assert len(got) == len(set(got))
