@@ -4696,6 +4696,65 @@ class IncrementalProgram:
             raise ValueError("no steps applied yet")
         return self._view_state[view]
 
+    def save_state(self, path: str) -> None:
+        """Persist the program's integrated INPUT state (one parquet
+        Z-set per table, weights consolidated) plus a manifest. The
+        view/operator state is deliberately NOT persisted: every view
+        is a pure function of the integrated inputs, so `restore`
+        rebuilds it — which keeps the format valid for every operator
+        kind (optimized circuits hold heterogeneous internal
+        accumulators that have no stable on-disk contract)."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        for name, z in self._state.items():
+            z.consolidate().df.write.mode("overwrite").parquet(
+                os.path.join(path, f"table_{name}")
+            )
+        manifest = {
+            "tables": sorted(self._state),
+            "views": [v.name for v in self.program.views],
+            "steps": self._steps,
+        }
+        with open(os.path.join(path, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    @classmethod
+    def restore(
+        cls,
+        spark: SparkSession,
+        program: "SqlProgram | str",
+        path: str,
+        **kwargs,
+    ) -> "IncrementalProgram":
+        """Reconstruct a program from `save_state` output and resume
+        incremental maintenance. The saved table state replays as ONE
+        bootstrap insert-only delta — a full recompute whose cost is
+        proportional to the state size, paid once at restart; every
+        step after it is incremental again. Correct for all operator
+        kinds (naive, every recognized circuit, recursive fixpoints)
+        because a single insert-only step from empty is just the
+        ordinary semantics. The bootstrap's output deltas are
+        discarded (they re-derive the pre-save totals)."""
+        import json
+        import os
+
+        with open(os.path.join(path, "manifest.json")) as fh:
+            manifest = json.load(fh)
+        inc = cls(spark, program, **kwargs)
+        if sorted(inc._state) != manifest["tables"] or [
+            v.name for v in inc.program.views
+        ] != manifest["views"]:
+            raise ValueError("saved state does not match this program")
+        deltas = {
+            name: ZSet(spark.read.parquet(os.path.join(path, f"table_{name}")))
+            for name in manifest["tables"]
+        }
+        inc.step(deltas)
+        inc._steps = manifest["steps"] + 1
+        return inc
+
     def _warm_recursive(self, view: ViewDef, in_deltas: dict, out: dict):
         """Warm-start evaluation of a recursive view for this step, or
         None when the safe preconditions don't hold.

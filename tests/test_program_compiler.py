@@ -2209,3 +2209,71 @@ def test_recognizer_ignore_nulls_window(spark):
         out_n = naive.step(d_n)
         assert _zrows(out_o["v_locf"]) == _zrows(out_n["v_locf"]), f"step {i}"
     assert _zrows(opt.snapshot("v_locf")) == _zrows(naive.snapshot("v_locf"))
+
+
+def test_save_restore_resumes_incremental(spark, tmp_path):
+    """save_state → restore across 'process' boundaries: the restored
+    program must produce the SAME view snapshots and the SAME next-step
+    output deltas as the program that never stopped — across naive,
+    recognized-circuit, windowed, and recursive views. Restore replays
+    the persisted input state as one bootstrap insert-only delta, so
+    no operator kind needs an on-disk state contract."""
+    prog = """
+    CREATE TABLE t(id INTEGER, a INTEGER, cat VARCHAR(3));
+    CREATE TABLE edge(src INTEGER, dst INTEGER);
+    CREATE VIEW v_lin AS SELECT id, a * 2 AS a2 FROM t WHERE a IS NOT NULL;
+    CREATE VIEW v_agg AS SELECT cat, sum(a) AS sa, count(*) AS n FROM t GROUP BY cat;
+    CREATE VIEW v_win AS SELECT id, cat,
+        ROW_NUMBER() OVER (PARTITION BY cat ORDER BY id) AS rn FROM t;
+    CREATE RECURSIVE VIEW reach(src INTEGER, dst INTEGER) AS
+        SELECT src, dst FROM edge
+        UNION SELECT r.src, e.dst FROM reach r JOIN edge e ON r.dst = e.src;
+    """
+    t_schema = "id int, a int, cat string, __weight long"
+    e_schema = "src int, dst int, __weight long"
+    steps = [
+        (
+            [(1, 10, "x", 1), (2, 20, "x", 1), (3, 30, "y", 1)],
+            [(1, 2, 1), (2, 3, 1)],
+        ),
+        (
+            [(2, 20, "x", -1), (4, 40, "y", 1)],
+            [(3, 4, 1)],
+        ),
+    ]
+    third = ([(5, 50, "x", 1), (3, 30, "y", -1)], [(1, 2, -1), (5, 1, 1)])
+
+    live = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=1)
+    for t_rows, e_rows in steps:
+        live.step({
+            "t": ZSet(spark.createDataFrame(t_rows, t_schema)),
+            "edge": ZSet(spark.createDataFrame(e_rows, e_schema)),
+        })
+    state_dir = str(tmp_path / "state")
+    live.save_state(state_dir)
+
+    restored = IncrementalProgram.restore(
+        spark, prog, state_dir, optimize=True, checkpoint_every=1
+    )
+    views = ("v_lin", "v_agg", "v_win", "reach")
+    for v in views:
+        assert _zrows(restored.snapshot(v)) == _zrows(live.snapshot(v)), v
+
+    d_live = live.step({
+        "t": ZSet(spark.createDataFrame(third[0], t_schema)),
+        "edge": ZSet(spark.createDataFrame(third[1], e_schema)),
+    })
+    d_rest = restored.step({
+        "t": ZSet(spark.createDataFrame(third[0], t_schema)),
+        "edge": ZSet(spark.createDataFrame(third[1], e_schema)),
+    })
+    for v in views:
+        assert _zrows(d_rest[v]) == _zrows(d_live[v]), f"delta {v}"
+        assert _zrows(restored.snapshot(v)) == _zrows(live.snapshot(v)), v
+
+    # mismatched program is refused
+    import pytest as _pytest
+
+    other = "CREATE TABLE t(id INTEGER);\nCREATE VIEW v AS SELECT id FROM t;"
+    with _pytest.raises(ValueError):
+        IncrementalProgram.restore(spark, other, state_dir)
