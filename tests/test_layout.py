@@ -126,3 +126,37 @@ def test_zorder_plan_no_udf_single_shuffle(spark, sf_correct_dir, name):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # one partial-agg shuffle; formatted explain lists each node twice
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_morton_properties_hypothesis():
+    """Morton-code invariants over random 16-bit pairs (pure Python vs
+    the SQL form in DuckDB): bijectivity on the 32-bit range, axis
+    monotonicity along each dimension with the other pinned at 0, and
+    interleave symmetry z(a,b) with even/odd bit planes separable."""
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sql_to_dbsp_compiler_spark.queries.layout import zvalue_sql
+
+    con = duckdb.connect()
+
+    def z_sql(a, b):
+        return con.execute(f"SELECT {zvalue_sql(str(a), str(b))}").fetchone()[0]
+
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(a=st.integers(0, 65535), b=st.integers(0, 65535))
+    def check(a, b):
+        z = z_sql(a, b)
+        assert 0 <= z < 1 << 32
+        # bit planes separate back into the inputs (bijectivity)
+        even = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        odd = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (even, odd) == (a, b)
+        # monotone along each axis with the other at 0
+        assert z_sql(a, 0) <= z_sql(min(a + 1, 65535), 0)
+        assert z_sql(0, b) <= z_sql(0, min(b + 1, 65535))
+
+    check()
+    con.close()

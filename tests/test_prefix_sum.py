@@ -65,3 +65,41 @@ def test_prefix_sum_plan_shape(spark, sf_correct_dir):
     assert "BroadcastHashJoin" in plan
     # per-bucket window: partition spec mentions the bucket column
     assert "__bkt" in plan
+
+
+def test_prefix_sum_property_hypothesis(spark):
+    """Two-phase prefix sum == single-window running sum for random
+    multisets with negative values, duplicate hash prefixes, and
+    skewed keys (one key holding most rows)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_st = st.lists(
+        st.tuples(
+            st.integers(0, 50),            # id (tiebreaker, may repeat keys)
+            st.sampled_from(["k", "k", "k", "m"]),  # skewed key
+            st.integers(-5, 5),            # value incl. negatives
+        ),
+        min_size=1,
+        max_size=20,
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(data=rows_st)
+    def check(data):
+        data = [(i, k, v, idx) for idx, (i, k, v) in enumerate(data)]
+        df = spark.createDataFrame(
+            data, "id int, key string, v int, uniq int"
+        ).select(
+            "key", "v", "uniq",
+            F.md5(F.concat_ws("-", "id", "uniq")).alias("h"),
+        )
+        two = prefix_sum_by_hash(df, "key", "h", ["uniq"], "v", "cum")
+        w = Window.partitionBy("key").orderBy("h", "uniq")
+        one = df.withColumn("cum", F.sum("v").over(w))
+        assert _rows(two.select("uniq", "cum")) == _rows(
+            one.select("uniq", "cum")
+        )
+
+    check()
