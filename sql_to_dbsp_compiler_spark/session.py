@@ -35,6 +35,9 @@ def get_spark(app_name: str = "sql_to_dbsp_compiler_spark", master: str | None =
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # custom Python data sources (sources/cdc_journal.py) push
+        # EqualTo/IsNotNull into the scan when this is on
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Workaround for a Spark 4.1 constraint-propagation bug:
         # Dataset.localCheckpoint produces a LogicalRDD that PRESERVES
         # the origin plan's constraints; after Z-set consolidation

@@ -1,0 +1,160 @@
+"""`cdc_journal` — a custom Python DataSource (Spark 4 datasource
+API) that reads an insert/delete changelog journal directly into
+Z-set deltas.
+
+Journal format: a directory of `*.jsonl` files, one JSON object per
+line: `{"op": "I"|"D", "row": {col: value, ...}}`. The source emits
+the row columns plus `__weight` (+1 insert, −1 delete) — exactly the
+shape `plans/zset.ZSet` and `compiler.IncrementalProgram.step` take,
+so a journal directory IS an incremental-pipeline input:
+
+    spark.dataSource.register(CdcJournalDataSource)
+    delta = spark.read.format("cdc_journal").schema(ddl).load(path)
+    inc.step({"t": ZSet(delta)})
+
+The reference ingests change streams as native Z-set inputs
+(TableContents tracks INSERT/DELETE; circuit inputs are weighted
+collections); this source is the Spark-idiomatic equivalent of that
+ingest edge, with two production details done properly:
+
+- **Partitioned scan**: one input partition per journal file —
+  parallel across executors, no driver-side parse.
+- **Filter pushdown** (`pushFilters`): EqualTo / IsNotNull on
+  journal columns are applied WHILE scanning lines, so filtered
+  changelogs never materialize unmatched rows (Spark re-applies every
+  filter after the scan, so over-accepting here is safe — pushdown is
+  an optimization, not a correctness gate).
+
+A streaming variant (`DataSourceStreamReader`) tails the directory by
+file index with exactly-once offsets: `initialOffset` → file 0,
+`latestOffset` → current file count; each micro-batch reads the
+[start, end) file range, so a restarted query resumes from its
+checkpointed offset without re-emitting deltas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+    IsNotNull,
+)
+from pyspark.sql.types import StructType
+
+WEIGHT = "__weight"
+
+
+@dataclass(frozen=True)
+class _FilePartition(InputPartition):
+    path: str
+
+
+def _journal_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".jsonl")
+    )
+
+
+def _emit_file(path: str, cols: list[str], accepted) -> "iter":
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            weight = 1 if rec["op"] == "I" else -1
+            row = rec["row"]
+            if not all(f(row) for f in accepted):
+                continue
+            yield tuple(row.get(c) for c in cols) + (weight,)
+
+
+def _compile_filters(pushed: list[Filter]):
+    """Compile the supported filters to row-dict predicates."""
+    fns = []
+    for f in pushed:
+        if isinstance(f, EqualTo):
+            col, val = f.attribute[0], f.value
+            fns.append(lambda r, c=col, v=val: r.get(c) == v)
+        elif isinstance(f, IsNotNull):
+            col = f.attribute[0]
+            fns.append(lambda r, c=col: r.get(c) is not None)
+    return fns
+
+
+class CdcJournalReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self._path = options["path"]
+        # all columns except the weight the source itself appends
+        self._cols = [f.name for f in schema.fields if f.name != WEIGHT]
+        self._accepted: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        for f in filters:
+            if isinstance(f, (EqualTo, IsNotNull)) and len(f.attribute) == 1 \
+                    and f.attribute[0] != WEIGHT:
+                self._accepted.append(f)
+            else:
+                yield f  # unsupported — Spark keeps it post-scan
+
+    def partitions(self) -> list[InputPartition]:
+        return [_FilePartition(p) for p in _journal_files(self._path)] or [
+            _FilePartition("")
+        ]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        yield from _emit_file(
+            partition.path, self._cols, _compile_filters(self._accepted)
+        )
+
+
+class CdcJournalStreamReader(DataSourceStreamReader):
+    """Offsets are file indexes into the sorted journal listing: a
+    micro-batch covers files [start, end). Files must be appended with
+    monotonically sorting names (the journal writer's contract)."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self._path = options["path"]
+        self._cols = [f.name for f in schema.fields if f.name != WEIGHT]
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(_journal_files(self._path))}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        files = _journal_files(self._path)[start["index"]:end["index"]]
+        return [_FilePartition(p) for p in files] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        yield from _emit_file(partition.path, self._cols, [])
+
+    def commit(self, end: dict) -> None:
+        pass  # journal files are immutable; nothing to clean up
+
+
+class CdcJournalDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_journal"
+
+    def reader(self, schema: StructType) -> CdcJournalReader:
+        return CdcJournalReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> CdcJournalStreamReader:
+        return CdcJournalStreamReader(schema, self.options)

@@ -1,0 +1,123 @@
+"""cdc_journal custom Python DataSource: batch read → Z-set deltas,
+filter pushdown at the scan, streaming offsets with restart-safe file
+ranges, and end-to-end IncrementalProgram maintenance from a journal
+directory."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_to_dbsp_compiler_spark.sources.cdc_journal import (
+    CdcJournalDataSource,
+    CdcJournalReader,
+    CdcJournalStreamReader,
+    _FilePartition,
+)
+
+DDL = "id int, cat string, v int, __weight long"
+
+
+def _write_journal(path: str, name: str, recs: list[tuple[str, dict]]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as fh:
+        for op, row in recs:
+            fh.write(json.dumps({"op": op, "row": row}) + "\n")
+
+
+@pytest.fixture()
+def journal_dir(tmp_path):
+    p = str(tmp_path / "journal")
+    _write_journal(p, "j000.jsonl", [
+        ("I", {"id": 1, "cat": "a", "v": 10}),
+        ("I", {"id": 2, "cat": "b", "v": 20}),
+        ("I", {"id": 3, "cat": "a", "v": None}),
+    ])
+    _write_journal(p, "j001.jsonl", [
+        ("D", {"id": 2, "cat": "b", "v": 20}),
+        ("I", {"id": 4, "cat": "b", "v": 40}),
+    ])
+    return p
+
+
+def test_batch_read_emits_weighted_deltas(spark, journal_dir):
+    spark.dataSource.register(CdcJournalDataSource)
+    df = spark.read.format("cdc_journal").schema(DDL).load(journal_dir)
+    got = sorted(map(tuple, df.collect()))
+    assert got == [
+        (1, "a", 10, 1),
+        (2, "b", 20, -1),
+        (2, "b", 20, 1),
+        (3, "a", None, 1),
+        (4, "b", 40, 1),
+    ]
+    # engine-side filters still correct on top of the python scan
+    assert df.where(F.col("cat") == "a").count() == 2
+
+
+def test_filter_pushdown_applied_at_scan(journal_dir):
+    """pushFilters accepts EqualTo/IsNotNull (others yielded back) and
+    the reader skips non-matching journal lines before emission."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, IsNotNull
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(DDL)
+    r = CdcJournalReader(schema, {"path": journal_dir})
+    remaining = list(r.pushFilters([
+        EqualTo(("cat",), "a"),
+        IsNotNull(("v",)),
+        GreaterThan(("v",), 5),  # unsupported — must be yielded back
+    ]))
+    assert len(remaining) == 1 and isinstance(remaining[0], GreaterThan)
+    rows = [row for p in r.partitions() for row in r.read(p)]
+    # only cat='a' AND v IS NOT NULL journal lines survive the scan
+    assert rows == [(1, "a", 10, 1)]
+
+
+def test_stream_offsets_cover_new_files_once(spark, journal_dir):
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(DDL)
+    sr = CdcJournalStreamReader(schema, {"path": journal_dir})
+    assert sr.initialOffset() == {"index": 0}
+    assert sr.latestOffset() == {"index": 2}
+    batch1 = [r for p in sr.partitions({"index": 0}, {"index": 2}) for r in sr.read(p)]
+    assert len(batch1) == 5
+    # a new journal file advances the offset; the old range re-reads
+    # identically (restart safety) and the new range sees ONLY the tail
+    _write_journal(journal_dir, "j002.jsonl", [("I", {"id": 5, "cat": "c", "v": 50})])
+    assert sr.latestOffset() == {"index": 3}
+    again = [r for p in sr.partitions({"index": 0}, {"index": 2}) for r in sr.read(p)]
+    assert again == batch1
+    tail = [r for p in sr.partitions({"index": 2}, {"index": 3}) for r in sr.read(p)]
+    assert tail == [(5, "c", 50, 1)]
+
+
+def test_journal_drives_incremental_program(spark, journal_dir):
+    """End-to-end: each journal file is one IncrementalProgram step;
+    the maintained aggregate equals evaluating the view over the
+    integrated journal."""
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+
+    spark.dataSource.register(CdcJournalDataSource)
+    prog = """
+    CREATE TABLE t(id INTEGER, cat VARCHAR(3), v INTEGER);
+    CREATE VIEW v_agg AS SELECT cat, count(*) AS n,
+        sum(coalesce(v, 0)) AS sv FROM t GROUP BY cat;
+    """
+    inc = IncrementalProgram(spark, prog, optimize=True, checkpoint_every=1)
+    import shutil
+
+    for i, fname in enumerate(sorted(os.listdir(journal_dir))):
+        # one directory per step — deltas evaluate lazily inside step()
+        one = os.path.join(journal_dir, "..", f"one_{i}")
+        os.makedirs(one, exist_ok=True)
+        shutil.copy(os.path.join(journal_dir, fname), os.path.join(one, fname))
+        delta = spark.read.format("cdc_journal").schema(DDL).load(one)
+        inc.step({"t": ZSet(delta)})
+    got = sorted(tuple(r) for r in inc.snapshot("v_agg").to_multiset_df().collect())
+    assert got == [("a", 2, 10), ("b", 1, 40)]
