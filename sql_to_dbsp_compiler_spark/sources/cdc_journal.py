@@ -42,10 +42,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
     IsNotNull,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -158,3 +160,59 @@ class CdcJournalDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> CdcJournalStreamReader:
         return CdcJournalStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "CdcJournalWriter":
+        return CdcJournalWriter(schema, self.options, overwrite)
+
+
+@dataclass(frozen=True)
+class _WroteFile(WriterCommitMessage):
+    tmp_path: str
+    rows: int
+
+
+class CdcJournalWriter(DataSourceWriter):
+    """Exactly-once journal sink: each task writes its partition to a
+    hidden `.part` temp file and reports it in the commit message; the
+    driver's `commit` renames them to the next `jNNN.jsonl` slots in
+    one pass. Readers only list `*.jsonl`, so a failed/duplicated task
+    attempt never becomes visible — the rename on commit is the
+    atomicity boundary (the same manifest idea as the parquet file
+    sink). `abort` deletes the temps."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool) -> None:
+        self._path = options["path"]
+        self._cols = [f.name for f in schema.fields if f.name != WEIGHT]
+        self._has_weight = any(f.name == WEIGHT for f in schema.fields)
+        self._overwrite = overwrite
+        os.makedirs(self._path, exist_ok=True)
+
+    def write(self, iterator) -> _WroteFile:
+        import uuid
+
+        tmp = os.path.join(self._path, f".{uuid.uuid4().hex}.part")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                d = row.asDict()
+                w = int(d.pop(WEIGHT, 1)) if self._has_weight else 1
+                op = "I" if w > 0 else "D"
+                for _ in range(abs(w)):
+                    fh.write(json.dumps({"op": op, "row": d}) + "\n")
+                    n += 1
+        return _WroteFile(tmp, n)
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for f in _journal_files(self._path):
+                os.remove(f)
+        start = len(_journal_files(self._path))
+        for i, m in enumerate(sorted(messages, key=lambda m: m.tmp_path)):
+            os.rename(
+                m.tmp_path, os.path.join(self._path, f"j{start + i:06d}.jsonl")
+            )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

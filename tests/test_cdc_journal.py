@@ -121,3 +121,33 @@ def test_journal_drives_incremental_program(spark, journal_dir):
         inc.step({"t": ZSet(delta)})
     got = sorted(tuple(r) for r in inc.snapshot("v_agg").to_multiset_df().collect())
     assert got == [("a", 2, 10), ("b", 1, 40)]
+
+
+def test_writer_round_trips_and_commits_atomically(spark, tmp_path):
+    """df.write.format('cdc_journal'): weighted rows become I/D journal
+    lines via per-task temp files renamed on driver commit — read back
+    equals the written Z-set, no .part temps remain, and a second
+    append lands in fresh jNNN slots."""
+    spark.dataSource.register(CdcJournalDataSource)
+    out = str(tmp_path / "wjournal")
+    df = spark.createDataFrame(
+        [(1, "a", 10, 1), (2, "b", 20, -1), (3, "a", 30, 2)], DDL
+    )
+    df.write.format("cdc_journal").mode("append").save(out)
+    # weight 2 expands to two insert lines; -1 to one delete line
+    back = spark.read.format("cdc_journal").schema(DDL).load(out)
+    got = sorted(map(tuple, back.collect()))
+    assert got == [
+        (1, "a", 10, 1),
+        (2, "b", 20, -1),
+        (3, "a", 30, 1),
+        (3, "a", 30, 1),
+    ]
+    assert not [f for f in os.listdir(out) if f.endswith(".part")]
+
+    spark.createDataFrame([(9, "c", 90, 1)], DDL).write.format(
+        "cdc_journal"
+    ).mode("append").save(out)
+    names = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert len(names) >= 2 and names == sorted(set(names))
+    assert spark.read.format("cdc_journal").schema(DDL).load(out).count() == 5
