@@ -151,3 +151,32 @@ def test_writer_round_trips_and_commits_atomically(spark, tmp_path):
     names = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
     assert len(names) >= 2 and names == sorted(set(names))
     assert spark.read.format("cdc_journal").schema(DDL).load(out).count() == 5
+
+
+def test_stream_read_end_to_end(spark, journal_dir):
+    """readStream over the journal: micro-batches follow the file
+    offsets (availableNow drains both files) and the appended output
+    equals the batch read. Needs no external runtime — the PYTHONPATH
+    export in session.py makes the source class importable from the
+    planner workers regardless of driver cwd."""
+    spark.dataSource.register(CdcJournalDataSource)
+    stream = (
+        spark.readStream.format("cdc_journal").schema(DDL).load(journal_dir)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdc_stream_rt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("cdc_stream_rt").collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.format("cdc_journal").schema(DDL).load(journal_dir).collect(),
+        )
+    )
+    assert got == want and len(got) == 5
