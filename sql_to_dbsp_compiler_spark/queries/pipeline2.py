@@ -660,3 +660,61 @@ def x_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("max_str"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# x_cdc_journal_roundtrip — custom python source/sink, driver-audited
+# --------------------------------------------------------------------
+
+_JOURNAL_DIR = "/root/repo/.artifacts/cdc_journal"
+
+
+@query(
+    "x_cdc_journal_roundtrip",
+    oracle="""
+    SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+           CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+               AS BIGINT) AS net_rows,
+           round(sum(CASE WHEN event_type = 'error' THEN -value
+                          ELSE value END), 6) AS net_value
+    FROM events
+    GROUP BY user_id % 10
+    """,
+    tags=("cdc", "source", "roundtrip"),
+)
+def x_cdc_journal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cdc_journal custom Python data source driven end-to-end
+    under the driver gate: events become a changelog ('error' rows are
+    DELETE tombstones, everything else an insert), the journal WRITER
+    persists it via the temp-file/rename commit protocol, the READER
+    scans it back partition-per-file, and the weighted aggregate over
+    the round-tripped Z-set must equal DuckDB computing the same net
+    quantities straight from the events table. Exercises
+    sources/cdc_journal.py's full write→commit→list→scan loop on every
+    correctness run — not just in unit tests."""
+    from sql_to_dbsp_compiler_spark.sources.cdc_journal import (
+        CdcJournalDataSource,
+    )
+
+    spark.dataSource.register(CdcJournalDataSource)
+    e = load_table(spark, sf_dir, "events")
+    deltas = e.select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        F.when(F.col("event_type") == "error", F.lit(-1))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("__weight"),
+    )
+    path = f"{_JOURNAL_DIR}_{abs(hash(sf_dir)) % 10**8}"
+    deltas.write.format("cdc_journal").mode("overwrite").save(path)
+    back = (
+        spark.read.format("cdc_journal")
+        .schema("event_id long, user_id long, value double, __weight long")
+        .load(path)
+    )
+    return back.groupBy((F.col("user_id") % 10).cast("bigint").alias("bucket")).agg(
+        F.sum("__weight").cast("bigint").alias("net_rows"),
+        F.round(F.sum(F.col("__weight") * F.col("value")), 6).alias("net_value"),
+    )
