@@ -9,6 +9,7 @@ evaluation all preserve semantics."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sql_to_dbsp_compiler_spark.compiler import compile_batch
 from sql_to_dbsp_compiler_spark.queries.registry import query
@@ -512,3 +513,40 @@ def x_program_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert inc.recursive_dred_steps >= 1, "churn step must take the DRed path"
     assert inc.recursive_warm_steps >= 1, "growth step must warm-start"
     return inc.snapshot("reach").to_multiset_df()
+
+
+_DELETE_PROGRAM = """
+CREATE TABLE inv(item_id INTEGER, cat VARCHAR(5), qty INTEGER);
+CREATE VIEW stock AS SELECT cat, SUM(qty) AS total_qty, COUNT(*) AS n
+    FROM inv GROUP BY cat;
+INSERT INTO inv VALUES (1, 'red', 5), (2, 'red', 7), (3, 'blue', 2), (4, 'blue', NULL);
+DELETE FROM inv WHERE qty > 6;
+INSERT INTO inv VALUES (2, 'red', 6);
+DELETE FROM inv WHERE cat = 'green';
+"""
+
+
+@query(
+    "x_program_delete",
+    oracle="""
+    WITH inv(item_id, cat, qty) AS (
+        VALUES (1, 'red', 5), (3, 'blue', 2), (4, 'blue', NULL),
+               (2, 'red', 6)
+    )
+    SELECT cat, CAST(SUM(qty) AS BIGINT) AS total_qty, COUNT(*) AS n
+    FROM inv GROUP BY cat
+    """,
+    tags=("compiler", "delete"),
+)
+def x_program_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Program frontend with DELETE statements (reference:
+    TableContents.java:43 tracks INSERT and DELETE to build table
+    contents). Statement-order semantics under the driver gate: item 2
+    is deleted (qty 7 > 6) then re-inserted with qty 6; the NULL qty
+    row survives its DELETE predicate (UNKNOWN keeps the row); the
+    no-match DELETE is a no-op. The oracle lists the surviving rows
+    directly."""
+    views = compile_batch(spark, _DELETE_PROGRAM)
+    return views["stock"].withColumn(
+        "total_qty", F.col("total_qty").cast("bigint")
+    )
