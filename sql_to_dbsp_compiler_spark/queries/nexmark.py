@@ -258,3 +258,79 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "x_nexmark_q9_winning_bid",
+    oracle="""
+    SELECT auction, event_id, user_id, value, ts FROM (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS auction,
+               event_id, user_id, value, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   ORDER BY value DESC, ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("nexmark", "window"),
+)
+def x_nexmark_q9_winning_bid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended Nexmark q9 — winning bid per auction: highest value,
+    earliest (ts, event_id) on ties. The auction id is carried in the
+    JSON props payload, so the key extraction (get_json_object) runs
+    map-side inside codegen before the one per-auction rank shuffle;
+    WindowGroupLimit trims to rank-1 candidates pre-exchange."""
+    e = load_table(spark, sf_dir, "events")
+    auction = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    w = Window.partitionBy("auction").orderBy(
+        F.col("value").desc(), F.col("ts"), F.col("event_id")
+    )
+    return (
+        e.select(auction.alias("auction"), "event_id", "user_id", "value", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "x_nexmark_q16_channel_stats",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+           event_type AS channel,
+           COUNT(*) AS total_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           CAST(SUM(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rank1_events,
+           CAST(SUM(CASE WHEN value >= 10 AND value < 25 THEN 1 ELSE 0 END)
+               AS BIGINT) AS rank2_events,
+           CAST(SUM(CASE WHEN value >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+               AS rank3_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("nexmark", "aggregate"),
+)
+def x_nexmark_q16_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended Nexmark q16 — per-day per-channel statistics mixing
+    linear aggregates, banded conditional counts, and one exact
+    COUNT(DISTINCT). Shape note: the distinct forces Spark's two-phase
+    expand-aggregate; the linear counts ride the same shuffle, so the
+    whole statistic table is two exchanges regardless of event count."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").cast("string")
+    return e.groupBy(
+        day.alias("day"), F.col("event_type").alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.countDistinct("user_id").cast("bigint").alias("distinct_users"),
+        F.sum(F.when(F.col("value") < 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("rank1_events"),
+        F.sum(F.when((F.col("value") >= 10) & (F.col("value") < 25), 1).otherwise(0))
+        .cast("bigint")
+        .alias("rank2_events"),
+        F.sum(F.when(F.col("value") >= 25, 1).otherwise(0))
+        .cast("bigint")
+        .alias("rank3_events"),
+    )
