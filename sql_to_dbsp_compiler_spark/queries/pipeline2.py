@@ -718,3 +718,51 @@ def x_cdc_journal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__weight").cast("bigint").alias("net_rows"),
         F.round(F.sum(F.col("__weight") * F.col("value")), 6).alias("net_value"),
     )
+
+
+# --------------------------------------------------------------------
+# x_interval_join — point-in-interval as a bucketized equi-join
+# --------------------------------------------------------------------
+
+
+@query(
+    "x_interval_join",
+    oracle="""
+    WITH w AS (
+        SELECT event_id AS window_id, ts AS w_lo,
+               ts + INTERVAL 2 HOUR AS w_hi
+        FROM events WHERE event_type = 'error' AND event_id % 7 = 0
+    )
+    SELECT e.event_id, w.window_id
+    FROM events e JOIN w
+      ON e.ts >= w.w_lo AND e.ts <= w.w_hi
+    WHERE e.event_type <> 'error'
+    """,
+    tags=("join", "interval"),
+)
+def x_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join WITHOUT the BroadcastNestedLoop trap:
+    error events open 2-hour incident windows; every non-error event
+    inside a window is matched to it. The operator
+    (operators/interval_join.py) explodes each window to its covered
+    hour buckets and equi-joins events by their single bucket — one
+    linear shuffle; a naive `BETWEEN` join is O(|events|·|windows|).
+    tests/test_interval_join.py asserts the plan contains a real
+    equi-join and no nested-loop node."""
+    from sql_to_dbsp_compiler_spark.operators.interval_join import (
+        point_in_interval_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    windows = (
+        e.where((F.col("event_type") == "error") & (F.col("event_id") % 7 == 0))
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("w_lo"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_hi"),
+        )
+    )
+    points = e.where(F.col("event_type") != "error").select("event_id", "ts")
+    return point_in_interval_join(
+        points, windows, "ts", "w_lo", "w_hi", bucket_seconds=3600
+    ).select("event_id", "window_id")
