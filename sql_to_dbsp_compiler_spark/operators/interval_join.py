@@ -55,3 +55,48 @@ def point_in_interval_join(
         (F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) <= F.col(hi))
     )
     return joined.drop("__b")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """All (left, right) pairs whose intervals overlap
+    (l_lo <= r_hi AND r_lo <= l_hi), as one bucket equi-join. Both
+    sides explode to their covered buckets; a pair meets in every
+    shared bucket, so emission is restricted to the CANONICAL bucket —
+    the bucket of max(l_lo, r_lo), the overlap's start — which each
+    qualifying pair has exactly once. No distinct, no post-join
+    dedup shuffle."""
+    lb = left.withColumn(
+        "__lb",
+        F.explode(
+            F.sequence(
+                _bucket(F.col(l_lo), bucket_seconds),
+                _bucket(F.col(l_hi), bucket_seconds),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__rb",
+        F.explode(
+            F.sequence(
+                _bucket(F.col(r_lo), bucket_seconds),
+                _bucket(F.col(r_hi), bucket_seconds),
+            )
+        ),
+    )
+    joined = lb.join(rb, lb["__lb"] == rb["__rb"]).where(
+        (F.col(l_lo) <= F.col(r_hi))
+        & (F.col(r_lo) <= F.col(l_hi))
+        & (
+            F.col("__lb")
+            == _bucket(F.greatest(F.col(l_lo), F.col(r_lo)), bucket_seconds)
+        )
+    )
+    return joined.drop("__lb", "__rb")

@@ -53,3 +53,36 @@ def test_plan_is_equi_join_not_nested_loop(spark, sf_correct_dir):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+@pytest.mark.parametrize("bucket_s", [1800, 3600, 43200])
+def test_overlap_join_matches_naive(spark, sf_correct_dir, bucket_s):
+    """interval×interval overlap: canonical-bucket emission yields each
+    qualifying pair exactly once — equal to the naive theta join,
+    duplicates included NOT."""
+    from sql_to_dbsp_compiler_spark.operators.interval_join import (
+        interval_overlap_join,
+    )
+
+    e = load_table(spark, sf_correct_dir, "events")
+    left = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_lo"),
+        (F.col("ts") + F.expr("INTERVAL 3 HOURS")).alias("l_hi"),
+    )
+    right = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_lo"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("r_hi"),
+    )
+    got = interval_overlap_join(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi", bucket_seconds=bucket_s
+    ).select("l_id", "r_id")
+    naive = left.join(
+        right,
+        (F.col("l_lo") <= F.col("r_hi")) & (F.col("r_lo") <= F.col("l_hi")),
+    ).select("l_id", "r_id")
+    g = sorted(map(tuple, got.collect()))
+    n = sorted(map(tuple, naive.collect()))
+    assert g == n
+    assert len(g) == len(set(g))  # exactly-once emission
