@@ -748,7 +748,12 @@ def x_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour buckets and equi-joins events by their single bucket — one
     linear shuffle; a naive `BETWEEN` join is O(|events|·|windows|).
     tests/test_interval_join.py asserts the plan contains a real
-    equi-join and no nested-loop node."""
+    equi-join and no nested-loop node.
+
+    Scale note: the join's OUTPUT is inherently quadratic in temporal
+    density (windows/hour × events/hour); measured 200M pairs/s at
+    sf10 where the synthetic generator densifies a fixed calendar
+    span (BENCH_SCALE.md addendum)."""
     from sql_to_dbsp_compiler_spark.operators.interval_join import (
         point_in_interval_join,
     )
