@@ -158,3 +158,55 @@ def x_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# x_equidepth_hist — exact equi-depth histogram (ANALYZE statistics)
+# --------------------------------------------------------------------
+
+_HIST_BUCKETS = 16
+
+
+@query(
+    "x_equidepth_hist",
+    oracle=f"""
+    WITH q AS (
+        SELECT quantile_disc(value,
+            [{", ".join(f"{b}/{_HIST_BUCKETS}.0" for b in range(1, _HIST_BUCKETS + 1))}])
+            AS qs
+        FROM events
+    ), b AS (SELECT unnest(generate_series(1, {_HIST_BUCKETS})) AS bucket)
+    SELECT CAST(b.bucket AS INT) AS bucket, q.qs[b.bucket] AS upper_bound
+    FROM q, b
+    """,
+    tags=("profiling", "stats", "histogram"),
+)
+def x_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram of events.value: the 16 discrete
+    quantile upper bounds (the statistics a cost-based optimizer keeps
+    per column, computed the ANALYZE way). Discrete quantiles
+    (percentile_disc semantics — an actual data value, no
+    interpolation) make the result engine-exact, so the oracle matches
+    bit-for-bit where continuous percentiles would diverge in float
+    interpolation order.
+
+    Scale shape: Spark evaluates all 16 quantiles in ONE sort-based
+    aggregate pass (a single `percentile_disc` array literal would do
+    the same; the per-bucket rows here keep the output shape
+    relational). For 100 TB production use the swap is
+    approx_percentile with a pinned accuracy — the documented
+    trade; exact is kept because the oracle pins it value-for-value."""
+    d = load_table(spark, sf_dir, "events")
+    qs = [
+        F.expr(
+            f"percentile_disc({b}/{_HIST_BUCKETS}.0) WITHIN GROUP (ORDER BY value)"
+        ).alias(f"q{b}")
+        for b in range(1, _HIST_BUCKETS + 1)
+    ]
+    wide = d.agg(*qs)
+    stack = ", ".join(
+        f"{b}, q{b}" for b in range(1, _HIST_BUCKETS + 1)
+    )
+    return wide.selectExpr(
+        f"stack({_HIST_BUCKETS}, {stack}) AS (bucket, upper_bound)"
+    ).select(F.col("bucket").cast("int").alias("bucket"), "upper_bound")
