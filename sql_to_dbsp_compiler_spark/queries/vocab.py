@@ -210,3 +210,34 @@ def x_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({_HIST_BUCKETS}, {stack}) AS (bucket, upper_bound)"
     ).select(F.col("bucket").cast("int").alias("bucket"), "upper_bound")
+
+
+@query(
+    "x_group_sample",
+    oracle="""
+    SELECT lang, doc_id, rn FROM (
+        SELECT lang, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    AS BIGINT) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    """,
+    tags=("llm", "training", "sampling"),
+)
+def x_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling (5 docs per language by
+    md5(doc_id) order) — the eval-set / human-review draw that must be
+    reproducible across engines and reruns, unlike rand() or
+    TABLESAMPLE. WindowGroupLimit trims each map partition to its
+    per-group top-5 candidates before the single rank shuffle."""
+    from sql_to_dbsp_compiler_spark.operators.topk import topk_per_group
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    return (
+        topk_per_group(d, ["lang"], [F.col("h"), F.col("doc_id")], 5)
+        .withColumn("rn", F.col("rn").cast("bigint"))
+        .select("lang", "doc_id", "rn")
+    )
