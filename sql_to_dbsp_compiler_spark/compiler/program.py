@@ -82,11 +82,21 @@ class InsertDef:
     values_sql: str  # the text after VALUES, e.g. "(1, 'a'), (2, 'b')"
 
 
+@dataclass(frozen=True)
+class DeleteDef:
+    table: str
+    where_sql: str  # the predicate after WHERE (SQL TRUE rows removed)
+
+
 @dataclass
 class SqlProgram:
     tables: dict[str, TableDef] = field(default_factory=dict)
     views: list[ViewDef] = field(default_factory=list)
     inserts: list[InsertDef] = field(default_factory=list)
+    # inserts AND deletes in statement order (the reference's
+    # TableContents.java:43 tracks both to build table contents; order
+    # is semantic: insert/delete/re-insert differs from any grouping)
+    mutations: list = field(default_factory=list)
 
     @staticmethod
     def parse(text: str) -> "SqlProgram":
@@ -116,9 +126,20 @@ class SqlProgram:
                 continue
             m = _INSERT_RE.match(stmt)
             if m:
-                prog.inserts.append(InsertDef(_ident(m.group("name")), m.group("values").strip()))
+                ins = InsertDef(_ident(m.group("name")), m.group("values").strip())
+                prog.inserts.append(ins)
+                prog.mutations.append(ins)
                 continue
-            raise ValueError(f"unsupported statement (only CREATE TABLE / CREATE VIEW / INSERT): {stmt[:80]!r}")
+            m = _DELETE_RE.match(stmt)
+            if m:
+                prog.mutations.append(
+                    DeleteDef(_ident(m.group("name")), m.group("where").strip())
+                )
+                continue
+            raise ValueError(
+                "unsupported statement (only CREATE TABLE / CREATE VIEW / "
+                f"INSERT / DELETE): {stmt[:80]!r}"
+            )
         return prog
 
 
@@ -134,6 +155,10 @@ _CREATE_VIEW_RE = re.compile(
 )
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<name>\"[^\"]+\"|\w+)\s+VALUES\s+(?P<values>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>\"[^\"]+\"|\w+)\s+WHERE\s+(?P<where>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -378,6 +403,25 @@ def _table_from_inserts(spark: SparkSession, table: TableDef, inserts: list[Inse
     return _cast_to_schema(df, table)
 
 
+def _table_from_mutations(
+    spark: SparkSession, table: TableDef, mutations: list
+) -> DataFrame:
+    """Fold INSERT/DELETE statements in order. DELETE removes the rows
+    whose predicate is SQL TRUE (UNKNOWN keeps the row, like every
+    engine), applied to the table contents built so far — so
+    insert/delete/re-insert sequences reproduce statement-order
+    semantics, matching the reference's TableContents tracking."""
+    df = _empty_table(spark, table)
+    for mut in mutations:
+        if isinstance(mut, InsertDef):
+            df = df.unionByName(
+                _table_from_inserts(spark, table, [mut])
+            )
+        else:
+            df = df.where(~F.coalesce(F.expr(mut.where_sql), F.lit(False)))
+    return df
+
+
 def _empty_table(spark: SparkSession, table: TableDef) -> DataFrame:
     schema = ", ".join(f"`{c}` {spark_type(t)}" for c, t in table.columns)
     return spark.createDataFrame([], schema)
@@ -462,6 +506,10 @@ def bind_sources(
     for name, table in program.tables.items():
         if name in sources:
             bound[name] = sources[name]
+            continue
+        muts = [m for m in program.mutations if m.table == name]
+        if any(isinstance(m, DeleteDef) for m in muts):
+            bound[name] = _table_from_mutations(spark, table, muts)
             continue
         ins = [i for i in program.inserts if i.table == name]
         if ins:
@@ -705,6 +753,7 @@ def compile_streaming(
             tables={n: t for n, t in program.tables.items() if n not in stream_sources},
             views=[],
             inserts=[i for i in program.inserts if i.table not in stream_sources],
+            mutations=[m for m in program.mutations if m.table not in stream_sources],
         ),
         static_sources,
         sf_dir,

@@ -2277,3 +2277,31 @@ def test_save_restore_resumes_incremental(spark, tmp_path):
     other = "CREATE TABLE t(id INTEGER);\nCREATE VIEW v AS SELECT id FROM t;"
     with _pytest.raises(ValueError):
         IncrementalProgram.restore(spark, other, state_dir)
+
+
+def test_delete_statements_in_program(spark):
+    """DELETE FROM ... WHERE in the program text (reference:
+    TableContents.java:43 tracks INSERT and DELETE to build table
+    contents). Statement ORDER is semantic — a re-insert after a
+    delete survives — and a predicate that evaluates UNKNOWN keeps
+    the row, like every SQL engine."""
+    from sql_to_dbsp_compiler_spark.compiler.program import compile_batch
+
+    prog = """
+    CREATE TABLE t(id INTEGER, a INTEGER);
+    CREATE VIEW v AS SELECT id, a FROM t;
+    INSERT INTO t VALUES (1, 10), (2, 20), (3, NULL);
+    DELETE FROM t WHERE a >= 20;
+    INSERT INTO t VALUES (2, 21);
+    DELETE FROM t WHERE id = 99;
+    """
+    views = compile_batch(spark, prog)
+    got = sorted(tuple(r) for r in views["v"].collect())
+    # id=2/a=20 deleted, re-inserted as 21; id=3 kept (NULL pred = UNKNOWN)
+    assert got == [(1, 10), (2, 21), (3, None)]
+
+    # unsupported statements still rejected with the extended message
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="INSERT / DELETE"):
+        compile_batch(spark, "CREATE TABLE t(id INTEGER);\nUPDATE t SET id = 1;")
