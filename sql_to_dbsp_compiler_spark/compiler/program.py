@@ -132,8 +132,14 @@ class SqlProgram:
                 continue
             m = _DELETE_RE.match(stmt)
             if m:
+                where = m.group("where")
+                # bare `DELETE FROM t` (valid in the reference's
+                # TableContents statement stream) = delete-all
                 prog.mutations.append(
-                    DeleteDef(_ident(m.group("name")), m.group("where").strip())
+                    DeleteDef(
+                        _ident(m.group("name")),
+                        where.strip() if where else "TRUE",
+                    )
                 )
                 continue
             raise ValueError(
@@ -158,7 +164,8 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<name>\"[^\"]+\"|\w+)\s+WHERE\s+(?P<where>.+)$",
+    r"^\s*DELETE\s+FROM\s+(?P<name>\"[^\"]+\"|\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -469,11 +476,17 @@ def schema_json(spark: SparkSession, program: "SqlProgram | str") -> dict:
                 ],
             }
         )
+    # Analyze in a fresh session (same SparkContext, ISOLATED temp-view
+    # catalog): registering declared-empty tables under the program's
+    # names must not clobber same-named temp views in the caller's
+    # session (ADVICE r3 — a later spark.sql against those names would
+    # silently read empty relations).
+    analysis = spark.newSession()
     for name, table in program.tables.items():
-        _declared_empty_table(spark, table).createOrReplaceTempView(name)
+        _declared_empty_table(analysis, table).createOrReplaceTempView(name)
     outputs = []
     for v in program.views:
-        df = spark.sql(v.sql)
+        df = analysis.sql(v.sql)
         if v.columns is not None:
             df = df.toDF(*v.columns)
         outputs.append(

@@ -768,9 +768,21 @@ def connected_components_star(
             ru, rv = find(row["u"]), find(row["v"])
             if ru != rv:
                 parent[ru] = rv
+        # Seed the node set from BOTH pair endpoints (the distributed
+        # star path's `nodes` frame), not just non-self edges — a
+        # degenerate input whose only mention of an id is a self-pair
+        # (id_a == id_b) must still get component = own id on both
+        # sides of the small_threshold switch.
+        all_nodes = {
+            row["id"]
+            for row in pairs.select(F.col(id_a).alias("id"))
+            .unionByName(pairs.select(F.col(id_b).alias("id")))
+            .distinct()
+            .collect()
+        }
         comp_min: dict = {}
         members: dict = {}
-        for node in set(parent) | {find(k) for k in parent}:
+        for node in all_nodes:
             r = find(node)
             comp_min[r] = min(comp_min.get(r, node), node)
             members.setdefault(r, []).append(node)

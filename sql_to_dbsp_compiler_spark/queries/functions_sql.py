@@ -182,7 +182,7 @@ def string_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(l_extendedprice, 1) AS price_r1,
            floor(l_extendedprice) AS price_floor,
            ceil(l_extendedprice) AS price_ceil,
-           sign(l_discount - 0.05) AS disc_sign,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            CAST(l_orderkey % 97 AS BIGINT) AS key_mod,
            sqrt(l_extendedprice) AS price_sqrt,
            l_quantity * l_quantity AS qty_sq,

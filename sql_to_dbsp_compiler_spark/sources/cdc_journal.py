@@ -67,7 +67,9 @@ def _journal_files(path: str) -> list[str]:
     )
 
 
-def _emit_file(path: str, cols: list[str], accepted) -> "iter":
+def _emit_file(path: str, fields: list[str], accepted) -> "iter":
+    """Emit tuples in declared-schema order: ``__weight`` may sit at
+    any position in the user's schema (not just last)."""
     with open(path) as fh:
         for line in fh:
             line = line.strip()
@@ -78,7 +80,9 @@ def _emit_file(path: str, cols: list[str], accepted) -> "iter":
             row = rec["row"]
             if not all(f(row) for f in accepted):
                 continue
-            yield tuple(row.get(c) for c in cols) + (weight,)
+            yield tuple(
+                weight if c == WEIGHT else row.get(c) for c in fields
+            )
 
 
 def _compile_filters(pushed: list[Filter]):
@@ -97,8 +101,9 @@ def _compile_filters(pushed: list[Filter]):
 class CdcJournalReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         self._path = options["path"]
-        # all columns except the weight the source itself appends
-        self._cols = [f.name for f in schema.fields if f.name != WEIGHT]
+        # full declared field order; _emit_file slots the weight in
+        # wherever the schema declares __weight (any position)
+        self._fields = [f.name for f in schema.fields]
         self._accepted: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]):
@@ -118,7 +123,7 @@ class CdcJournalReader(DataSourceReader):
         if not partition.path:
             return
         yield from _emit_file(
-            partition.path, self._cols, _compile_filters(self._accepted)
+            partition.path, self._fields, _compile_filters(self._accepted)
         )
 
 
@@ -129,7 +134,7 @@ class CdcJournalStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema: StructType, options: dict) -> None:
         self._path = options["path"]
-        self._cols = [f.name for f in schema.fields if f.name != WEIGHT]
+        self._fields = [f.name for f in schema.fields]
 
     def initialOffset(self) -> dict:
         return {"index": 0}
@@ -144,7 +149,7 @@ class CdcJournalStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         if not partition.path:
             return
-        yield from _emit_file(partition.path, self._cols, [])
+        yield from _emit_file(partition.path, self._fields, [])
 
     def commit(self, end: dict) -> None:
         pass  # journal files are immutable; nothing to clean up
@@ -178,7 +183,15 @@ class CdcJournalWriter(DataSourceWriter):
     one pass. Readers only list `*.jsonl`, so a failed/duplicated task
     attempt never becomes visible — the rename on commit is the
     atomicity boundary (the same manifest idea as the parquet file
-    sink). `abort` deletes the temps."""
+    sink). `abort` deletes the temps.
+
+    Single-writer assumption: concurrent commits to the same journal
+    directory are NOT coordinated (slot numbering reads the directory
+    listing); run one writer at a time per journal, like a parquet
+    directory sink. Overwrite mode renames the NEW files into place
+    first and deletes the old files last, so a crash mid-commit can
+    leave old+new visible (a duplicated window, recoverable) but never
+    an empty journal."""
 
     def __init__(self, schema: StructType, options: dict, overwrite: bool) -> None:
         self._path = options["path"]
@@ -203,14 +216,24 @@ class CdcJournalWriter(DataSourceWriter):
         return _WroteFile(tmp, n)
 
     def commit(self, messages) -> None:
-        if self._overwrite:
-            for f in _journal_files(self._path):
-                os.remove(f)
-        start = len(_journal_files(self._path))
+        # Slot numbering from the max existing index (not len()): a
+        # prior overwrite leaves gaps, and len() could re-issue a live
+        # slot name. New files land before old ones are removed, so a
+        # crash between the two loops never loses the journal.
+        old = _journal_files(self._path)
+        start = max(
+            (int(os.path.basename(f)[1:7]) + 1
+             for f in old
+             if os.path.basename(f)[1:7].isdigit()),
+            default=0,
+        )
         for i, m in enumerate(sorted(messages, key=lambda m: m.tmp_path)):
             os.rename(
                 m.tmp_path, os.path.join(self._path, f"j{start + i:06d}.jsonl")
             )
+        if self._overwrite:
+            for f in old:
+                os.remove(f)
 
     def abort(self, messages) -> None:
         for m in messages:

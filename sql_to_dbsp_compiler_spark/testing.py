@@ -37,6 +37,8 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 def _canon_cell(v: object) -> str:
     if v is None:
         return "NULL"
+    if type(v).__module__ == "numpy" and hasattr(v, "item") and not hasattr(v, "__len__"):
+        v = v.item()  # numpy scalar → Python scalar (int8 → int, bool_ → bool)
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"  # pandas can't distinguish double NULL from NaN
@@ -62,8 +64,15 @@ def _canon_cell(v: object) -> str:
 
 
 def canonicalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    # itertuples, NOT iterrows: iterrows coerces each row to a common
+    # dtype, silently turning an int8 oracle column into float64 when
+    # the row also has floats — which masked a driver hash mismatch
+    # (numeric_functions r3: DuckDB sign()→int8 vs Spark signum→double).
     cols = sorted(df.columns)
-    rows = [tuple(_canon_cell(row[c]) for c in cols) for _, row in df[cols].iterrows()]
+    rows = [
+        tuple(_canon_cell(v) for v in t)
+        for t in df[cols].itertuples(index=False, name=None)
+    ]
     return sorted(rows)
 
 

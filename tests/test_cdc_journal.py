@@ -243,3 +243,49 @@ def test_view_deltas_propagate_between_programs(spark, tmp_path):
             tuple(r) for r in b.snapshot("by_cat").to_multiset_df().collect()
         )
         assert got == want, f"step {i}: {got} != {want}"
+
+
+def test_weight_position_follows_declared_schema(spark, journal_dir):
+    """ADVICE r3: __weight may be declared at ANY position in the
+    user schema — the reader emits by declared field order, not
+    cols+(weight,) with weight pinned last."""
+    df = (
+        spark.read.format("cdc_journal")
+        .schema("id int, __weight long, cat string, v int")
+        .load(journal_dir)
+    )
+    got = sorted(map(tuple, df.collect()))
+    assert got == [
+        (1, 1, "a", 10),
+        (2, -1, "b", 20),
+        (2, 1, "b", 20),
+        (3, 1, "a", None),
+        (4, 1, "b", 40),
+    ]
+
+
+def test_overwrite_commit_never_windows_to_empty(spark, journal_dir, tmp_path):
+    """ADVICE r3: overwrite commit renames NEW files into place before
+    deleting old ones (crash mid-commit can duplicate, never lose the
+    journal), and slot numbering comes from the max existing index so
+    new names never collide with live files."""
+    from sql_to_dbsp_compiler_spark.sources.cdc_journal import _journal_files
+
+    spark.dataSource.register(CdcJournalDataSource)
+    out = str(tmp_path / "sink")
+    src = spark.createDataFrame(
+        [(1, "a", 10, 2), (2, "b", 20, -1)], DDL
+    ).coalesce(1)
+    src.write.format("cdc_journal").mode("append").save(out)
+    first = _journal_files(out)
+    assert len(first) == 1
+    # overwrite: the replacement lands under NEW slot names (no reuse
+    # of a live name), old files are gone afterwards
+    src.where(F.col("id") == 1).write.format("cdc_journal").mode(
+        "overwrite"
+    ).save(out)
+    second = _journal_files(out)
+    assert len(second) == 1 and second[0] != first[0]
+    df = spark.read.format("cdc_journal").schema(DDL).load(out)
+    got = sorted(map(tuple, df.collect()))
+    assert got == [(1, "a", 10, 1), (1, "a", 10, 1)]  # weight 2 → two I lines

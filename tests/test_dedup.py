@@ -235,3 +235,19 @@ def test_ngram_jaccard_max_df_guard(spark):
     # removed from BOTH sets, so the ratio is unchanged for equals)
     jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in guarded.collect()}
     assert jac[(1, 2)] == 1.0
+
+
+def test_connected_components_star_selfpair_singletons_both_paths(spark):
+    """ADVICE r3: an id whose only mention is a self-pair (id_a ==
+    id_b) must get component = own id on BOTH sides of the
+    small_threshold switch — the small union-find path used to seed
+    its node set from non-self edges only and dropped singletons."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import connected_components_star
+
+    edges = [(1, 2), (7, 7), (9, 9), (2, 3)]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    expected = {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}
+    for threshold in (0, 200_000):  # distributed path, small path
+        comp, _ = connected_components_star(pairs, small_threshold=threshold)
+        got = {r["id"]: r["component"] for r in comp.collect()}
+        assert got == expected, f"small_threshold={threshold}: {got}"

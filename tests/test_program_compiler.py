@@ -2305,3 +2305,42 @@ def test_delete_statements_in_program(spark):
 
     with _pytest.raises(ValueError, match="INSERT / DELETE"):
         compile_batch(spark, "CREATE TABLE t(id INTEGER);\nUPDATE t SET id = 1;")
+
+
+def test_delete_without_where_is_delete_all(spark):
+    """ADVICE r3: bare `DELETE FROM t` (valid in the reference's
+    TableContents statement stream) = remove every row built so far;
+    later inserts still apply in statement order."""
+    from sql_to_dbsp_compiler_spark.compiler.program import compile_batch
+
+    prog = """
+    CREATE TABLE t(id INTEGER, a INTEGER);
+    CREATE VIEW v AS SELECT id, a FROM t;
+    INSERT INTO t VALUES (1, 10), (2, 20);
+    DELETE FROM t;
+    INSERT INTO t VALUES (3, 30);
+    """
+    views = compile_batch(spark, prog)
+    assert sorted(tuple(r) for r in views["v"].collect()) == [(3, 30)]
+
+
+def test_schema_json_does_not_clobber_session_temp_views(spark):
+    """ADVICE r3: schema_json used to register declared-EMPTY temp
+    views under the program's table/view names in the CALLER's session
+    and never drop them — any later spark.sql against a same-named
+    view silently read an empty relation."""
+    from sql_to_dbsp_compiler_spark.compiler.program import schema_json
+
+    spark.range(5).createOrReplaceTempView("t")
+    spark.range(7).createOrReplaceTempView("v1")
+    js = schema_json(
+        spark,
+        "CREATE TABLE t(a INT NOT NULL);\n"
+        "CREATE VIEW v1 AS SELECT a + 1 AS a1 FROM t;",
+    )
+    assert js["outputs"][0]["name"] == "v1"
+    # the caller's temp views are untouched
+    assert spark.sql("SELECT count(*) AS n FROM t").first()["n"] == 5
+    assert spark.sql("SELECT count(*) AS n FROM v1").first()["n"] == 7
+    spark.catalog.dropTempView("t")
+    spark.catalog.dropTempView("v1")
