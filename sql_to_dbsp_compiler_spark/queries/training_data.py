@@ -580,3 +580,54 @@ def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return unigram_logprob(d)
+
+
+@query(
+    "x_dsir_resample",
+    oracle="""
+    WITH w AS (SELECT doc_id, lang,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS words
+               FROM documents),
+    tk AS (SELECT doc_id, lang,
+                  unnest([struct_pack(pos := i, word := words[i])
+                          FOR i IN range(1, len(words)+1)]) AS t
+           FROM w),
+    tok AS (SELECT doc_id, lang = 'en' AS is_target, t.pos AS pos,
+                   CAST(('0x' || substring(md5(t.word), 1, 15)) AS BIGINT) % 64
+                       AS bucket
+            FROM tk),
+    dist AS (SELECT bucket, COUNT(*) AS cnt_raw,
+                    COUNT(*) FILTER (WHERE is_target) AS cnt_tgt
+             FROM tok GROUP BY bucket),
+    tot AS (SELECT SUM(cnt_raw) AS tot_raw, SUM(cnt_tgt) AS tot_tgt FROM dist),
+    lam AS (SELECT bucket,
+                   ln((cnt_tgt + 1.0) / (tot_tgt + 64.0))
+                 - ln((cnt_raw + 1.0) / (tot_raw + 64.0)) AS lam
+            FROM dist CROSS JOIN tot),
+    doc AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   list_reduce(list(l.lam ORDER BY t.pos), (a,b) -> a+b)
+                       AS logweight
+            FROM tok t JOIN lam l USING (bucket) GROUP BY t.doc_id),
+    keyed AS (SELECT doc_id, n_tokens, logweight,
+                     -- rounded to 9 dp on both engines: JVM vs libm
+                     -- log disagree in the last ulp (llm/dsir.py)
+                     round(logweight - ln(-ln(
+                         (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                          % 1000000000 + 0.5) / 1e9)), 9) AS gumbel_key
+              FROM doc)
+    SELECT doc_id, n_tokens, logweight, gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def x_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-unigram importance
+    weights toward the lang='en' slice as the target distribution, then
+    a deterministic Gumbel top-k draw of 100 documents ∝ softmax of the
+    log-weights. Ordered-fold scoring and md5-derived Gumbel noise make
+    the whole draw bit-reproducible in DuckDB (llm/dsir.py)."""
+    from sql_to_dbsp_compiler_spark.llm.dsir import dsir_resample
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_resample(d, F.col("lang") == "en", k=100)
