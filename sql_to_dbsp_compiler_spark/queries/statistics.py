@@ -442,3 +442,108 @@ def x_agg_boolean_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
     )
+
+
+@query(
+    "x_sketch_hll",
+    oracle="""
+    WITH h AS (
+        SELECT event_type,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    slots AS (SELECT event_type, h % 512 AS bucket, h >> 9 AS w FROM h),
+    regs AS (
+        SELECT event_type, bucket,
+               MAX(CASE WHEN w > 0 THEN 52 - length(bin(w)) ELSE 52 END) AS m
+        FROM slots GROUP BY event_type, bucket
+    ),
+    agg AS (
+        SELECT event_type,
+               COUNT(*) AS n_present,
+               SUM(CAST(1 AS BIGINT) << CAST(52 - m AS INTEGER)) AS int_sum
+        FROM regs GROUP BY event_type
+    ),
+    est AS (
+        SELECT event_type,
+               512 - n_present AS v,
+               (0.7213 / (1 + 1.079 / 512)) * 512.0 * 512.0
+                   / ((int_sum + (512 - n_present)
+                       * (CAST(1 AS BIGINT) << 52)) / pow(2.0, 52)) AS raw_e
+        FROM agg
+    ),
+    ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+           FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           round(CASE WHEN e.raw_e <= 2.5 * 512 AND e.v > 0
+                      THEN 512.0 * ln(512.0 / e.v) ELSE e.raw_e END,
+                 6) AS est_distinct,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           round(round(CASE WHEN e.raw_e <= 2.5 * 512 AND e.v > 0
+                            THEN 512.0 * ln(512.0 / e.v) ELSE e.raw_e END, 6)
+                 / ex.exact_distinct - 1, 6) AS rel_err
+    FROM est e JOIN ex USING (event_type)
+    """,
+    tags=("statistics", "sketch", "llm"),
+)
+def x_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) per
+    group, ORACLE-EXACT: the register array is a deterministic
+    function of the md5 hash (bucket = low 9 bits, rho = leading-zero
+    rank of the remaining 51), and the harmonic sum folds as an exact
+    INTEGER (sum of 2^(52-M_j) fits a BIGINT) so no float-order
+    nondeterminism exists anywhere — unlike Spark's built-in
+    approx_count_distinct whose HLL++ internals are engine-specific.
+    Small-range linear counting (m*ln(m/V)) and the raw harmonic
+    estimate are both exercised across the test SFs.
+
+    Scale shape: ONE shuffle to max 512 registers per group (map-side
+    partial max), then a per-group constant-size fold — the sketch is
+    mergeable across partitions by construction, which is what makes
+    HLL the 100 TB cardinality tool. Estimates round to 6 dp (ln's
+    last ulp differs between JVM and libm)."""
+    m = 512
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    slots = e.select(
+        "event_type", (h % m).alias("bucket"), F.shiftright(h, 9).alias("w")
+    )
+    rho = F.when(F.col("w") > 0, F.lit(52) - F.length(F.bin(F.col("w")))).otherwise(
+        F.lit(52)
+    )
+    regs = slots.groupBy("event_type", "bucket").agg(F.max(rho).alias("m"))
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - m AS INT))")
+        ).alias("int_sum"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / m)
+    int_full = F.col("int_sum") + (F.lit(m) - F.col("n_present")) * F.shiftleft(
+        F.lit(1).cast("long"), 52
+    )
+    raw_e = F.lit(alpha) * m * m / (int_full / F.pow(F.lit(2.0), 52))
+    v = F.lit(m) - F.col("n_present")
+    est = F.round(
+        F.when((raw_e <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v))
+        .otherwise(raw_e),
+        6,
+    )
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        agg.select("event_type", est.alias("est_distinct"))
+        .join(ex, "event_type")
+        .select(
+            "event_type",
+            "est_distinct",
+            "exact_distinct",
+            F.round(F.col("est_distinct") / F.col("exact_distinct") - 1, 6).alias(
+                "rel_err"
+            ),
+        )
+    )
