@@ -844,3 +844,63 @@ def connected_components_star(
         "left",
     ).select("id", F.coalesce(F.col("component"), F.col("id")).alias("component"))
     return comp, rounds
+
+
+def ngram_contamination(
+    df: DataFrame,
+    eval_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int = 20,
+    contaminated_at: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination by word n-gram OVERLAP (the fuzzy
+    complement of the exact canary-phrase check): flag training
+    documents sharing n-gram shingles with any held-out/eval document
+    → ``(train_doc_id, eval_doc_id, shared_ngrams, eval_ngrams,
+    overlap_frac, contaminated)``.
+
+    The shingle join carries the same hot-shingle guard as
+    ngram_jaccard_pairs: shingles whose document frequency exceeds
+    ``max_df`` are dropped from BOTH sides before joining (boilerplate
+    n-grams are the Zipfian tail that would make the join quadratic,
+    and they carry no contamination signal). Result is the exact
+    overlap of the df-filtered shingle sets — deterministic, so a SQL
+    oracle reproduces it bit-for-bit.
+
+    Scale shape: one explode+distinct shuffle for shingles, one df
+    count, one equi-join train×eval on the shingle (fanout ≤ max_df
+    per shingle, linear), one pair aggregation. The eval side of the
+    join is a small fraction of the corpus by construction (held-out
+    benchmarks), so AQE broadcasts it."""
+    sh = df.select(
+        F.col(id_col),
+        eval_pred.alias("__is_eval"),
+        F.explode(shingles(F.col(text_col), n)).alias("s"),
+    )
+    # shingles() is per-doc distinct, so count(*) == document frequency
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    kept = sh.join(dfreq.where(F.col("__df") <= max_df), "s")
+    ev = kept.where(F.col("__is_eval")).select(
+        F.col(id_col).alias("eval_doc_id"), "s"
+    )
+    tr = kept.where(~F.col("__is_eval")).select(
+        F.col(id_col).alias("train_doc_id"), "s"
+    )
+    ev_tot = ev.groupBy("eval_doc_id").agg(
+        F.count(F.lit(1)).alias("eval_ngrams")
+    )
+    ov = tr.join(ev, "s").groupBy("train_doc_id", "eval_doc_id").agg(
+        F.count(F.lit(1)).alias("shared_ngrams")
+    )
+    return ov.join(ev_tot, "eval_doc_id").select(
+        "train_doc_id",
+        "eval_doc_id",
+        F.col("shared_ngrams").cast("bigint").alias("shared_ngrams"),
+        F.col("eval_ngrams").cast("bigint").alias("eval_ngrams"),
+        F.round(F.col("shared_ngrams") / F.col("eval_ngrams"), 6).alias(
+            "overlap_frac"
+        ),
+        (F.col("shared_ngrams") >= contaminated_at).alias("contaminated"),
+    )

@@ -631,3 +631,123 @@ def x_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dsir_resample(d, F.col("lang") == "en", k=100)
+
+
+@query(
+    "x_contamination_ngram",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    sh AS (SELECT doc_id, doc_id % 97 = 0 AS is_eval,
+                  unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                          FOR i IN range(1, len(ws) - 2 + 1)])) AS s
+           FROM w WHERE len(ws) >= 3),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    kept AS (SELECT sh.doc_id, sh.is_eval, sh.s
+             FROM sh JOIN dfreq USING (s) WHERE dfreq.df <= 20),
+    ev AS (SELECT doc_id AS eval_doc_id, s FROM kept WHERE is_eval),
+    tr AS (SELECT doc_id AS train_doc_id, s FROM kept WHERE NOT is_eval),
+    ev_tot AS (SELECT eval_doc_id, COUNT(*) AS eval_ngrams
+               FROM ev GROUP BY eval_doc_id),
+    ov AS (SELECT train_doc_id, eval_doc_id, COUNT(*) AS shared_ngrams
+           FROM tr JOIN ev USING (s) GROUP BY 1, 2)
+    SELECT ov.train_doc_id, ov.eval_doc_id,
+           CAST(ov.shared_ngrams AS BIGINT) AS shared_ngrams,
+           CAST(t.eval_ngrams AS BIGINT) AS eval_ngrams,
+           round(CAST(ov.shared_ngrams AS DOUBLE) / t.eval_ngrams, 6)
+               AS overlap_frac,
+           ov.shared_ngrams >= 2 AS contaminated
+    FROM ov JOIN ev_tot t USING (eval_doc_id)
+    """,
+    tags=("llm", "training", "dedup"),
+)
+def x_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: word 3-gram overlap between
+    the training corpus and a held-out slice (doc_id % 97 == 0 plays
+    the benchmark), with the hot-shingle df<=20 guard on both sides —
+    the n-gram complement of train_contamination's exact canary scan
+    (llm/dedup.ngram_contamination)."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import ngram_contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_contamination(
+        d, F.col("doc_id") % 97 == 0, n=3, max_df=20, contaminated_at=2
+    )
+
+
+# Per-language epoch factors for upsampling: fractional repeats are
+# the standard recipe knob (e.g. "2.7 epochs of wiki"). Deterministic:
+# the fractional copy is granted iff md5(doc_id) mod 100 falls under
+# the fractional part.
+_EPOCHS = {"en": 1.0, "de": 2.5, "es": 2.5, "fr": 2.5, "zh": 3.25}
+
+
+@query(
+    "x_epoch_repeat",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               CASE lang
+                   {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _EPOCHS.items())}
+                   ELSE 1.0
+               END AS factor,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, lang, factor,
+               CAST(floor(factor) AS BIGINT)
+               + CASE WHEN bucket < CAST(round((factor - floor(factor)) * 100, 0)
+                                        AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM base
+    )
+    SELECT doc_id, lang, factor, n_copies,
+           CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+    FROM n WHERE n_copies > 0
+    """,
+    tags=("llm", "training", "sampling"),
+)
+def x_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch domain upsampling (the data-recipe knob: "3.25
+    epochs of zh, 1 of en"): every doc gets floor(factor) copies plus
+    one more iff its md5 bucket falls under the fractional part — so
+    exactly the requested fraction of each domain repeats, the SAME
+    docs every run, stable under repartitioning. Emits one row per
+    (doc, epoch) — the downstream shuffle/pack stage sees repeats as
+    ordinary rows. Pure column expressions + explode: zero shuffles,
+    output volume = sum of factors × corpus (the intended blow-up,
+    linear). Complement of train_domain_mix (quota TRUNCATION) and
+    train_sample_stratified (DOWNsampling)."""
+    d = load_table(spark, sf_dir, "documents")
+    factor = F.lit(1.0)
+    for k, v in _EPOCHS.items():
+        factor = F.when(F.col("lang") == k, F.lit(v)).otherwise(factor)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    frac_pct = F.round((factor - F.floor(factor)) * 100, 0).cast("bigint")
+    n_copies = F.floor(factor).cast("bigint") + F.when(
+        bucket < frac_pct, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            factor.alias("factor"),
+            n_copies.alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "factor",
+            "n_copies",
+            F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                 F.col("n_copies") - 1)).alias("epoch"),
+        )
+    )
