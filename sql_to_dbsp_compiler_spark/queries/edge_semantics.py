@@ -578,3 +578,53 @@ def varchar_truncate_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cast_varchar(s, 5) == F.lit("abcde")).alias("v5_eq"),
         cast_varchar(F.concat(s, F.lit("Z")), 2).alias("concat_then_trunc"),
     )
+
+
+@query(
+    "x_decimal_math",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS dec_v,
+           round(ln(CAST(o_totalprice AS DECIMAL(12,2))), 9) AS dec_ln,
+           round(log10(CAST(o_totalprice AS DECIMAL(12,2))), 9) AS dec_log10,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                * CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS dec_sq,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                     / CAST(o_orderkey % 7 + 1 AS DECIMAL(4,0))
+                AS DECIMAL(20,6)) AS VARCHAR) AS dec_div,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                % CAST(100 AS DECIMAL(5,2)) AS VARCHAR) AS dec_mod,
+           CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 1) AS VARCHAR)
+               AS dec_round1,
+           CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), -2) AS VARCHAR)
+               AS dec_roundneg2
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    tags=("edge", "decimal", "functions"),
+)
+def x_decimal_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference sqllib's DECIMAL math family (lib/sqllib/src/
+    lib.rs: ln_decimal, log10_decimal, times_decimal_decimal,
+    div_decimal_decimal, mod_decimal_decimal, round_decimal): exact
+    multiply/mod surfaced as strings, division rescaled to an explicit
+    DECIMAL(20,6) on both engines (their native division-scale rules
+    differ — pinning the result type is the portable semantics),
+    transcendentals (ln/log10) on decimal inputs produce doubles
+    rounded to 9 dp, and round-to-negative-digits keeps decimal
+    semantics (HALF_UP away from zero on both engines)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    d = F.col("o_totalprice").cast("decimal(12,2)")
+    div = (d / (F.col("o_orderkey") % 7 + 1).cast("decimal(4,0)")).cast(
+        "decimal(20,6)"
+    )
+    return o.select(
+        "o_orderkey",
+        d.cast("string").alias("dec_v"),
+        F.round(F.log(d), 9).alias("dec_ln"),
+        F.round(F.log10(d), 9).alias("dec_log10"),
+        (d * d).cast("string").alias("dec_sq"),
+        div.cast("string").alias("dec_div"),
+        (d % F.lit(100).cast("decimal(5,2)")).cast("string").alias("dec_mod"),
+        F.round(d, 1).cast("string").alias("dec_round1"),
+        F.round(d, -2).cast("string").alias("dec_roundneg2"),
+    )
