@@ -241,3 +241,52 @@ def x_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.col("rn").cast("bigint"))
         .select("lang", "doc_id", "rn")
     )
+
+
+@query(
+    "x_group_sample_weighted",
+    oracle="""
+    SELECT lang, doc_id, n_chars, es_key, rn FROM (
+        SELECT lang, doc_id, n_chars,
+               round(-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                                  1, 15)) AS BIGINT)
+                          % 1000000000 + 0.5) / 1e9) / n_chars, 9) AS es_key,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY round(-ln((CAST(('0x' ||
+                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 1000000000 + 0.5) / 1e9) / n_chars, 9),
+                        doc_id)
+                    AS BIGINT) AS rn
+        FROM documents WHERE n_chars > 0
+    ) WHERE rn <= 5
+    """,
+    tags=("llm", "training", "sampling"),
+)
+def x_group_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED k-per-group sampling without replacement (Efraimidis &
+    Spirakis 2006 A-ES): per doc the key is −ln(u)/w with u a
+    deterministic md5 uniform and w = n_chars; the k smallest keys per
+    group are a without-replacement draw with inclusion probability
+    ∝ weight — longer documents are proportionally likelier to be
+    drawn. Keys round to 9 dp (JVM/libm ln ulp; ties break on doc_id),
+    so the draw is reproducible across engines. Same
+    WindowGroupLimit shape as the uniform x_group_sample: per-group
+    top-k trims map-side before the one rank shuffle."""
+    from sql_to_dbsp_compiler_spark.operators.topk import topk_per_group
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1_000_000_000
+        + 0.5
+    ) / 1.0e9
+    d = d.select(
+        "lang", "doc_id", "n_chars",
+        F.round(-F.log(u) / F.col("n_chars"), 9).alias("es_key"),
+    )
+    return (
+        topk_per_group(d, ["lang"], [F.col("es_key"), F.col("doc_id")], 5)
+        .withColumn("rn", F.col("rn").cast("bigint"))
+        .select("lang", "doc_id", "n_chars", "es_key", "rn")
+    )

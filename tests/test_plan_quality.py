@@ -283,3 +283,48 @@ def test_bm25_broadcasts_queries_and_group_limits(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_sketch_single_register_shuffle(spark, sf_dir):
+    """x_sketch_hll: registers come from ONE hash aggregate (map-side
+    partial max per (group, bucket)), the estimate fold is per-group
+    arithmetic — no UDF, no nested-loop, no window."""
+    plan = _plan(spark, sf_dir, "x_sketch_hll")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_dsir_takeordered_no_global_sort(spark, sf_dir):
+    """x_dsir_resample: the k-doc draw is TakeOrderedAndProject
+    (per-partition heaps), the lambda table is broadcast — never a
+    full sort or sort-merge join of the corpus."""
+    plan = _plan(spark, sf_dir, "x_dsir_resample")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_ngram_guarded_equi_join(spark, sf_dir):
+    """x_contamination_ngram: the train x eval shingle join is an
+    EQUI-join on the shingle (df-capped fanout) — no nested loop, no
+    Python in the row path."""
+    plan = _plan(spark, sf_dir, "x_contamination_ngram")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_repeat_shuffle_free_generate(spark, sf_dir):
+    """x_epoch_repeat: pure projection + explode — zero Exchange."""
+    plan = _plan(spark, sf_dir, "x_epoch_repeat")
+    assert "Generate" in plan
+    assert "Exchange" not in plan, "epoch repeat must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_group_sample_window_group_limit(spark, sf_dir):
+    """x_group_sample_weighted: per-group top-k prunes map-side via
+    WindowGroupLimit before the single rank shuffle."""
+    plan = _plan(spark, sf_dir, "x_group_sample_weighted")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
