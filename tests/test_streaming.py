@@ -801,3 +801,84 @@ def test_streaming_checkpoint_restart_recovers_state(spark, tmp_path):
     assert got == want, (got, first)
     # no duplicates across the restart (exactly-once file sink)
     assert len(got) == len(set(got))
+
+
+def test_streaming_contamination_ingest_gate(spark, tmp_path_factory):
+    """Decontamination as an INGEST GATE: incoming documents stream
+    through a shingle explode + stream-static join against the
+    (static, df-capped) eval shingle set, with the per-(train, eval)
+    overlap counted in complete mode. Result == the batch
+    ngram_contamination pair counts restricted to streamed docs —
+    incremental ingest and the batch sweep agree on what is
+    contaminated."""
+    import os as _os
+
+    from sql_to_dbsp_compiler_spark.llm.dedup import ngram_contamination, shingles
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    eval_pred = F.col("doc_id") % 97 == 0
+    # batch reference over the SAME df-capped shingle universe
+    batch = (
+        ngram_contamination(docs, eval_pred, n=3, max_df=20)
+        .select("train_doc_id", "eval_doc_id", "shared_ngrams")
+    )
+
+    # static side: eval shingle set, df-capped over the full corpus
+    sh = docs.select(
+        "doc_id", eval_pred.alias("is_eval"),
+        F.explode(shingles(F.col("text"), 3)).alias("s"),
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh.join(dfreq.where(F.col("df") <= 20), "s")
+    eval_set = (
+        kept.where("is_eval").select(F.col("doc_id").alias("eval_doc_id"), "s")
+    )
+    eval_pdf = eval_set.toPandas()  # small by construction (held-out slice)
+
+    # stream the TRAIN docs in 2 micro-batch files
+    base = str(tmp_path_factory.mktemp("doc_stream"))
+    train = docs.where(~eval_pred)
+    for i, part in enumerate(
+        [train.where(F.col("doc_id") % 2 == 0), train.where(F.col("doc_id") % 2 == 1)]
+    ):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(base, f"b{i}")
+        )
+    import glob as _glob
+    import shutil as _shutil
+
+    files_dir = str(tmp_path_factory.mktemp("doc_files"))
+    for i in range(2):
+        src = _glob.glob(_os.path.join(base, f"b{i}", "*.parquet"))[0]
+        _shutil.copy(src, _os.path.join(files_dir, f"batch_{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+    )
+    static_eval = spark.createDataFrame(eval_pdf)
+    gated = (
+        stream.select(
+            F.col("doc_id").alias("train_doc_id"),
+            F.explode(shingles(F.col("text"), 3)).alias("s"),
+        )
+        .join(F.broadcast(static_eval), "s")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("contam_gate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("contam_gate").collect()))
+    # stream side never saw eval docs' own shingle rows as train side,
+    # and the static side carries the df cap — so the pair counts must
+    # equal the batch cascade exactly
+    assert got == sorted(map(tuple, batch.collect()))
+    assert len(got) > 0
