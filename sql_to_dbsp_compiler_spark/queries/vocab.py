@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_to_dbsp_compiler_spark.llm.bpe import learn_bpe, pair_counts, word_counts
+from sql_to_dbsp_compiler_spark.llm.text import token_count_whitespace
 from sql_to_dbsp_compiler_spark.queries.registry import query
 from sql_to_dbsp_compiler_spark.sources.tables import load_table
 
@@ -289,4 +290,77 @@ def x_group_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_per_group(d, ["lang"], [F.col("es_key"), F.col("doc_id")], 5)
         .withColumn("rn", F.col("rn").cast("bigint"))
         .select("lang", "doc_id", "n_chars", "es_key", "rn")
+    )
+
+
+# --------------------------------------------------------------------
+# x_shard_manifest — fixed-size training-shard layout + manifest
+# --------------------------------------------------------------------
+
+_SHARD_TOKENS = 4096
+
+
+@query(
+    "x_shard_manifest",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens, h,
+               sum(n_tokens) OVER (ORDER BY h, doc_id) - n_tokens AS start
+        FROM t
+    )
+    SELECT CAST(start // {_SHARD_TOKENS} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           arg_min(doc_id, h || '|' || lpad(CAST(doc_id AS VARCHAR), 20, '0'))
+               AS first_doc,
+           arg_max(doc_id, h || '|' || lpad(CAST(doc_id AS VARCHAR), 20, '0'))
+               AS last_doc
+    FROM c GROUP BY 1
+    """,
+    tags=("llm", "training", "layout"),
+)
+def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard layout: the whole corpus streams in a
+    deterministic md5 shuffle order and is cut into fixed
+    token-budget shards; the manifest records per shard the doc
+    count, token count, and first/last document. A doc belongs to the
+    shard where its token stream STARTS (the pack_sequences rule).
+
+    The global running total is the canonical single-sort bottleneck
+    (ONE ordering over the whole corpus), so the Spark path uses the
+    TWO-PHASE prefix sum (operators/prefix_sum.py): hash-prefix
+    buckets → tiny offset table → bounded per-bucket sorts. The
+    oracle's single-window form is the semantics both must equal."""
+    from sql_to_dbsp_compiler_spark.operators.prefix_sum import prefix_sum_by_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        token_count_whitespace(F.col("text")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.lit(0).alias("__g"),  # constant key: one global stream
+    )
+    c = prefix_sum_by_hash(t, "__g", "h", ["doc_id"], "n_tokens", "cum")
+    c = c.withColumn("start", F.col("cum") - F.col("n_tokens"))
+    # scalar order key (md5 is fixed-width hex, doc_id zero-padded):
+    # DuckDB's arg_min/arg_max take scalar keys only
+    ordk = F.concat(
+        F.col("h"), F.lit("|"), F.lpad(F.col("doc_id").cast("string"), 20, "0")
+    )
+    return (
+        c.groupBy(
+            F.floor(F.col("start") / _SHARD_TOKENS).cast("bigint").alias("shard_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.min_by("doc_id", ordk).alias("first_doc"),
+            F.max_by("doc_id", ordk).alias("last_doc"),
+        )
     )
