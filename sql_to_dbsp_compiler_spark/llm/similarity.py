@@ -246,6 +246,15 @@ def srp_neardup_pairs(
     from sql_to_dbsp_compiler_spark.llm.dedup import hamming_filtered_bucket_pairs
 
     par = emb.sparkSession.sparkContext.defaultParallelism
+    if band_bits is None:
+        # n from parquet footers when the input is a plain scan
+        # (milliseconds, no data pass) — learning ONE integer must not
+        # cost a 100 TB scan; falls back to a counting job otherwise.
+        # Taken on the RAW input before persist(): the cached plan
+        # would hide the file relation from the metadata check.
+        from sql_to_dbsp_compiler_spark.sources.tables import rowcount
+
+        n_input = rowcount(emb)
     e = (
         emb.repartition(par, F.col(id_col))
         .select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
@@ -262,7 +271,7 @@ def srp_neardup_pairs(
         # per-pair recall still decays as bands narrow (p^b): callers
         # needing high recall at low thresholds should pin
         # band_bits/bits explicitly and pay the bucket sizes.
-        n = e.count()
+        n = n_input
         band_bits = max(4, min(16, math.ceil(math.log2(max(n, 2) / 300))))
         while 64 % band_bits != 0:
             band_bits += 1  # keep word-aligned band extraction

@@ -1246,7 +1246,10 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-cluster pair work stays bounded — measured 4.7x wall at 10x
     # data with nlist pinned to 16, 1.8x with this scaling. Oracle-safe
     # at any nlist: DuckDB recomputes from whatever was persisted.
-    nlist = max(16, e.count() // 300)
+    # rowcount() reads parquet footers for a plain scan — no data pass
+    from sql_to_dbsp_compiler_spark.sources.tables import rowcount
+
+    nlist = max(16, rowcount(e) // 300)
     centroids, _ = ivf_train_kmeans(e, nlist=nlist)
     centroids.write.mode("overwrite").parquet(_SEMDEDUP_CENTROID_PATH)
     cent = spark.read.parquet(_SEMDEDUP_CENTROID_PATH)

@@ -103,3 +103,56 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+# Logical-plan node names that PRESERVE row count (projections,
+# repartitionings, column-level ops). Anything else — Filter, Join,
+# Aggregate, Generate, Sample, Limit… — changes cardinality, so the
+# metadata shortcut must refuse.
+_ROWCOUNT_SAFE_NODES = {
+    "Project",
+    "Repartition",
+    "RepartitionByExpression",
+    "Relation",
+    "LogicalRDD",  # refused below anyway (no files), listed for clarity
+}
+
+
+def metadata_rowcount(df: DataFrame) -> "int | None":
+    """Exact row count from parquet footers WITHOUT scanning data, or
+    None when the plan doesn't allow it.
+
+    Auto-scaling operators (SRP band geometry, k-means nlist, SemDeDup
+    cluster counts) need n = |corpus| before planning; a ``count()``
+    is a full pass — at 100 TB, the most expensive way to learn one
+    integer. When the frame is just projections/repartitionings over a
+    parquet scan, the row count is already in the file footers: read
+    them driver-side (metadata pages only, milliseconds per file).
+    Every cardinality-changing node (Filter/Join/Aggregate/Generate/
+    Limit/Sample/Union…) makes this return None — callers fall back to
+    ``count()``."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # pragma: no cover - defensive on connect-only APIs
+        return None
+    import re as _re
+
+    nodes = _re.findall(r"^[+\-: ]*([A-Za-z]+)", plan, flags=_re.MULTILINE)
+    if not nodes or any(n not in _ROWCOUNT_SAFE_NODES for n in nodes):
+        return None
+    files = df.inputFiles()
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return None
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        total += pq.ParquetFile(path).metadata.num_rows
+    return total
+
+
+def rowcount(df: DataFrame) -> int:
+    """metadata_rowcount when the plan allows, else a counting job."""
+    n = metadata_rowcount(df)
+    return df.count() if n is None else n

@@ -64,3 +64,27 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     filtered = back.where(F.col("n_regionkey") == 2).select("n_name")
     plan = spark._jvm.PythonSQLUtils.explainString(filtered._jdf.queryExecution(), "formatted")
     assert "PushedFilters: [" in plan and "n_regionkey" in plan
+
+
+def test_metadata_rowcount_matches_count_and_refuses_unsafe(spark, sf_dir):
+    """rowcount()'s parquet-footer fast path: exact on plain scans and
+    rowcount-preserving plans (projection/repartition), None on any
+    cardinality-changing node — auto-scaling operators must never pay
+    a full scan to learn |corpus|."""
+    from pyspark.sql import functions as F
+
+    from sql_to_dbsp_compiler_spark.sources.tables import (
+        load_table,
+        metadata_rowcount,
+        rowcount,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assert metadata_rowcount(e) == e.count()
+    proj = e.repartition(8, F.col("vec_id")).select("vec_id")
+    assert metadata_rowcount(proj) == e.count()
+    assert metadata_rowcount(e.where(F.col("vec_id") > 10)) is None
+    assert metadata_rowcount(e.join(e.select("vec_id"), "vec_id")) is None
+    assert metadata_rowcount(e.limit(3)) is None
+    assert metadata_rowcount(spark.range(5)) is None
+    assert rowcount(e.limit(3)) == 3  # fallback counting job
