@@ -2344,3 +2344,57 @@ def test_schema_json_does_not_clobber_session_temp_views(spark):
     assert spark.sql("SELECT count(*) AS n FROM v1").first()["n"] == 7
     spark.catalog.dropTempView("t")
     spark.catalog.dropTempView("v1")
+
+
+def test_hll_registers_maintained_incrementally(spark):
+    """The x_sketch_hll register array as an INCREMENTAL view: bucket
+    = expression GROUP BY key, register = MAX(rho) — the recognizer's
+    aggregate-recompute circuit, so the sketch maintains under inserts
+    AND retractions (touched buckets recompute; a deleted max falls
+    back to the next-highest survivor). Mergeable-sketch maintenance
+    without any sketch-specific code path."""
+    import random
+
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+
+    prog = """
+    CREATE TABLE ev(uid BIGINT);
+    CREATE VIEW hll AS SELECT
+        CAST(conv(substring(md5(CAST(uid AS STRING)), 1, 15), 16, 10)
+             AS BIGINT) % 64 AS bucket,
+        MAX(CASE WHEN shiftright(CAST(conv(substring(md5(CAST(uid AS
+                 STRING)), 1, 15), 16, 10) AS BIGINT), 6) > 0
+                 THEN 52 - length(bin(shiftright(CAST(conv(substring(
+                      md5(CAST(uid AS STRING)), 1, 15), 16, 10)
+                      AS BIGINT), 6)))
+                 ELSE 52 END) AS m
+    FROM ev GROUP BY CAST(conv(substring(md5(CAST(uid AS STRING)),
+                                         1, 15), 16, 10) AS BIGINT) % 64;
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True)
+    naive = IncrementalProgram(spark, prog, optimize=False)
+    assert opt.plan()["hll"] == "aggregate-recompute"
+
+    rng = random.Random(7)
+    live: list[int] = []
+    for step in range(3):
+        d = []
+        for _ in range(rng.randint(3, 8)):
+            if live and rng.random() < 0.35:
+                uid = live.pop(rng.randrange(len(live)))
+                d.append((uid, -1))
+            else:
+                uid = rng.randrange(10_000)
+                live.append(uid)
+                d.append((uid, 1))
+        zo = ZSet(spark.createDataFrame(d, "uid bigint, __weight long"))
+        zn = ZSet(spark.createDataFrame(d, "uid bigint, __weight long"))
+        out_o = opt.step({"ev": zo})
+        out_n = naive.step({"ev": zn})
+        ro = sorted(map(tuple, out_o["hll"].df.collect()))
+        rn = sorted(map(tuple, out_n["hll"].df.collect()))
+        assert ro == rn, f"step {step}"
+    so = sorted(map(tuple, opt.snapshot("hll").df.collect()))
+    sn = sorted(map(tuple, naive.snapshot("hll").df.collect()))
+    assert so == sn and len(so) > 0
