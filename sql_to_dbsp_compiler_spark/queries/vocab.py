@@ -364,3 +364,94 @@ def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("doc_id", ordk).alias("last_doc"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# x_bpe_encode — apply learned merges (the tokenizer's ENCODE half)
+# --------------------------------------------------------------------
+
+_BPE_MERGES_PATH = "/root/repo/.artifacts/bpe_merges.parquet"
+_BPE_N_MERGES = 8
+
+# The oracle applies the same persisted merge list as a fixed-depth
+# fold of replace() calls (merge i's pattern/replacement come from
+# scalar subqueries against the artifact). Encoding representation:
+# every symbol is wrapped as (sym), so a merge is the literal
+# replacement (l)(r) -> (lr) — token boundaries can never be shared
+# between adjacent matches, which keeps engine replace() semantics
+# (left-to-right, non-overlapping) identical to the per-array walk
+# BPE uses. Token count per word = number of '(' in the encoding.
+_ENC_INIT = "regexp_replace(word, '(.)', '(\\1)', 'g')"
+_ENC_FOLD = _ENC_INIT
+for _i in range(_BPE_N_MERGES):
+    _ENC_FOLD = (
+        f"replace({_ENC_FOLD}, "
+        f"(SELECT '(' || left_sym || ')(' || right_sym || ')' FROM m "
+        f"WHERE merge_idx = {_i}), "
+        f"(SELECT '(' || left_sym || right_sym || ')' FROM m "
+        f"WHERE merge_idx = {_i}))"
+    )
+
+
+@query(
+    "x_bpe_encode",
+    oracle=f"""
+    WITH m AS (SELECT merge_idx, left_sym, right_sym
+               FROM read_parquet('{_BPE_MERGES_PATH}/*.parquet')),
+    w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS word
+          FROM documents),
+    enc AS (SELECT doc_id, word, {_ENC_FOLD} AS e FROM w)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(word)) AS BIGINT) AS n_char_tokens,
+           CAST(SUM(length(e) - length(replace(e, '(', ''))) AS BIGINT)
+               AS n_bpe_tokens,
+           round(CAST(SUM(length(e) - length(replace(e, '(', '')))
+                      AS DOUBLE) / SUM(length(word)), 6) AS compression
+    FROM enc GROUP BY doc_id
+    """,
+    tags=("llm", "tokenizer"),
+)
+def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's ENCODE half (x_bpe_learn is the learn half):
+    apply the learned merge list in rank order, each merge replacing
+    left-to-right non-overlapping adjacent pairs. Symbols are wrapped
+    as (sym) so replacements can never share a boundary — string
+    replace() then has exactly the BPE array-walk semantics in both
+    engines, which makes per-doc BPE token counts (the number a
+    token-budget pipeline actually needs) fully oracle-gated: merges
+    persist to parquet and DuckDB re-applies the identical fold.
+    Scale shape: the merge chain is a pure per-row expression over
+    the exploded word stream (broadcast-free: merges are inlined
+    literals built driver-side from the tiny artifact), one groupBy
+    doc."""
+    import os
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(spark, d, num_merges=_BPE_N_MERGES)
+    os.makedirs(os.path.dirname(_BPE_MERGES_PATH), exist_ok=True)
+    spark.createDataFrame(
+        [(i, l, r) for i, l, r, _n in merges],
+        "merge_idx int, left_sym string, right_sym string",
+    ).coalesce(1).write.mode("overwrite").parquet(_BPE_MERGES_PATH)
+
+    w = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " ", -1), lambda x: x != "")
+        ).alias("word"),
+    )
+    enc = F.regexp_replace(F.col("word"), "(.)", "($1)")
+    for _i, l, r, _n in merges:
+        enc = F.replace(enc, F.lit(f"({l})({r})"), F.lit(f"({l}{r})"))
+    w = w.withColumn("e", enc)
+    n_bpe = F.length("e") - F.length(F.replace(F.col("e"), F.lit("("), F.lit("")))
+    return w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.length("word")).cast("bigint").alias("n_char_tokens"),
+        F.sum(n_bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.round(
+            F.sum(n_bpe).cast("double") / F.sum(F.length("word")), 6
+        ).alias("compression"),
+    )

@@ -65,3 +65,39 @@ def test_pair_counts_weighted_by_word_frequency(spark):
         (r.left, r.right): r.n for r in pair_counts(vocab).collect()
     }
     assert rows == {("a", "b"): 5, ("b", "c"): 2}
+
+
+def test_bpe_encode_matches_array_walk(spark):
+    """The (sym)-wrapped replace() chain used by x_bpe_encode must
+    equal the classic BPE array walk (apply merges in rank order,
+    each left-to-right non-overlapping) — including the adjacent-
+    match case where naive space-delimited replace() diverges
+    (e.g. 'abab' with merge (a,b) must become [ab][ab], and 'lll'
+    with (l,l) must become [ll][l])."""
+    from pyspark.sql import functions as F
+
+    merges = [("a", "b"), ("l", "l"), ("ab", "ab")]
+
+    def walk(word):
+        syms = list(word)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = ["abab", "lll", "llll", "ababab", "hello", "ba", "abba", "a"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    enc = F.regexp_replace(F.col("word"), "(.)", "($1)")
+    for left, right in merges:
+        enc = F.replace(enc, F.lit(f"({left})({right})"), F.lit(f"({left}{right})"))
+    rows = {r["word"]: r["e"] for r in df.withColumn("e", enc).collect()}
+    for w in words:
+        expected = "".join(f"({s})" for s in walk(w))
+        assert rows[w] == expected, f"{w}: {rows[w]} != {expected}"
