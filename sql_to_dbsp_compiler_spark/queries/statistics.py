@@ -547,3 +547,77 @@ def x_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "x_event_funnel",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           GROUP BY e.user_id)
+    SELECT u.user_id, s1.t1 AS signup_ts, s2.t2 AS click_ts,
+           s3.t3 AS purchase_ts,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     WHEN s1.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS funnel_stage
+    FROM u LEFT JOIN s1 USING (user_id)
+           LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id)
+    """,
+    tags=("analytics", "events", "funnel"),
+)
+def x_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → first click AFTER it →
+    first purchase AFTER that) per user — the product-analytics shape
+    that needs event SEQUENCING, not mere presence: each stage's
+    timestamp is the min over events strictly later than the previous
+    stage. Three grouped mins, each joined back on user_id (equi-joins
+    a 100 TB event log shuffles by user anyway; stages 2-3 shrink to
+    converting users only)."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.select("user_id").distinct()
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("signup_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("click_ts"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        u.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "signup_ts",
+            "click_ts",
+            "purchase_ts",
+            F.when(F.col("purchase_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .when(F.col("signup_ts").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("funnel_stage"),
+        )
+    )

@@ -455,3 +455,122 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(n_bpe).cast("double") / F.sum(F.length("word")), 6
         ).alias("compression"),
     )
+
+
+# --------------------------------------------------------------------
+# x_cooccurrence_pmi — corpus word-association statistics
+# --------------------------------------------------------------------
+
+# Fractions of |corpus|, NOT absolute counts: an absolute df cap is a
+# scale bug (at 10x the data every word crosses it and the result
+# silently empties — caught by the sf0.1 spot check).
+_PMI_MAX_DF_FRAC = 0.8   # drop words in more docs (stopword-ish)
+_PMI_MIN_PAIR_FRAC = 0.01  # pair support floor
+
+
+@query(
+    "x_cooccurrence_pmi",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    dw AS (
+        SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '),
+                                                   x -> x <> '')) AS w
+        FROM documents
+    ),
+    df AS (SELECT w, COUNT(*) AS d FROM dw GROUP BY w),
+    kept AS (SELECT dw.doc_id, dw.w FROM dw JOIN df USING (w) CROSS JOIN n
+             WHERE df.d <= {_PMI_MAX_DF_FRAC} * n.n_docs),
+    pairs AS (
+        SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.w < b.w
+    ),
+    pc AS (SELECT w1, w2, COUNT(*) AS n_ab FROM pairs GROUP BY w1, w2),
+    scored AS (
+        SELECT pc.w1, pc.w2, pc.n_ab, d1.d AS n_a, d2.d AS n_b,
+               round(ln((CAST(pc.n_ab AS DOUBLE) * n.n_docs)
+                        / (d1.d * CAST(d2.d AS DOUBLE))), 6) AS pmi
+        FROM pc JOIN df d1 ON pc.w1 = d1.w
+                JOIN df d2 ON pc.w2 = d2.w
+                CROSS JOIN n
+        WHERE pc.n_ab >= {_PMI_MIN_PAIR_FRAC} * n.n_docs
+    )
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, pmi
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) <= 50
+    """,
+    tags=("llm", "statistics", "corpus"),
+)
+def x_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level word
+    co-occurrence (the classic collocation/association statistic):
+    PMI(a,b) = ln(P(a,b) / P(a)P(b)) with document-frequency
+    probabilities, a df cap dropping stopword-ish terms (they pair
+    with everything — Zipfian join fanout AND zero signal, the same
+    guard as the dedup shingle joins), and a pair-support floor.
+    Top-50 pairs by PMI with a total tie-break order.
+
+    Scale shape: pairs are enumerated INSIDE each doc's (capped,
+    sorted) distinct-word array — F.transform over the array, one
+    linear explode, never a doc-keyed self-join shuffle of the token
+    table; pair counts are one groupBy; df tables join back small.
+    The oracle's equivalent self-join states the same semantics
+    declaratively."""
+    d = load_table(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " ", -1), lambda x: x != "")
+            )
+        ).alias("w"),
+    )
+    from sql_to_dbsp_compiler_spark.sources.tables import rowcount
+
+    n_docs = rowcount(d.select("doc_id").distinct())
+    dfreq = dw.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+    kept = dw.join(dfreq.where(F.col("d") <= _PMI_MAX_DF_FRAC * n_docs), "w")
+    # in-doc pair enumeration over the sorted word array (linear)
+    arr = kept.groupBy("doc_id").agg(F.sort_array(F.collect_list("w")).alias("ws"))
+    pairs = arr.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ws"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ws"), i + 2,
+                            F.greatest(F.size("ws") - i - 1, F.lit(1)),
+                        ),
+                        lambda y: F.struct(x.alias("w1"), y.alias("w2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    scored = (
+        pc.where(F.col("n_ab") >= _PMI_MIN_PAIR_FRAC * n_docs)
+        .join(F.broadcast(dfreq.withColumnRenamed("d", "n_a")), pc.w1 == dfreq.w)
+        .drop("w")
+        .join(
+            F.broadcast(dfreq.withColumnRenamed("d", "n_b")),
+            F.col("w2") == dfreq.w,
+        )
+        .drop("w")
+        .select(
+            "w1", "w2",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double") * n_docs
+                    / (F.col("n_a") * F.col("n_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    # TakeOrderedAndProject: per-partition heaps, no global sort
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(50)
