@@ -169,3 +169,91 @@ def streaming_scd2(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, signup_ts timestamp, click_ts timestamp, "
+    "purchase_ts timestamp, funnel_stage int, seq long"
+)
+
+
+class FunnelProcessor(StatefulProcessor):
+    """Real-time ordered conversion funnel (the streaming face of the
+    batch x_event_funnel query): per user, t1 = min signup ts, t2 =
+    min click ts AFTER t1, t3 = min purchase ts AFTER t2 — exact under
+    ARBITRARY cross-batch disorder, with provably sufficient pruned
+    state:
+
+    - signups: only the minimum matters (min is order-insensitive) →
+      one value;
+    - clicks: t1 only decreases as late signups arrive, so a click
+      can become the new t2 later only if it is ≤ the current t2 —
+      clicks > t2 are discarded forever; the kept set (clicks ≤ t2)
+      is exactly the candidates any future t1 could unlock;
+    - purchases: the same argument against t3.
+
+    Each touched key re-emits its CURRENT funnel row with a per-key
+    seq — final state selects with max(seq), no processing-time
+    dependence. Equality with the batch funnel after streaming
+    disordered micro-batches is the test gate."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._t1 = handle.getValueState("t1", "t1 timestamp")
+        self._clicks = handle.getListState("clicks", "ts timestamp")
+        self._purchases = handle.getListState("purchases", "ts timestamp")
+        self._seq = handle.getValueState("seq", "seq long")
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        t1 = self._t1.get()[0] if self._t1.exists() else None
+        clicks = sorted(r[0] for r in self._clicks.get())
+        purchases = sorted(r[0] for r in self._purchases.get())
+        for pdf in rows:
+            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+                ts = ts.to_pydatetime()
+                if etype == "signup":
+                    if t1 is None or ts < t1:
+                        t1 = ts
+                elif etype == "click":
+                    clicks.append(ts)
+                elif etype == "purchase":
+                    purchases.append(ts)
+        clicks.sort()
+        purchases.sort()
+        # recompute the funnel from sufficient state
+        t2 = next((c for c in clicks if t1 is not None and c > t1), None)
+        t3 = next((p for p in purchases if t2 is not None and p > t2), None)
+        # prune: candidates beyond the current stage point can never
+        # be needed again (t1/t2 only decrease over time)
+        if t2 is not None:
+            clicks = [c for c in clicks if c <= t2]
+        if t3 is not None:
+            purchases = [p for p in purchases if p <= t3]
+        self._t1.update((t1,))
+        self._clicks.put([(c,) for c in clicks])
+        self._purchases.put([(p,) for p in purchases])
+        seq = (self._seq.get()[0] if self._seq.exists() else 0) + 1
+        self._seq.update((seq,))
+        stage = 3 if t3 else 2 if t2 else 1 if t1 else 0
+        yield pd.DataFrame(
+            [(int(key[0]), t1, t2, t3, stage, seq)],
+            columns=[
+                "user_id", "signup_ts", "click_ts",
+                "purchase_ts", "funnel_stage", "seq",
+            ],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """events(user_id, event_type, ts) stream → append stream of each
+    touched user's current funnel row (select finals with max(seq))."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        FunnelProcessor(),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -882,3 +882,125 @@ def test_streaming_contamination_ingest_gate(spark, tmp_path_factory):
     # equal the batch cascade exactly
     assert got == sorted(map(tuple, batch.collect()))
     assert len(got) > 0
+
+
+def test_funnel_processor_transition_function():
+    """Streaming funnel per-key transition with fake state (runs
+    without the protobuf runtime): exact under cross-batch disorder —
+    a LATE signup must lower t1 and unlock an earlier kept click as
+    the new t2; clicks above the current t2 are discarded forever
+    (they can never become a min of a growing eligible set)."""
+    import pandas as pd
+
+    from sql_to_dbsp_compiler_spark.streaming.transform_state import (
+        FunnelProcessor,
+    )
+
+    class FakeList:
+        def __init__(self):
+            self.rows = []
+
+        def get(self):
+            return iter(self.rows)
+
+        def put(self, rows):
+            self.rows = list(rows)
+
+    class FakeValue:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    def ts(h, m=0):
+        return pd.Timestamp(2024, 1, 1, h, m)
+
+    p = FunnelProcessor()
+    p._t1, p._seq = FakeValue(), FakeValue()
+    p._clicks, p._purchases = FakeList(), FakeList()
+
+    def step(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type"])
+        return list(p.handleInputRows((42,), iter([pdf]), None))[0].iloc[0]
+
+    # batch 1: click+purchase arrive BEFORE any signup → stage 0
+    r1 = step([(ts(10), "click"), (ts(10, 30), "purchase")])
+    assert r1["funnel_stage"] == 0 and r1["seq"] == 1
+
+    # batch 2: signup@09 unlocks both → stage 3
+    r2 = step([(ts(9), "signup")])
+    assert r2["funnel_stage"] == 3
+    assert r2["signup_ts"] == ts(9) and r2["click_ts"] == ts(10)
+    assert r2["purchase_ts"] == ts(10, 30)
+
+    # batch 3: LATE signup@08 lowers t1; the kept click@09:30 (≤ old
+    # t2) becomes the new t2; click@11 (> t2) is discarded forever
+    r3 = step([(ts(8), "signup"), (ts(9, 30), "click"), (ts(11), "click")])
+    assert r3["funnel_stage"] == 3
+    assert r3["signup_ts"] == ts(8) and r3["click_ts"] == ts(9, 30)
+    assert all(c[0] <= ts(9, 30) for c in p._clicks.rows)
+
+
+def test_transform_with_state_funnel_matches_batch(spark, tmp_path):
+    """Streaming funnel over 3 DISORDERED micro-batches == the batch
+    x_event_funnel query for every user (final per-key emission =
+    max seq). Skips without the protobuf runtime, like the other
+    transformWithStateInPandas round-trips."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs the protobuf runtime",
+    )
+    import glob
+    import os
+    import shutil
+
+    from sql_to_dbsp_compiler_spark.queries import REGISTRY
+    from sql_to_dbsp_compiler_spark.streaming.transform_state import (
+        streaming_funnel,
+    )
+
+    out = str(tmp_path / "files")
+    os.makedirs(out)
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_type", "ts"
+    )
+    # event_id-based split = timestamp disorder across batches
+    full = load_table(spark, "/root/testdata/sf0.001", "events")
+    for i in range(3):
+        b = full.where(F.col("event_id") % 3 == i).select(
+            "user_id", "event_type", "ts"
+        )
+        b.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, f"_b{i}"))
+        src = glob.glob(os.path.join(out, f"_b{i}", "*.parquet"))[0]
+        shutil.copy(src, os.path.join(out, f"batch_{i}.parquet"))
+        shutil.rmtree(os.path.join(out, f"_b{i}"))
+
+    stream = stream_from_dir(
+        spark, out, _parse_ddl("user_id long, event_type string, ts timestamp")
+    )
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("tws_funnel")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination()
+    emitted = spark.table("tws_funnel")
+    last = emitted.groupBy("user_id").agg(F.max("seq").alias("seq"))
+    final = emitted.join(last, ["user_id", "seq"]).select(
+        "user_id", "signup_ts", "click_ts", "purchase_ts", "funnel_stage"
+    )
+    batch = REGISTRY["x_event_funnel"].fn(spark, "/root/testdata/sf0.001")
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
