@@ -1043,8 +1043,48 @@ def _having_refs_only(cond: str, out_cols: list[str]) -> bool:
     no_strings = re.sub(r"'(?:[^']|'')*'", "", cond)
     idents = {t.lower() for t in re.findall(r"[A-Za-z_]\w*", no_strings)}
     return idents <= (set(out_cols) | _HAVING_KEYWORDS)
+_BAL = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))"
+_FILTER_AGG_RE = re.compile(
+    r"\b(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<arg>\*|" + _BAL + r"+?)\s*\)"
+    r"\s+FILTER\s*\(\s*WHERE\s+(?P<pred>" + _BAL + r"+?)\s*\)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rewrite_filter_aggs(sql: str) -> str:
+    """Rewrite ``agg(x) FILTER (WHERE p)`` to the exactly-equivalent
+    CASE form (``agg(CASE WHEN p THEN x END)``; ``COUNT(*)`` becomes
+    ``COUNT(CASE WHEN p THEN 1 END)``, DISTINCT stays outside the
+    CASE) so the recognizer's existing aggregate circuits apply —
+    FILTER-conditional SUM/COUNT are still LINEAR aggregates. Applied
+    only on the recognition copy; the naive path keeps the original
+    text (Spark SQL evaluates FILTER natively). The reference's
+    Calcite frontend has no filterArg handling, so this is surface the
+    Spark engine adds."""
+
+    def repl(m: "re.Match") -> str:
+        fn, arg, pred = m.group("fn"), m.group("arg"), m.group("pred")
+        distinct = ""
+        body = arg
+        dm = re.match(r"^DISTINCT\s+(.+)$", arg, re.IGNORECASE | re.DOTALL)
+        if dm:
+            distinct, body = "DISTINCT ", dm.group(1)
+        if body.strip() == "*":
+            body = "1"
+        return f"{fn}({distinct}CASE WHEN {pred} THEN {body} END)"
+
+    return _FILTER_AGG_RE.sub(repl, sql)
+
+
+# arg must have BALANCED parens (two nesting levels — enough for
+# fn(expr(nested(..)))): a lazy `.+?` would swallow a trailing
+# `) FILTER (WHERE ...` clause into the arg and "recognize" a
+# FILTER-bearing aggregate as garbage; with the balanced form such
+# items simply fail to match and the view falls back to naive.
 _AGG_ITEM_RE = re.compile(
-    r"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<arg>\*|.+?)\s*\)\s+AS\s+(?P<alias>\w+)$",
+    r"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*"
+    r"(?P<arg>\*|(?:[^()]|\((?:[^()]|\([^()]*\))*\))+?)"
+    r"\s*\)\s+AS\s+(?P<alias>\w+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _JOIN_RE = re.compile(
@@ -3509,7 +3549,7 @@ def _recognize_view(view: ViewDef, cols_of: dict[str, list[str]], known: set[str
     if view.columns is not None:
         return None  # explicit output column list → naive (rename pass)
 
-    sql = view.sql.strip().rstrip(";")
+    sql = _rewrite_filter_aggs(view.sql.strip().rstrip(";"))
 
     union_parts, union_seps = _split_union(sql)
     setop_parts, setop_seps = _split_setop(sql)

@@ -348,6 +348,23 @@ def slt_statements(seed: int = 0) -> list[str]:
         "UNION ALL SELECT i + 1 AS i, fact * (i + 1) AS fact FROM f "
         "WHERE i < 10) SELECT i, fact FROM f",
     ]
+    stmts += [
+        # aggregate FILTER clauses (SQL:2003; both engines support the
+        # syntax natively — conditional aggregation without CASE)
+        "SELECT (a % 3) AS g, count(*) FILTER (WHERE b > 0) AS np, "
+        "sum(b) FILTER (WHERE b < 0) AS sn, count(*) AS n "
+        "FROM t GROUP BY (a % 3)",
+        "SELECT sign(a) AS g, min(b) FILTER (WHERE s IS NOT NULL) AS mb, "
+        "count(DISTINCT s) FILTER (WHERE b > 0) AS cs FROM t "
+        "GROUP BY sign(a)",
+        "SELECT count(*) FILTER (WHERE a > 0) AS pos, "
+        "count(*) FILTER (WHERE a < 0) AS neg, "
+        "avg(a) FILTER (WHERE b IS NOT NULL) AS av FROM t",
+        # GROUP BY ALL (modern dialect shorthand both engines accept)
+        "SELECT (a % 3) AS g, (b > 0) AS pos, count(*) AS n, sum(a) AS sa "
+        "FROM t GROUP BY ALL",
+        "SELECT tag, sum(v) AS sv FROM u GROUP BY ALL",
+    ]
     return stmts
 
 

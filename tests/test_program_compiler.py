@@ -2398,3 +2398,56 @@ def test_hll_registers_maintained_incrementally(spark):
     so = sorted(map(tuple, opt.snapshot("hll").df.collect()))
     sn = sorted(map(tuple, naive.snapshot("hll").df.collect()))
     assert so == sn and len(so) > 0
+
+
+def test_filter_clause_aggregates_recognized_and_incremental(spark):
+    """agg(x) FILTER (WHERE p) rewrites to the exact CASE form on the
+    recognition copy, so FILTER-conditional SUM/COUNT compile to the
+    LINEAR aggregate circuit (and MIN to recompute) instead of naive
+    — surface the reference's Calcite frontend lacks (no filterArg
+    handling). optimized == naive across insert and retraction
+    steps."""
+    from sql_to_dbsp_compiler_spark.compiler.program import (
+        IncrementalProgram,
+        _rewrite_filter_aggs,
+    )
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+
+    assert _rewrite_filter_aggs(
+        "SELECT g, COUNT(*) FILTER (WHERE b > 0) AS np FROM t GROUP BY g"
+    ) == "SELECT g, COUNT(CASE WHEN b > 0 THEN 1 END) AS np FROM t GROUP BY g"
+    assert _rewrite_filter_aggs(
+        "SELECT COUNT(DISTINCT s) FILTER (WHERE b > 0) AS c FROM t"
+    ) == "SELECT COUNT(DISTINCT CASE WHEN b > 0 THEN s END) AS c FROM t"
+
+    prog = """
+    CREATE TABLE ev(k INT, b INT, s VARCHAR);
+    CREATE VIEW v AS SELECT (k % 3) AS g,
+        COUNT(*) FILTER (WHERE b > 0) AS n_pos,
+        SUM(b) FILTER (WHERE b < 0) AS s_neg,
+        COUNT(*) AS n
+    FROM ev GROUP BY (k % 3);
+    CREATE VIEW vm AS SELECT (k % 2) AS g,
+        MIN(b) FILTER (WHERE s IS NOT NULL) AS mb
+    FROM ev GROUP BY (k % 2);
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True)
+    naive = IncrementalProgram(spark, prog, optimize=False)
+    plan = opt.plan()
+    assert plan["v"] != "naive", plan
+    assert plan["vm"] != "naive", plan
+
+    schema = "k int, b int, s string, __weight long"
+    steps = [
+        [(1, 5, "a", 1), (2, -3, None, 1), (3, 7, "b", 1), (4, 0, "c", 1)],
+        [(1, 5, "a", -1), (5, -9, "d", 1), (6, 2, None, 1)],
+        [(2, -3, None, -1), (3, 7, "b", -1)],
+    ]
+    for i, d in enumerate(steps):
+        zo = ZSet(spark.createDataFrame(d, schema))
+        zn = ZSet(spark.createDataFrame(d, schema))
+        out_o, out_n = opt.step({"ev": zo}), naive.step({"ev": zn})
+        for vname in ("v", "vm"):
+            ro = sorted(map(tuple, out_o[vname].df.collect()))
+            rn = sorted(map(tuple, out_n[vname].df.collect()))
+            assert ro == rn, f"step {i} view {vname}"
