@@ -1076,17 +1076,65 @@ def _rewrite_filter_aggs(sql: str) -> str:
     return _FILTER_AGG_RE.sub(repl, sql)
 
 
-# arg must have BALANCED parens (two nesting levels — enough for
-# fn(expr(nested(..)))): a lazy `.+?` would swallow a trailing
-# `) FILTER (WHERE ...` clause into the arg and "recognize" a
-# FILTER-bearing aggregate as garbage; with the balanced form such
-# items simply fail to match and the view falls back to naive.
-_AGG_ITEM_RE = re.compile(
-    r"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*"
-    r"(?P<arg>\*|(?:[^()]|\((?:[^()]|\([^()]*\))*\))+?)"
-    r"\s*\)\s+AS\s+(?P<alias>\w+)$",
-    re.IGNORECASE | re.DOTALL,
+# The aggregate-item matcher scans the arg with a quote-aware paren
+# counter (arbitrary nesting) instead of a regex: a lazy `.+?` would
+# swallow a trailing `) FILTER (WHERE ...` clause into the arg and
+# "recognize" a FILTER-bearing aggregate as garbage, while a
+# bounded-depth balanced regex rejects legitimately deep expressions
+# (the HLL register view nests six calls). Anything between the
+# aggregate's closing paren and `AS alias` (FILTER, WITHIN GROUP, …)
+# makes match() return None → the view declines to naive.
+_AGG_HEAD_RE = re.compile(
+    r"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(", re.IGNORECASE | re.DOTALL
 )
+_AGG_TAIL_RE = re.compile(r"^\s+AS\s+(?P<alias>\w+)$", re.IGNORECASE | re.DOTALL)
+
+
+class _AggMatch:
+    __slots__ = ("_g",)
+
+    def __init__(self, fn: str, arg: str, alias: str) -> None:
+        self._g = {"fn": fn, "arg": arg, "alias": alias}
+
+    def group(self, name: str) -> str:
+        return self._g[name]
+
+
+class _AggItemMatcher:
+    """Drop-in for the old compiled regex: .match(item) → object with
+    .group('fn'|'arg'|'alias'), or None."""
+
+    def match(self, item: str) -> "_AggMatch | None":
+        m = _AGG_HEAD_RE.match(item)
+        if not m:
+            return None
+        depth, i, n = 1, m.end(), len(item)
+        while i < n and depth:
+            c = item[i]
+            if c == "'":  # skip string literal ('' is an escaped quote)
+                i += 1
+                while i < n:
+                    if item[i] == "'":
+                        if i + 1 < n and item[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return None
+        arg = item[m.end() : i - 1].strip()
+        tm = _AGG_TAIL_RE.match(item[i:])
+        if not tm or not arg:
+            return None
+        return _AggMatch(m.group("fn"), arg, tm.group("alias"))
+
+
+_AGG_ITEM_RE = _AggItemMatcher()
 _JOIN_RE = re.compile(
     r"^\s*SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<a>\w+)\s+JOIN\s+(?P<b>\w+)\s+ON\s+"
     r"(?P<on>.+?)\s*$",
