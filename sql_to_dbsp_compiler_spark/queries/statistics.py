@@ -621,3 +621,86 @@ def x_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_stage"),
         )
     )
+
+
+@query(
+    "x_sessionize_events",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM o
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           -- microsecond granularity: at the storage resolution
+           -- boundary-counting (DuckDB date_diff) and elapsed-time
+           -- truncation (Spark timestampdiff) agree exactly
+           CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT)
+               AS duration_us
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    tags=("analytics", "events", "session"),
+)
+def x_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a TABLE (complement of the
+    session-WINDOW aggregates in nexmark/streaming): a >30-min gap
+    starts a new session; session ids come from the classic
+    lag-detect + running-sum-of-starts trick — two window passes over
+    ONE user_id exchange (same partitioning, Catalyst reuses it),
+    then a grouped rollup per session. Deterministic under ts ties
+    via the event_id tiebreak."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTE")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        numbered.groupBy(
+            "user_id", F.col("session_no").cast("bigint").alias("session_no")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .withColumn(
+            "duration_us",
+            F.expr(
+                "timestampdiff(MICROSECOND, session_start, session_end)"
+            ).cast("bigint"),
+        )
+    )

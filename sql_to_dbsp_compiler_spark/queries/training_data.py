@@ -751,3 +751,52 @@ def x_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.col("n_copies") - 1)).alias("epoch"),
         )
     )
+
+
+@query(
+    "x_split_train_eval",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)),
+                                       1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    tags=("llm", "training", "sampling"),
+)
+def x_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split: the salted md5
+    bucket of the doc id alone decides membership, so the split is
+    mutually exclusive and exhaustive BY CONSTRUCTION, stable across
+    reruns/engines/repartitioning, and new documents join a split
+    without reshuffling old ones — the properties an eval protocol
+    needs that rand()-splits lack. The salt ('split|') decouples this
+    hash from every other md5-bucket decision in the pipeline (the
+    same doc must not be correlated between sampling and splitting).
+    Pure column expressions, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).select("doc_id", "lang", "bucket", "split")
