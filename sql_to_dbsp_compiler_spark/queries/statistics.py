@@ -704,3 +704,56 @@ def x_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         )
     )
+
+
+@query(
+    "x_robust_stats_winsorized",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    ),
+    c AS (
+        SELECT e.event_type,
+               CAST(least(greatest(e.value, q.p05), q.p95)
+                    AS DECIMAL(18,6)) AS w
+        FROM events e JOIN q USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(w) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*)
+               AS winsorized_mean,
+           CAST(MIN(w) AS DOUBLE) AS w_min,
+           CAST(MAX(w) AS DOUBLE) AS w_max
+    FROM c GROUP BY event_type
+    """,
+    tags=("statistics", "robust", "aggregate"),
+)
+def x_robust_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clamped) robust mean per group — the
+    outlier-resistant aggregation quality-score pipelines use instead
+    of a raw mean. The clamped values sum as DECIMAL(38,6), so the
+    mean is deterministic under any partitioning (a double sum's
+    low bits depend on reduction order); the percentile bounds
+    interpolate identically in both engines (the median_quantiles
+    precedent). Two shuffles: the percentile agg (tiny result,
+    broadcast back onto the scan) and the grouped fold."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.05)).alias("p05"),
+        F.percentile(F.col("value"), F.lit(0.95)).alias("p95"),
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).cast(
+        "decimal(18,6)"
+    )
+    c = e.join(F.broadcast(q), "event_type").select("event_type", w.alias("w"))
+    return c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum("w").cast("decimal(38,6)").cast("double") / F.count(F.lit(1))
+        ).alias("winsorized_mean"),
+        F.min("w").cast("double").alias("w_min"),
+        F.max("w").cast("double").alias("w_max"),
+    )
