@@ -800,3 +800,72 @@ def x_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     ).select("doc_id", "lang", "bucket", "split")
+
+
+@query(
+    "x_mixture_skew_kl",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS total FROM documents),
+    q AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    p AS (SELECT source, lang, COUNT(*) AS n_sl FROM documents
+          GROUP BY source, lang),
+    st AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+    terms AS (
+        SELECT p.source, p.lang,
+               CAST(p.n_sl AS DOUBLE) / st.n_src AS pp,
+               CAST(q.n_lang AS DOUBLE) / n.total AS qq
+        FROM p JOIN st USING (source) JOIN q USING (lang) CROSS JOIN n
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           round(list_reduce(
+               list(pp * ln(pp / qq) ORDER BY lang), (a, b) -> a + b), 9)
+               AS kl_vs_corpus
+    FROM terms GROUP BY source
+    """,
+    tags=("llm", "training", "mixing", "diagnostics"),
+)
+def x_mixture_skew_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-balance diagnostics: KL(P(lang|source) ‖ P(lang)) per
+    source — how far each source's language mix deviates from the
+    corpus mix, the number a data-recipe dashboard watches when a
+    crawl snapshot drifts. The KL sum folds its per-language terms in
+    lang order (both engines), and rounds to 9 dp (ln last-ulp); the
+    distributions come from two grouped counts plus one tiny broadcast
+    join — nothing scales with more than the (source × lang) grid.
+    Absent (source, lang) cells contribute 0 identically on both
+    sides (0·ln 0 terms never materialize — the join only produces
+    observed cells)."""
+    d = load_table(spark, sf_dir, "documents")
+    from sql_to_dbsp_compiler_spark.sources.tables import rowcount
+
+    total = rowcount(d)
+    q = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    p = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_sl"))
+    st = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    terms = (
+        p.join(F.broadcast(st), "source")
+        .join(F.broadcast(q), "lang")
+        .select(
+            "source",
+            "lang",
+            (F.col("n_sl").cast("double") / F.col("n_src")).alias("pp"),
+            (F.col("n_lang").cast("double") / F.lit(total)).alias("qq"),
+        )
+    )
+    term = (F.col("pp") * F.log(F.col("pp") / F.col("qq"))).alias("t")
+    folded = terms.select("source", "lang", term).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("lang", "t"))),
+                    lambda s: s["t"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        ).alias("kl_vs_corpus"),
+    )
+    return folded
