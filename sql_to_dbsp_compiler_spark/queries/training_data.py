@@ -869,3 +869,71 @@ def x_mixture_skew_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kl_vs_corpus"),
     )
     return folded
+
+
+@query(
+    "x_char_entropy",
+    oracle="""
+    WITH tg AS (
+        SELECT doc_id, substring(text, i, 3) AS g
+        FROM documents, unnest(generate_series(1, length(text) - 2)) AS u(i)
+        WHERE length(text) >= 3
+    ),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g),
+    tot AS (SELECT doc_id, SUM(c) AS t FROM cnt GROUP BY doc_id),
+    terms AS (
+        SELECT cnt.doc_id, cnt.g,
+               -(CAST(cnt.c AS DOUBLE) / tot.t)
+                   * ln(CAST(cnt.c AS DOUBLE) / tot.t) AS h
+        FROM cnt JOIN tot USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_trigrams,
+           round(list_reduce(list(h ORDER BY g), (a, b) -> a + b), 9)
+               AS trigram_entropy,
+           round(list_reduce(list(h ORDER BY g), (a, b) -> a + b), 9)
+               < 3.0 AS low_entropy
+    FROM terms GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "text"),
+)
+def x_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Shannon entropy per document — the classic
+    gibberish/boilerplate detector (natural text sits ~4-8 nats at
+    trigram level; repeated spam and key-mash collapse it). Entropy
+    terms fold in trigram order on both engines (9 dp for ln's ulp).
+    Shape: one Generate (sliding char window via sequence), one
+    (doc, gram) count shuffle, one per-doc fold — all linear in
+    corpus characters."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    tg = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    cnt = tg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    pp = F.col("c").cast("double") / F.col("t")
+    terms = cnt.join(tot, "doc_id").select(
+        "doc_id", "g", (-pp * F.log(pp)).alias("h")
+    )
+    ent = F.round(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("g", "h"))),
+                lambda s: s["h"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        9,
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_trigrams"),
+        ent.alias("trigram_entropy"),
+        (ent < 3.0).alias("low_entropy"),
+    )
