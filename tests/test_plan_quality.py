@@ -328,3 +328,46 @@ def test_weighted_group_sample_window_group_limit(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x_group_sample_weighted")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_split_train_eval_shuffle_free(spark, sf_dir):
+    """x_split_train_eval: pure hash-bucket projection — no Exchange,
+    no join, no Python."""
+    plan = _plan(spark, sf_dir, "x_split_train_eval")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sessionize_reuses_one_user_exchange(spark, sf_dir):
+    """x_sessionize_events: lag-detect and running-sum windows share
+    the user_id partitioning; no nested loop anywhere."""
+    plan = _plan(spark, sf_dir, "x_sessionize_events")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winsorized_stats_broadcasts_bounds(spark, sf_dir):
+    """x_robust_stats_winsorized: the tiny percentile-bounds table
+    broadcasts back onto the scan — never a sort-merge join."""
+    plan = _plan(spark, sf_dir, "x_robust_stats_winsorized")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_skew_broadcast_grid_joins(spark, sf_dir):
+    """x_mixture_skew_kl: the (source x lang) grid joins against two
+    broadcast count tables; nothing sort-merges."""
+    plan = _plan(spark, sf_dir, "x_mixture_skew_kl")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_char_entropy_generate_no_cartesian(spark, sf_dir):
+    """x_char_entropy: sliding char window is one Generate; no
+    nested loop, no Python in the row path."""
+    plan = _plan(spark, sf_dir, "x_char_entropy")
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
