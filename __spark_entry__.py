@@ -30,12 +30,14 @@ from sql_to_dbsp_compiler_spark.queries import REGISTRY
 # byte-for-byte unchanged — only the exported key rotates. The set is
 # derived from the CORRECTNESS files at import time, so the rotation
 # advances automatically every round with no manual list to maintain.
-# Three queries are pinned out of the window: they are rows-only BY
+# Four queries are pinned out of the window: they are rows-only BY
 # DESIGN (multimodal_decode: fake decode kernel, real libs absent;
 # approx_sketches: approximate by definition, property-tested bounds;
 # embedding_lsh_neardup: seeded float hyperplanes are engine-specific,
-# recall-tested vs the exact baseline) — an audit slot spent on them
-# records `err: no_oracle` forever and displaces a verifiable query.
+# recall-tested vs the exact baseline; x_bpe_learn: iterative merge
+# loop, verified bit-exact against a pure-Python replica) — an audit
+# slot spent on them records `err: no_oracle` forever and displaces a
+# verifiable query.
 
 
 def _driver_green() -> set[str]:
@@ -47,6 +49,7 @@ def _driver_green() -> set[str]:
         "multimodal_decode",
         "approx_sketches",
         "embedding_lsh_neardup",
+        "x_bpe_learn",
     }
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:

@@ -1043,12 +1043,35 @@ def _having_refs_only(cond: str, out_cols: list[str]) -> bool:
     no_strings = re.sub(r"'(?:[^']|'')*'", "", cond)
     idents = {t.lower() for t in re.findall(r"[A-Za-z_]\w*", no_strings)}
     return idents <= (set(out_cols) | _HAVING_KEYWORDS)
-_BAL = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))"
-_FILTER_AGG_RE = re.compile(
-    r"\b(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<arg>\*|" + _BAL + r"+?)\s*\)"
-    r"\s+FILTER\s*\(\s*WHERE\s+(?P<pred>" + _BAL + r"+?)\s*\)",
-    re.IGNORECASE | re.DOTALL,
+_FILTER_AGG_HEAD_RE = re.compile(
+    r"\b(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(", re.IGNORECASE
 )
+_FILTER_KW_RE = re.compile(r"\s*FILTER\s*\(\s*WHERE\s+", re.IGNORECASE)
+
+
+def _scan_to_close(s: str, i: int) -> int:
+    """``i`` points just past an opening ``(``; return the index just
+    past the matching ``)``, skipping single-quoted literals (with
+    ``''`` escapes) so parens inside strings don't count. -1 if
+    unbalanced."""
+    depth, n = 1, len(s)
+    while i < n and depth:
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    return i if depth == 0 else -1
 
 
 def _rewrite_filter_aggs(sql: str) -> str:
@@ -1060,20 +1083,57 @@ def _rewrite_filter_aggs(sql: str) -> str:
     only on the recognition copy; the naive path keeps the original
     text (Spark SQL evaluates FILTER natively). The reference's
     Calcite frontend has no filterArg handling, so this is surface the
-    Spark engine adds."""
+    Spark engine adds.
 
-    def repl(m: "re.Match") -> str:
-        fn, arg, pred = m.group("fn"), m.group("arg"), m.group("pred")
-        distinct = ""
-        body = arg
+    Scans quote-aware (ADVICE r4): a paren inside a string literal in
+    either the aggregate arg or the FILTER predicate —
+    ``COUNT(*) FILTER (WHERE s = ')')`` — must not shift the captured
+    boundaries. Agg heads inside string literals are data, skipped.
+    Any unbalanced span leaves the text untouched, so the view
+    declines cleanly to naive instead of compiling a corrupt copy."""
+    lit_spans = [
+        (lm.start(), lm.end()) for lm in re.finditer(r"'(?:[^']|'')*'", sql)
+    ]
+
+    def _in_literal(i: int) -> bool:
+        return any(a <= i < b for a, b in lit_spans)
+
+    out: list[str] = []
+    pos = search = 0
+    while True:
+        m = _FILTER_AGG_HEAD_RE.search(sql, search)
+        if not m:
+            break
+        if _in_literal(m.start()):
+            search = m.end()
+            continue
+        arg_end = _scan_to_close(sql, m.end())
+        if arg_end < 0:
+            search = m.end()
+            continue
+        fm = _FILTER_KW_RE.match(sql, arg_end)
+        if not fm:
+            search = arg_end
+            continue
+        pred_end = _scan_to_close(sql, fm.end())
+        if pred_end < 0:
+            search = arg_end
+            continue
+        arg = sql[m.end() : arg_end - 1].strip()
+        pred = sql[fm.end() : pred_end - 1].strip()
+        distinct, body = "", arg
         dm = re.match(r"^DISTINCT\s+(.+)$", arg, re.IGNORECASE | re.DOTALL)
         if dm:
             distinct, body = "DISTINCT ", dm.group(1)
         if body.strip() == "*":
             body = "1"
-        return f"{fn}({distinct}CASE WHEN {pred} THEN {body} END)"
-
-    return _FILTER_AGG_RE.sub(repl, sql)
+        out.append(sql[pos : m.start()])
+        out.append(
+            f"{m.group('fn')}({distinct}CASE WHEN {pred} THEN {body} END)"
+        )
+        pos = search = pred_end
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 # The aggregate-item matcher scans the arg with a quote-aware paren

@@ -607,8 +607,16 @@ def x_decimal_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     lib.rs: ln_decimal, log10_decimal, times_decimal_decimal,
     div_decimal_decimal, mod_decimal_decimal, round_decimal): exact
     multiply/mod surfaced as strings, division rescaled to an explicit
-    DECIMAL(20,6) on both engines (their native division-scale rules
-    differ — pinning the result type is the portable semantics),
+    DECIMAL(20,6) on both engines. NOTE on dec_div parity (ADVICE r4):
+    pinning the result type does NOT fully pin semantics — DuckDB's
+    decimal/decimal division goes through DOUBLE before the cast
+    rounds, while Spark rounds an exact DECIMAL(_,7) quotient. The two
+    pipelines agree here because the divisors (1..7 over 2-dp
+    dividends) produce at most 7 significant fractional digits, far
+    inside double's 15-16-digit precision, so the double intermediate
+    is exact and never lands near a 6-dp rounding boundary. Widening
+    the divisor set beyond what a double can represent exactly would
+    require computing the Spark quotient via double too.
     transcendentals (ln/log10) on decimal inputs produce doubles
     rounded to 9 dp, and round-to-negative-digits keeps decimal
     semantics (HALF_UP away from zero on both engines)."""

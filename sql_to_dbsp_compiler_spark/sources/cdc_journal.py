@@ -59,12 +59,21 @@ class _FilePartition(InputPartition):
     path: str
 
 
+def _slot_of(name: str) -> "int | None":
+    """Slot index of a journal basename ``j<digits>.jsonl`` — ANY
+    digit count (``%06d`` widens past 999999, so 7+-digit names are
+    legal), or None for foreign files."""
+    stem = name[1:-6]
+    return int(stem) if name.startswith("j") and stem.isdigit() else None
+
+
 def _journal_files(path: str) -> list[str]:
-    return sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".jsonl")
-    )
+    # Sort numerically by slot, not lexicographically: j1000000.jsonl
+    # would sort before j999999.jsonl as a string, replaying commits
+    # out of order once the index passes six digits.
+    files = [f for f in os.listdir(path) if f.endswith(".jsonl")]
+    files.sort(key=lambda f: (_slot_of(f) is None, _slot_of(f) or 0, f))
+    return [os.path.join(path, f) for f in files]
 
 
 def _emit_file(path: str, fields: list[str], accepted) -> "iter":
@@ -221,12 +230,10 @@ class CdcJournalWriter(DataSourceWriter):
         # slot name. New files land before old ones are removed, so a
         # crash between the two loops never loses the journal.
         old = _journal_files(self._path)
-        start = max(
-            (int(os.path.basename(f)[1:7]) + 1
-             for f in old
-             if os.path.basename(f)[1:7].isdigit()),
-            default=0,
-        )
+        slots = [
+            s for f in old if (s := _slot_of(os.path.basename(f))) is not None
+        ]
+        start = max(slots, default=-1) + 1
         for i, m in enumerate(sorted(messages, key=lambda m: m.tmp_path)):
             os.rename(
                 m.tmp_path, os.path.join(self._path, f"j{start + i:06d}.jsonl")

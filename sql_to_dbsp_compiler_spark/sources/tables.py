@@ -143,12 +143,25 @@ def metadata_rowcount(df: DataFrame) -> "int | None":
     files = df.inputFiles()
     if not files or not all(f.endswith(".parquet") for f in files):
         return None
+    # inputFiles() returns URIs. Footer reads only work for local
+    # files; object-store schemes (s3a://, hdfs://, abfs://) and any
+    # read error fall back to a counting job rather than crashing the
+    # planning path (ADVICE r4: srp_neardup_pairs / x_semdedup plan on
+    # this, and at 100 TB the inputs live on object storage).
+    from urllib.parse import unquote, urlparse
+
     import pyarrow.parquet as pq
 
     total = 0
     for f in files:
-        path = f[len("file:"):] if f.startswith("file:") else f
-        total += pq.ParquetFile(path).metadata.num_rows
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            return None
+        path = unquote(parsed.path) if parsed.scheme == "file" else f
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except Exception:  # missing file, corrupt footer (ArrowInvalid)
+            return None
     return total
 
 

@@ -230,7 +230,12 @@ class FunnelProcessor(StatefulProcessor):
             clicks = [c for c in clicks if c <= t2]
         if t3 is not None:
             purchases = [p for p in purchases if p <= t3]
-        self._t1.update((t1,))
+        # exists() already encodes "no signup yet": writing (None,)
+        # would persist a null field through the state server, a path
+        # the protobuf-gated round-trip tests can't always cover
+        # (ADVICE r4) — skip the update while t1 is unknown.
+        if t1 is not None:
+            self._t1.update((t1,))
         self._clicks.put([(c,) for c in clicks])
         self._purchases.put([(p,) for p in purchases])
         seq = (self._seq.get()[0] if self._seq.exists() else 0) + 1

@@ -289,3 +289,25 @@ def test_overwrite_commit_never_windows_to_empty(spark, journal_dir, tmp_path):
     df = spark.read.format("cdc_journal").schema(DDL).load(out)
     got = sorted(map(tuple, df.collect()))
     assert got == [(1, "a", 10, 1), (1, "a", 10, 1)]  # weight 2 → two I lines
+
+
+def test_slot_parsing_survives_seven_digit_indices(tmp_path):
+    """ADVICE r4: the writer formats slots with %06d, which widens to
+    7+ digits past 999999. Max-slot parsing must read ALL digits (a
+    6-char slice would truncate j1000000 to 100000 and re-issue a live
+    name), and journal ordering must be numeric (lexicographically
+    j1000000.jsonl sorts before j999999.jsonl)."""
+    from sql_to_dbsp_compiler_spark.sources.cdc_journal import (
+        _journal_files,
+        _slot_of,
+    )
+
+    assert _slot_of("j000042.jsonl") == 42
+    assert _slot_of("j1000000.jsonl") == 1000000
+    assert _slot_of("part-0001.jsonl") is None
+    d = tmp_path / "j"
+    d.mkdir()
+    for name in ("j999999.jsonl", "j1000000.jsonl", "j000001.jsonl"):
+        (d / name).write_text("")
+    files = [f.rsplit("/", 1)[-1] for f in _journal_files(str(d))]
+    assert files == ["j000001.jsonl", "j999999.jsonl", "j1000000.jsonl"]

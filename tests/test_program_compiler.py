@@ -2419,6 +2419,25 @@ def test_filter_clause_aggregates_recognized_and_incremental(spark):
     assert _rewrite_filter_aggs(
         "SELECT COUNT(DISTINCT s) FILTER (WHERE b > 0) AS c FROM t"
     ) == "SELECT COUNT(DISTINCT CASE WHEN b > 0 THEN s END) AS c FROM t"
+    # quote-aware boundaries (ADVICE r4): parens inside string
+    # literals in the arg or the FILTER predicate must not shift the
+    # captured spans, agg-looking text inside a literal is data, and
+    # an escaped quote ('') doesn't end the literal.
+    assert _rewrite_filter_aggs(
+        "SELECT COUNT(*) FILTER (WHERE s = ')') AS c FROM t"
+    ) == "SELECT COUNT(CASE WHEN s = ')' THEN 1 END) AS c FROM t"
+    assert _rewrite_filter_aggs(
+        "SELECT SUM(CASE WHEN s = '(' THEN b END) FILTER (WHERE b > 0)"
+        " AS x FROM t"
+    ) == (
+        "SELECT SUM(CASE WHEN b > 0 THEN CASE WHEN s = '(' THEN b END END)"
+        " AS x FROM t"
+    )
+    lit = "SELECT 'COUNT(x) FILTER (WHERE 1=1)' AS tag, MAX(v) AS m FROM t"
+    assert _rewrite_filter_aggs(lit) == lit
+    assert _rewrite_filter_aggs(
+        "SELECT COUNT(*) FILTER (WHERE s = 'it''s )') AS c FROM t"
+    ) == "SELECT COUNT(CASE WHEN s = 'it''s )' THEN 1 END) AS c FROM t"
 
     prog = """
     CREATE TABLE ev(k INT, b INT, s VARCHAR);

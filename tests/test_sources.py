@@ -88,3 +88,35 @@ def test_metadata_rowcount_matches_count_and_refuses_unsafe(spark, sf_dir):
     assert metadata_rowcount(e.limit(3)) is None
     assert metadata_rowcount(spark.range(5)) is None
     assert rowcount(e.limit(3)) == 3  # fallback counting job
+
+
+def test_metadata_rowcount_url_encoded_paths_and_bad_footers(
+    spark, tmp_path
+):
+    """ADVICE r4: inputFiles() returns URIs — a path with a space
+    arrives URL-encoded (%20) and must be unquoted before the footer
+    read, and an unreadable footer falls back to None (→ counting
+    job) rather than crashing the planning path."""
+    from sql_to_dbsp_compiler_spark.sources.tables import (
+        metadata_rowcount,
+        rowcount,
+    )
+
+    d = str(tmp_path / "with space")
+    spark.range(7).write.parquet(d)
+    back = spark.read.parquet(d)
+    assert any("%20" in f for f in back.inputFiles())
+    assert metadata_rowcount(back) == 7
+
+    bad = str(tmp_path / "bad")
+    spark.range(3).coalesce(1).write.parquet(bad)
+    back2 = spark.read.parquet(bad)
+    import glob as _glob
+    import os as _os
+
+    for f in _glob.glob(_os.path.join(bad, "*.parquet")):
+        with open(f, "r+b") as fh:  # corrupt the footer magic
+            fh.seek(-4, 2)
+            fh.write(b"XXXX")
+    assert metadata_rowcount(back2) is None  # clean None, no raise
+    assert rowcount(spark.range(4)) == 4  # non-parquet plans still count
