@@ -36,6 +36,14 @@ BENCH_QUERIES = [
     "tumbling_window_agg",
     "zset_incremental_view",
     "program_multiview_chain",
+    # Heavy LLM-pipeline ops (VERDICT r4 item 2): track the training-
+    # data operators in the driver's BENCH file, not just TPC-H+dedup,
+    # so a regression in one of them is visible round-over-round.
+    "x_dsir_resample",
+    "x_contamination_ngram",
+    "x_semdedup",
+    "x_bm25_topk",
+    "train_pipeline_end2end",
 ]
 
 

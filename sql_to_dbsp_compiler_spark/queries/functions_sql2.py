@@ -218,8 +218,10 @@ def explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def string_functions2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String surface II: chr/left/right/rpad/translate/concat_ws.
-    (initcap and OVERLAY exist in Spark but not DuckDB — engine
-    supports them; no oracle possible, so excluded here.)"""
+    (initcap and OVERLAY exist in Spark but not DuckDB 1.0, so they
+    are excluded from this oracle; BOTH are value-verified through
+    the SLT dual-engine bank via compiler/slt.py:to_duck_dialect,
+    which expands them into DuckDB-expressible compositions.)"""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
     return c.select(
         "c_custkey",

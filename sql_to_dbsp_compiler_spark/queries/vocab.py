@@ -434,7 +434,7 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.createDataFrame(
         [(i, l, r) for i, l, r, _n in merges],
         "merge_idx int, left_sym string, right_sym string",
-    ).coalesce(1).write.mode("overwrite").parquet(_BPE_MERGES_PATH)
+    ).repartition(1).write.mode("overwrite").parquet(_BPE_MERGES_PATH)
 
     w = d.select(
         "doc_id",

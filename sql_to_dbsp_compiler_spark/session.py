@@ -69,5 +69,12 @@ def get_spark(app_name: str = "sql_to_dbsp_compiler_spark", master: str | None =
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
         )
         .config("spark.ui.enabled", "false")
+        # In a single-JVM local master every task is node-local by
+        # definition, so the delay-scheduling wait is pure stall: a
+        # coalesce(1) over a 32-partition local relation inherits 32
+        # preferred locations and sat out the full 3 s locality wait
+        # before launching (measured 4.5 s for a one-row artifact
+        # write). On a real cluster this knob would stay default.
+        .config("spark.locality.wait", "0s")
     )
     return builder.getOrCreate()

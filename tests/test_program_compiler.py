@@ -964,6 +964,38 @@ def test_ast_guard_rejects_misrecognized_ops(spark):
     assert parse_features("SELECT window.start FROM t GROUP BY window(ts, '1 hour')") is None or True
 
 
+def test_ast_guard_degrades_without_duckdb(spark, monkeypatch):
+    """VERDICT r4 item 8: DuckDB is a soft dependency of the program
+    compiler — in an environment without it the guard must degrade
+    gracefully (parse_features → None, consistent → True), leaving
+    the regex recognizers as the only authority: optimization is
+    KEPT (the guard can only ever veto, its absence changes nothing)
+    and step results stay identical to the guarded compile."""
+    import sys as _sys
+
+    from sql_to_dbsp_compiler_spark.compiler import ast_guard
+    from sql_to_dbsp_compiler_spark.compiler.program import _LinearOp
+
+    prog = """
+    CREATE TABLE t(k INTEGER, v INTEGER);
+    CREATE VIEW v_lin AS SELECT k, v * 2 AS w FROM t WHERE v > 0;
+    """
+    with_guard = IncrementalProgram(spark, prog, optimize=True)
+    assert with_guard.plan()["v_lin"] == "linear"
+    delta = {"t": ZSet(spark.createDataFrame(
+        [(1, 5, 1), (2, -3, 1)], "k int, v int, __weight long"))}
+    expect = _zrows(with_guard.step(delta)["v_lin"])
+
+    # simulate `import duckdb` raising ImportError inside parse_features
+    monkeypatch.setitem(_sys.modules, "duckdb", None)
+    assert ast_guard.parse_features("SELECT 1") is None
+    assert ast_guard.consistent(_LinearOp("t", None, None), "SELECT k FROM t")
+    without = IncrementalProgram(spark, prog, optimize=True)
+    assert without.plan()["v_lin"] == "linear"  # optimization kept
+    got = _zrows(without.step(delta)["v_lin"])
+    assert got == expect == {(1, 10, 1)}
+
+
 def test_nested_parenthesized_join_still_correct(spark):
     """Nested parenthesized joins / quoted identifiers: shapes the
     regex recognizers can't parse must land on the naive path and

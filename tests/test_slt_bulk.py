@@ -23,6 +23,7 @@ from sql_to_dbsp_compiler_spark.compiler.slt import (
     run_statements,
     slt_expressions,
     slt_statements,
+    to_duck_dialect,
     to_spark_dialect,
 )
 
@@ -145,7 +146,7 @@ def test_slt_statements_through_program_incremental(spark):
                 (tuple(r) for r in inc.snapshot(name).to_multiset_df().collect()),
                 key=_row_key,
             )
-            want = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=_row_key)
+            want = sorted((tuple(r) for r in con.execute(to_duck_dialect(sql)).fetchall()), key=_row_key)
             if got != want:
                 fails.append(f"[{tag}] {name} ({sql[:60]}...): spark={got[:3]} duck={want[:3]}")
         assert not fails, f"{len(fails)} divergences:\n" + "\n".join(fails[:8])
@@ -217,7 +218,7 @@ def test_slt_random_statements_through_program_incremental(spark):
                 (tuple(r) for r in inc.snapshot(name).to_multiset_df().collect()),
                 key=_row_key,
             )
-            want = sorted((tuple(r) for r in con.execute(sql).fetchall()), key=_row_key)
+            want = sorted((tuple(r) for r in con.execute(to_duck_dialect(sql)).fetchall()), key=_row_key)
             if got != want:
                 fails.append(f"[{tag}] {name} ({sql[:60]}...): spark={got[:3]} duck={want[:3]}")
         assert not fails, f"{len(fails)} divergences:\n" + "\n".join(fails[:8])
