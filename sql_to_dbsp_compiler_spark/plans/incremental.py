@@ -319,6 +319,109 @@ class IncrementalSemiAnti:
         return dsemi
 
 
+class IncrementalRangeSemiAnti:
+    """Decorrelated [NOT] EXISTS whose correlation carries a NON-EQUI
+    residual — ``EXISTS (SELECT 1 FROM B WHERE B.k = A.k AND
+    B.ts < A.ts [AND resid])`` (reference:
+    CalciteToDBSPCompiler.java:213 ``visitCorrelate`` decorrelates
+    these to join-shaped circuits with a residual condition).
+
+    Existence under a residual predicate is NOT bilinear in (A, B):
+    retracting a B row flips an outer row's EXISTS only when no OTHER
+    key-mate satisfies the predicate, so IncrementalSemiAnti's
+    delta-rule semi-join does not apply. Maintained instead by
+    *touched-key recompute* (the IncrementalKeyedNotIn pattern): keep
+    integrated A, integrated B (correlation keys + the predicate's B
+    columns), and the stored output; a step re-evaluates the
+    predicate join only for correlation keys present in either delta
+    and diffs against the stored rows of those keys.
+
+    ``step`` takes the A delta (full payload) and the B delta
+    projected to ``__k0..__kn`` + ``__b_<col>`` predicate columns.
+    ``pred`` is a SQL boolean over A's natural column names and the
+    ``__b_``-prefixed B columns. Equality on the keys is null-unsafe
+    ``=`` (SQL correlation semantics: NULL keys make EXISTS false —
+    excluded from semi, included in anti). Per-step cost ∝
+    Σ size(touched key groups) on both sides; at scale all three
+    states are bucketed on the correlation key, so the recompute is a
+    bucket-local join."""
+
+    def __init__(
+        self,
+        keys_a: list[str],
+        pred: str,
+        anti: bool = False,
+        checkpoint_every: int = 8,
+    ):
+        self.keys_a = list(keys_a)
+        self.pred = pred
+        self.anti = anti
+        self._a: ZSet | None = None
+        self._b: ZSet | None = None  # (__k.., __b_..) pairs, weighted
+        self._out: DataFrame | None = None
+        self._steps = 0
+        self._checkpoint_every = checkpoint_every
+
+    def step(self, da: ZSet, db: ZSet) -> ZSet:
+        da = da.consolidate()
+        db = db.consolidate()
+        n = len(self.keys_a)
+        touched = (
+            da.df.select(*[F.col(k) for k in self.keys_a])
+            .unionByName(
+                db.df.select(
+                    *[F.col(f"__k{i}").alias(k) for i, k in enumerate(self.keys_a)]
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        self._a = da if self._a is None else self._a.add(da).consolidate()
+        self._b = db if self._b is None else self._b.add(db).consolidate()
+
+        a_t = _join_on_keys(self._a.df, self.keys_a, touched, "leftsemi")
+        b_t = _join_on_keys(
+            self._b.df,
+            [f"__k{i}" for i in range(n)],
+            touched.select(
+                *[F.col(k).alias(f"__k{i}") for i, k in enumerate(self.keys_a)]
+            ),
+            "leftsemi",
+        )
+        # existence is over the SUPPORT of integrated B
+        b_payload = [c for c in b_t.columns if c != WEIGHT]
+        b_pos = (
+            b_t.groupBy(*b_payload)
+            .agg(F.sum(WEIGHT).alias(WEIGHT))
+            .where(F.col(WEIGHT) > 0)
+            .drop(WEIGHT)
+        )
+        cond = None
+        for i, k in enumerate(self.keys_a):
+            eq = a_t[k] == b_pos[f"__k{i}"]
+            cond = eq if cond is None else cond & eq
+        cond = cond & F.expr(self.pred)
+        how = "left_anti" if self.anti else "leftsemi"
+        new_t = a_t.join(b_pos, cond, how).localCheckpoint(eager=False)
+
+        if self._out is None:
+            out_delta = ZSet(new_t)
+            self._out = new_t
+        else:
+            old_t = _join_on_keys(self._out, self.keys_a, touched, "leftsemi")
+            out_delta = ZSet(new_t).subtract(ZSet(old_t)).consolidate()
+            self._out = _join_on_keys(
+                self._out, self.keys_a, touched, "left_anti"
+            ).unionByName(new_t)
+
+        self._steps += 1
+        if self._steps % self._checkpoint_every == 0:
+            self._a = ZSet(self._a.df.localCheckpoint(eager=False))
+            self._b = ZSet(self._b.df.localCheckpoint(eager=False))
+            self._out = self._out.localCheckpoint(eager=False)
+        return out_delta
+
+
 class IncrementalNullAwareNotIn:
     """NULL-aware ``x NOT IN (SELECT y FROM B …)`` with full SQL
     three-valued logic (the reason plain anti-join is wrong):

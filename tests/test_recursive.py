@@ -342,57 +342,154 @@ def test_recursive_view_driven_by_stream(spark, tmp_path):
     assert got == [(0, 1), (0, 2), (0, 3), (0, 9)]
 
 
-def test_dred_used_for_retraction_steps(spark):
-    """The delete step of the canonical scenario goes through
-    delete-and-rederive, not cold recompute."""
-    prog = """
-    CREATE TABLE edge(src INTEGER, dst INTEGER);
-    CREATE RECURSIVE VIEW reach AS
-    SELECT src, dst FROM edge WHERE src = 0
-    UNION
-    SELECT r.src, e.dst FROM reach r, edge e WHERE r.dst = e.src;
-    """
+REACH_PROG = """
+CREATE TABLE edge(src INTEGER, dst INTEGER);
+CREATE RECURSIVE VIEW reach AS
+SELECT src, dst FROM edge WHERE src = 0
+UNION
+SELECT r.src, e.dst FROM reach r, edge e WHERE r.dst = e.src;
+"""
+
+
+def _zs(spark, rows, w=1):
     from sql_to_dbsp_compiler_spark.plans.zset import ZSet
 
-    def zs(rows, w=1):
-        df = spark.createDataFrame(rows, "src int, dst int")
-        return ZSet.from_df(df) if w == 1 else ZSet.from_df(df).neg()
+    df = spark.createDataFrame(rows, "src int, dst int")
+    return ZSet.from_df(df) if w == 1 else ZSet.from_df(df).neg()
 
-    ip = IncrementalProgram(spark, prog, optimize=True)
-    ip.step({"edge": zs([(0, 1), (1, 2), (2, 3)])})
+
+def test_counting_used_for_retraction_steps(spark):
+    """The delete step of the canonical scenario now goes through
+    counting-based maintenance (derivation-count Z-set weights), not
+    DRed and not cold recompute — and the counts state is exact."""
+    ip = IncrementalProgram(spark, REACH_PROG, optimize=True)
+    ip.step({"edge": _zs(spark, [(0, 1), (1, 2), (2, 3)])})
+    assert ip.recursive_counting_steps == 0
+    ip.step({"edge": _zs(spark, [(1, 2)], w=-1)})
+    assert ip.recursive_counting_steps == 1
     assert ip.recursive_dred_steps == 0
-    ip.step({"edge": zs([(1, 2)], w=-1)})
+    snap = sorted((r.src, r.dst) for r in ip.snapshot("reach").to_multiset_df().collect())
+    assert snap == [(0, 1)]
+    counts = sorted(tuple(r) for r in ip._rec_counts["reach"].df.collect())
+    assert counts == [(0, 1, 1)]
+
+
+def test_dred_used_when_counting_disabled(spark):
+    """DRed remains the retraction fallback: with counting pinned off
+    for the view, the delete step goes through delete-and-rederive
+    with identical results."""
+    ip = IncrementalProgram(spark, REACH_PROG, optimize=True)
+    ip._rec_count_failed.add("reach")
+    ip.step({"edge": _zs(spark, [(0, 1), (1, 2), (2, 3)])})
+    ip.step({"edge": _zs(spark, [(1, 2)], w=-1)})
     assert ip.recursive_dred_steps == 1
+    assert ip.recursive_counting_steps == 0
     snap = sorted((r.src, r.dst) for r in ip.snapshot("reach").to_multiset_df().collect())
     assert snap == [(0, 1)]
 
 
-def test_dred_rederives_alternate_support(spark):
-    """The DRed acid test: deleting one edge of a diamond must NOT
-    drop facts that survive via the other path (pure overdeletion
-    without rederivation would)."""
-    prog = """
-    CREATE TABLE edge(src INTEGER, dst INTEGER);
-    CREATE RECURSIVE VIEW reach AS
-    SELECT src, dst FROM edge WHERE src = 0
-    UNION
-    SELECT r.src, e.dst FROM reach r, edge e WHERE r.dst = e.src;
-    """
-    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
-
-    def zs(rows, w=1):
-        df = spark.createDataFrame(rows, "src int, dst int")
-        return ZSet.from_df(df) if w == 1 else ZSet.from_df(df).neg()
-
-    ip = IncrementalProgram(spark, prog, optimize=True)
+def test_counting_alternate_support_diamond(spark):
+    """The alternate-support acid test under counting: deleting one
+    edge of a diamond decrements the count of facts on the shared
+    suffix from 2 to 1 — they stay in the view, the emitted delta is
+    EMPTY, and no rederivation pass ever runs."""
+    ip = IncrementalProgram(spark, REACH_PROG, optimize=True)
     # diamond: 0->1->3 and 0->2->3, then 3->4
-    ip.step({"edge": zs([(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)])})
-    d = ip.step({"edge": zs([(1, 3)], w=-1)})
+    ip.step({"edge": _zs(spark, [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)])})
+    d = ip.step({"edge": _zs(spark, [(1, 3)], w=-1)})
+    assert ip.recursive_counting_steps == 1
+    assert d["reach"].df.count() == 0
+    snap = sorted((r.src, r.dst) for r in ip.snapshot("reach").to_multiset_df().collect())
+    assert snap == [(0, 1), (0, 2), (0, 3), (0, 4)]
+    counts = {(r.src, r.dst): r["__weight"] for r in ip._rec_counts["reach"].df.collect()}
+    # both survivors on the shared suffix went 2 -> 1
+    assert counts == {(0, 1): 1, (0, 2): 1, (0, 3): 1, (0, 4): 1}
+
+
+def test_dred_rederives_alternate_support(spark):
+    """The DRed acid test (counting pinned off): deleting one edge of
+    a diamond must NOT drop facts that survive via the other path
+    (pure overdeletion without rederivation would)."""
+    ip = IncrementalProgram(spark, REACH_PROG, optimize=True)
+    ip._rec_count_failed.add("reach")
+    ip.step({"edge": _zs(spark, [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)])})
+    d = ip.step({"edge": _zs(spark, [(1, 3)], w=-1)})
     assert ip.recursive_dred_steps == 1
     # (0,3) and (0,4) survive via 0->2->3; delta must be EMPTY
     assert d["reach"].df.count() == 0
     snap = sorted((r.src, r.dst) for r in ip.snapshot("reach").to_multiset_df().collect())
     assert snap == [(0, 1), (0, 2), (0, 3), (0, 4)]
+
+
+def test_counting_cycle_diverges_to_dred(spark):
+    """Cyclic derivations: the count fixpoint cannot terminate; the
+    stall detector abandons counting quickly, marks the view failed
+    permanently, and the step lands on DRed with correct results."""
+    ip = IncrementalProgram(spark, REACH_PROG, optimize=True)
+    ip.step({"edge": _zs(spark, [(0, 1), (1, 2), (2, 1)])})
+    ip.step({"edge": _zs(spark, [(0, 1)], w=-1)})
+    assert "reach" in ip._rec_count_failed
+    assert ip.recursive_counting_steps == 0
+    assert ip.recursive_dred_steps >= 1
+    assert ip.snapshot("reach").to_multiset_df().count() == 0
+    # later retractions don't retry counting
+    ip.step({"edge": _zs(spark, [(0, 2)])})
+    ip.step({"edge": _zs(spark, [(0, 2)], w=-1)})
+    assert ip.recursive_counting_steps == 0
+
+
+def test_counting_stays_fresh_across_insert_steps(spark):
+    """Once initialized, counting sees every subsequent step (an
+    insert-only step must keep derivation counts fresh, or a later
+    retraction would be wrong)."""
+    ip = IncrementalProgram(spark, REACH_PROG, optimize=True)
+    ip.step({"edge": _zs(spark, [(0, 1), (1, 2)])})
+    ip.step({"edge": _zs(spark, [(1, 2)], w=-1)})      # init + retract
+    ip.step({"edge": _zs(spark, [(1, 5), (5, 2), (0, 5)])})  # insert via counting
+    assert ip.recursive_counting_steps == 2
+    counts = {(r.src, r.dst): r["__weight"] for r in ip._rec_counts["reach"].df.collect()}
+    # (0,5) has two derivations: base edge 0->5 and path 0->1->5
+    assert counts == {(0, 1): 1, (0, 5): 2, (0, 2): 2}
+    # retract the direct edge: (0,5)/(0,2) drop to 1, stay in the view
+    d = ip.step({"edge": _zs(spark, [(0, 5)], w=-1)})
+    assert d["reach"].df.count() == 0
+    snap = sorted((r.src, r.dst) for r in ip.snapshot("reach").to_multiset_df().collect())
+    assert snap == [(0, 1), (0, 2), (0, 5)]
+
+
+def test_counting_randomized_acyclic_matches_cold(spark):
+    """Property test: seeded random insert/delete steps on ACYCLIC
+    graphs (edges only i -> j with i < j) — counting stays eligible
+    throughout, and after every step the maintained snapshot equals a
+    fresh cold evaluation over the live edge set."""
+    import random
+
+    rng = random.Random(7)
+    ip = IncrementalProgram(spark, REACH_PROG, optimize=True)
+    live: set[tuple[int, int]] = set()
+    for stepno in range(5):
+        inserts = set()
+        while len(inserts) < 4:
+            i, j = rng.randrange(7), rng.randrange(7)
+            if i != j and (min(i, j), max(i, j)) not in live:
+                inserts.add((min(i, j), max(i, j)))
+        deletes = set(rng.sample(sorted(live), min(2, len(live)))) if live else set()
+        live = (live - deletes) | inserts
+        delta = _zs(spark, sorted(inserts))
+        if deletes:
+            delta = delta.add(_zs(spark, sorted(deletes), w=-1))
+        ip.step({"edge": delta})
+        cold = IncrementalProgram(spark, REACH_PROG, optimize=True)
+        cold.step({"edge": _zs(spark, sorted(live))})
+        got = sorted(
+            (r.src, r.dst) for r in ip.snapshot("reach").to_multiset_df().collect()
+        )
+        want = sorted(
+            (r.src, r.dst) for r in cold.snapshot("reach").to_multiset_df().collect()
+        )
+        assert got == want, f"step {stepno}: {got} != {want}"
+    assert "reach" not in ip._rec_count_failed
+    assert ip.recursive_counting_steps >= 4  # every step after the first
 
 
 def test_dred_randomized_matches_cold(spark):
@@ -443,4 +540,6 @@ def test_dred_randomized_matches_cold(spark):
             (r.src, r.dst) for r in cold.snapshot("reach").to_multiset_df().collect()
         )
         assert got == want, f"step {stepno}: {got} != {want}"
-    assert ip.recursive_dred_steps >= 4  # most steps carried deletes
+    # most steps carried deletes; each lands on counting when the
+    # random graph stays acyclic-derivable, on DRed after divergence
+    assert ip.recursive_dred_steps + ip.recursive_counting_steps >= 4
