@@ -141,6 +141,9 @@ _FORBIDDEN_FEATURES: dict[str, set[str]] = {
     # aggregate- or group-shaped means the regex misread the view.
     "_SemiAntiOp": {"group_by", "having", "setop", "window", "limit",
                     "order_by", "distinct", "aggregate_fn"},
+    # range-correlated EXISTS: same shape, non-equi residual allowed.
+    "_RangeSemiAntiOp": {"group_by", "having", "setop", "window", "limit",
+                         "order_by", "distinct", "aggregate_fn"},
     # NULL-aware NOT IN: the subquery is intrinsic, same exclusions.
     "_NotInOp": {"group_by", "having", "setop", "window", "limit",
                  "order_by", "distinct", "aggregate_fn"},

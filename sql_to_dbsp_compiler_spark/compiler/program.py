@@ -2215,6 +2215,92 @@ def _split_correlation(
     return keys_a, keys_b, (" AND ".join(residual) if residual else None)
 
 
+# One side of a range-correlation comparison: a qualified column, a
+# number, or a string literal, optionally combined with one +/- term.
+_RANGE_TERM = r"(?:\w+\s*\.\s*\w+|\d+(?:\.\d+)?|'(?:[^']|'')*')"
+_RANGE_CONJ_RE = re.compile(
+    rf"^\s*(?P<l>{_RANGE_TERM})(?:\s*[+\-]\s*{_RANGE_TERM})?\s*"
+    rf"(?:<=|>=|<>|!=|<|>)\s*"
+    rf"(?P<r>{_RANGE_TERM})(?:\s*[+\-]\s*{_RANGE_TERM})?\s*$"
+)
+
+
+def _split_correlation_ranged(
+    cond: str, a: str, b: str, cols_a: list[str], cols_b: list[str]
+) -> "tuple[list[str], list[str], str | None, str, list[str]] | None":
+    """Like :func:`_split_correlation` but ACCEPTS non-equi correlated
+    conjuncts (``b.ts < a.ts``) instead of declining: returns
+    (keys_a, keys_b, b_where, pred_sql, b_pred_cols) where pred_sql is
+    the AND of the non-equi conjuncts rewritten to A's natural names +
+    ``__b_``-prefixed B names. Requires ≥1 equi pair (the state is
+    bucketed on it) and ≥1 non-equi conjunct (else the plain splitter
+    already handles the view). Non-equi conjuncts are held to a strict
+    grammar — comparisons of fully-qualified columns / literals with
+    at most one +/- term per side — so every identifier is
+    unambiguously resolved; anything else declines to naive."""
+    keys_a: list[str] = []
+    keys_b: list[str] = []
+    residual: list[str] = []
+    preds: list[str] = []
+    pred_cols: list[str] = []
+    for conj in _split_conjuncts(cond):
+        m = re.fullmatch(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*", conj)
+        if m:
+            s1 = _resolve_side(m.group(1), a, b, cols_a, cols_b)
+            s2 = _resolve_side(m.group(2), a, b, cols_a, cols_b)
+            if s1 and s2 and {s1[0], s2[0]} == {"a", "b"}:
+                ka, kb = (s1[1], s2[1]) if s1[0] == "a" else (s2[1], s1[1])
+                keys_a.append(ka)
+                keys_b.append(kb)
+                continue
+            if s1 is None or s2 is None:
+                return None
+        stripped = _strip_string_literals(conj)
+        refs_a = re.search(rf"\b{re.escape(a)}\s*\.", stripped, re.IGNORECASE)
+        refs_b = re.search(rf"\b{re.escape(b)}\s*\.", stripped, re.IGNORECASE)
+        if refs_a and refs_b:
+            if not _RANGE_CONJ_RE.match(conj):
+                return None
+            ok = True
+            for qual, col in re.findall(r"\b(\w+)\s*\.\s*(\w+)", stripped):
+                q, c = qual.lower(), col.lower()
+                if q == a and c in cols_a:
+                    continue
+                if q == b and c in cols_b:
+                    pred_cols.append(c)
+                    continue
+                ok = False
+            if not ok:
+                return None
+            p = re.sub(rf"\b{re.escape(a)}\s*\.\s*", "", conj, flags=re.IGNORECASE)
+            p = re.sub(rf"\b{re.escape(b)}\s*\.\s*", "__b_", p, flags=re.IGNORECASE)
+            preds.append(f"({p.strip()})")
+            continue
+        if refs_a:
+            return None  # outer-only conjunct inside the subquery
+        if _FORBIDDEN_LINEAR.search(conj):
+            return None
+        for word in re.findall(r"\b[A-Za-z_]\w*\b", stripped):
+            w = word.lower()
+            prefixed = re.search(rf"\b\w+\s*\.\s*{re.escape(word)}\b", stripped)
+            if not prefixed and w in cols_a and w in cols_b:
+                return None
+            if not prefixed and w in cols_a and w not in cols_b:
+                return None
+        residual.append(
+            re.sub(rf"\b{re.escape(b)}\s*\.\s*", "", conj, flags=re.IGNORECASE)
+        )
+    if not keys_a or not preds:
+        return None
+    return (
+        keys_a,
+        keys_b,
+        (" AND ".join(residual) if residual else None),
+        " AND ".join(preds),
+        sorted(set(pred_cols)),
+    )
+
+
 def _parse_plain_sel(
     sel: str, src: str
 ) -> "tuple[list[str] | None, list[str] | None] | None":
@@ -3306,6 +3392,7 @@ def _recognize_semi_anti(sql: str, known: set[str], cols_of: dict[str, list[str]
 
     not_in_key: "str | None" = None
     notin_corr: "tuple[list[str], list[str]] | None" = None
+    ranged: "tuple[str, list[str]] | None" = None
     nim = _NOT_IN_CONJ_RE.match(subq)
     if nim:
         # NULL-aware NOT IN: global scalar indicators when the
@@ -3345,8 +3432,17 @@ def _recognize_semi_anti(sql: str, known: set[str], cols_of: dict[str, list[str]
             return None
         corr = _split_correlation(im.group("where"), a, b, cols_a, cols_of[b])
         if corr is None:
-            return None
-        keys_a, keys_b, b_where = corr
+            # non-equi correlation (b.ts < a.ts): decorrelate to the
+            # touched-key range circuit when ≥1 equi key anchors it
+            rng = _split_correlation_ranged(
+                im.group("where"), a, b, cols_a, cols_of[b]
+            )
+            if rng is None:
+                return None
+            keys_a, keys_b, b_where, pred_sql, b_pred_cols = rng
+            ranged = (pred_sql, b_pred_cols)
+        else:
+            keys_a, keys_b, b_where = corr
     else:
         nm = _IN_CONJ_RE.match(subq)
         if re.search(r"\bNOT\s+IN\b", subq, re.IGNORECASE):
@@ -3405,6 +3501,16 @@ def _recognize_semi_anti(sql: str, known: set[str], cols_of: dict[str, list[str]
             a, b, keys_b[0], b_where, a_where, sel_items,
             IncrementalNullAwareNotIn(key_a=not_in_key),
             out_names,
+        )
+    if ranged is not None:
+        from ..plans.incremental import IncrementalRangeSemiAnti
+
+        pred_sql, b_pred_cols = ranged
+        return _RangeSemiAntiOp(
+            a, b, keys_b, b_pred_cols, pred_sql, b_where, a_where, sel_items,
+            IncrementalRangeSemiAnti(keys_a=keys_a, pred=pred_sql, anti=anti),
+            out_names,
+            anti,
         )
     return _SemiAntiOp(
         a, b, keys_b, b_where, a_where, sel_items,
@@ -4254,7 +4360,9 @@ def _out_cols_of(
         return list(op.out_cols)
     if isinstance(op, (_WinFnOp, _JoinAggOp)):
         return list(op.out_cols)
-    if isinstance(op, (_FlatMapOp, _SemiAntiOp, _NotInOp, _KeyedNotInOp)):
+    if isinstance(
+        op, (_FlatMapOp, _SemiAntiOp, _RangeSemiAntiOp, _NotInOp, _KeyedNotInOp)
+    ):
         return list(op.out_cols) if op.out_cols is not None else None
     if isinstance(op, (_ScalarSubqueryOp, _GroupingSetsOp)):
         return list(op.out_cols)
@@ -4569,6 +4677,12 @@ class IncrementalProgram:
                 return "flatmap"
             if isinstance(op, _SemiAntiOp):
                 return "anti-join-decorrelated" if op.anti else "semi-join-decorrelated"
+            if isinstance(op, _RangeSemiAntiOp):
+                return (
+                    "range-anti-join-decorrelated"
+                    if op.anti
+                    else "range-semi-join-decorrelated"
+                )
             if isinstance(op, _NotInOp):
                 return "not-in-null-aware"
             if isinstance(op, _KeyedNotInOp):
@@ -4805,6 +4919,21 @@ class IncrementalProgram:
                     _apply_linear(
                         delta_of(op.src_b).df,
                         [f"{k} AS __k{i}" for i, k in enumerate(op.b_keys)],
+                        op.b_where,
+                    )
+                )
+                d = op.op.step(da, dk)
+                if op.sel_items is not None:
+                    d = d.map(*[F.expr(i) for i in op.sel_items])
+            elif isinstance(op, _RangeSemiAntiOp):
+                da = ZSet(
+                    _apply_linear(delta_of(op.src_a).df, None, op.a_where)
+                ).consolidate()
+                dk = ZSet(
+                    _apply_linear(
+                        delta_of(op.src_b).df,
+                        [f"{k} AS __k{i}" for i, k in enumerate(op.b_keys)]
+                        + [f"{c} AS __b_{c}" for c in op.b_pred_cols],
                         op.b_where,
                     )
                 )

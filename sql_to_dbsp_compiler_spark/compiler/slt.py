@@ -382,6 +382,17 @@ def slt_statements(seed: int = 0) -> list[str]:
         "SELECT id, overlay(upper(s) PLACING lower(s) FROM 2 FOR 2) AS ovc "
         "FROM t WHERE length(s) >= 3",
     ]
+    stmts += [
+        # range-correlated [NOT] EXISTS (equi anchor + non-equi
+        # residual): through the incremental-program gate these
+        # compile to the range-semi/anti circuits (VERDICT r4 item 4)
+        "SELECT id, a FROM t WHERE EXISTS "
+        "(SELECT 1 FROM u WHERE u.k = t.id AND u.v < t.a + 40)",
+        "SELECT id, a FROM t WHERE NOT EXISTS "
+        "(SELECT 1 FROM u WHERE u.k = t.id AND u.v < t.a + 40)",
+        "SELECT id FROM t WHERE b > 0 AND EXISTS "
+        "(SELECT 1 FROM u WHERE u.k = t.id AND u.v > t.b AND u.v < 45)",
+    ]
     return stmts
 
 

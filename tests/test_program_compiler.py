@@ -1214,13 +1214,59 @@ def test_recognizer_round3_shapes_match_naive(spark):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
 
 
+def test_range_correlated_exists_decorrelates(spark):
+    """Non-equi correlated EXISTS/NOT EXISTS with an equi anchor
+    (VERDICT r4 item 4; reference CalciteToDBSPCompiler.java:213
+    visitCorrelate) compiles to the touched-key range circuit instead
+    of naive, and optimized == naive across mixed insert/retract
+    steps including NULL correlation keys and band predicates."""
+    prog = """
+    CREATE TABLE ord(cust INT, oid INT, ts INT);
+    CREATE TABLE clk(cust INT, cts INT);
+    CREATE VIEW v_prior AS SELECT ord.cust, ord.oid FROM ord
+      WHERE EXISTS (SELECT 1 FROM clk
+                    WHERE clk.cust = ord.cust AND clk.cts < ord.ts);
+    CREATE VIEW v_none AS SELECT ord.cust, ord.oid FROM ord
+      WHERE NOT EXISTS (SELECT 1 FROM clk
+                        WHERE clk.cust = ord.cust AND clk.cts < ord.ts);
+    CREATE VIEW v_band AS SELECT ord.cust, ord.oid FROM ord
+      WHERE ord.oid >= 0 AND EXISTS (SELECT 1 FROM clk
+            WHERE clk.cust = ord.cust AND clk.cts < ord.ts
+              AND clk.cts >= ord.ts - 40 AND clk.cts > 0);
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True)
+    naive = IncrementalProgram(spark, prog, optimize=False)
+    plan = opt.plan()
+    assert plan["v_prior"] == "range-semi-join-decorrelated"
+    assert plan["v_none"] == "range-anti-join-decorrelated"
+    assert plan["v_band"] == "range-semi-join-decorrelated"
+    o_schema = "cust int, oid int, ts int, __weight long"
+    c_schema = "cust int, cts int, __weight long"
+    steps = [
+        {"ord": [(1, 10, 100, 1), (1, 11, 50, 1), (2, 20, 100, 1), (4, 40, None, 1)],
+         "clk": [(1, 60, 1), (2, 200, 1), (None, 5, 1)]},
+        {"clk": [(2, 90, 1), (1, 60, -1)]},
+        {"ord": [(1, 11, 50, -1), (3, 30, 10, 1)], "clk": [(1, 40, 1)]},
+        {"clk": [(1, 40, -1), (1, 99, 1), (1, 65, 1)]},
+    ]
+    for i, st in enumerate(steps):
+        sch = {"ord": o_schema, "clk": c_schema}
+        do = opt.step({k: ZSet(spark.createDataFrame(v, sch[k])) for k, v in st.items()})
+        dn = naive.step({k: ZSet(spark.createDataFrame(v, sch[k])) for k, v in st.items()})
+        for v in ("v_prior", "v_none", "v_band"):
+            assert _zrows(do[v]) == _zrows(dn[v]), f"step {i} {v}"
+
+
 def test_round3_recognizer_conservative_fallbacks(spark):
     """Shapes the round-3 recognizers must NOT claim: correlated
-    non-equi predicates, two scalar subqueries, MIN over grouping sets
-    (non-linear per set), and EXISTS against the outer table itself.
-    All fall back to naive — and naive still computes them correctly.
-    (NOT IN graduated from this list: it now compiles to the
-    NULL-aware circuit, asserted alongside.)"""
+    non-equi predicates WITHOUT an equi anchor (range decorrelation
+    needs one bucketing key), two scalar subqueries, MIN over grouping
+    sets (non-linear per set), and EXISTS against the outer table
+    itself. All fall back to naive — and naive still computes them
+    correctly. (NOT IN graduated from this list: it now compiles to
+    the NULL-aware circuit, asserted alongside; anchored non-equi
+    EXISTS graduated to the range circuit,
+    test_range_correlated_exists_decorrelates.)"""
     prog = """
     CREATE TABLE ta(id INTEGER, grp VARCHAR(10), val INTEGER);
     CREATE TABLE tb(ref INTEGER, bval INTEGER);
