@@ -207,3 +207,83 @@ def unigram_logprob(
         (sum_lp / F.col("n_tokens")).alias("avg_lp"),
         (sum_lp / F.col("n_tokens") >= F.lit(keep_threshold)).alias("kept"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_threshold: float = -6.5,
+) -> DataFrame:
+    """Bigram-LM quality scoring — the sequence-aware sibling of
+    :func:`unigram_logprob` (CCNet trains KenLM n-gram models; the
+    unigram filter captures vocabulary fit, the bigram one captures
+    local word ORDER, so shuffled/templated text scores low even when
+    its vocabulary is clean). Add-one smoothing:
+    lp(w1 w2) = ln((c(w1,w2) + 1) / (c(w1) + |V|)).
+
+    Bit-exact across engines: each ln is a single transcendental on an
+    identical clean double (integer counts), and the per-document sum
+    folds bigram log-probs in POSITION order (array_sort + sequential
+    F.aggregate ≡ DuckDB list_reduce(list(lp ORDER BY pos))).
+
+    Scale shape: one posexplode of per-position bigram structs
+    (empty-guarded — Spark's sequence(1, 0) would DESCEND), one
+    shuffle each for unigram and bigram counts, one shuffle-join
+    bigram→counts (neither vocab is broadcast — at 100 TB both are
+    large), one groupBy doc with a document-length-bounded
+    collect_list. Documents with fewer than two tokens have no
+    bigrams and drop out, mirrored by the oracle's empty unnest."""
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    tok = df.select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "word")
+    ).localCheckpoint(eager=False)
+    bg = (
+        df.select(F.col(id_col), F.posexplode(bi).alias("pos", "bg"))
+        .select(F.col(id_col), "pos", F.col("bg.w1"), F.col("bg.w2"))
+        .localCheckpoint(eager=False)
+    )
+    uni = tok.groupBy("word").agg(F.count("*").alias("c1"))
+    vsz = uni.agg(F.count("*").alias("v"))
+    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    lp = (
+        bg.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("word", "w1"), "w1")
+        .crossJoin(F.broadcast(vsz))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("c12") + F.lit(1.0))
+                / (F.col("c1") + F.col("v").cast("double"))
+            ),
+        )
+    )
+    doc = lp.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.array_sort(F.collect_list(F.struct("pos", "lp"))).alias("__arr"),
+    )
+    s = F.aggregate(
+        F.transform(F.col("__arr"), lambda x: x["lp"]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # round to 9 dp on BOTH engines: JVM Math.log and glibc ln differ
+    # by 1 ulp on some arguments, and the fold accumulates the drift
+    avg = F.round(s / F.col("n_bigrams"), 9)
+    return doc.select(
+        F.col(id_col),
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        avg.alias("avg_lp"),
+        (avg >= F.lit(keep_threshold)).alias("kept"),
+    )

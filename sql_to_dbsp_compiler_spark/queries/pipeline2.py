@@ -774,3 +774,71 @@ def x_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_interval_join(
         points, windows, "ts", "w_lo", "w_hi", bucket_seconds=3600
     ).select("event_id", "window_id")
+
+
+@query(
+    "y_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               lower(unnest(list_filter(string_split(text, ' '), x -> x <> '')))
+                   AS word
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+    dfk AS (SELECT word, COUNT(*) AS dfc FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               tf.tf * (ln((n.n_docs + 1.0) / (dfk.dfc + 1.0)) + 1.0) AS score
+        FROM tf JOIN dfk USING (word) CROSS JOIN n
+    ),
+    rk AS (SELECT doc_id, word, score,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, word) AS rnk
+           FROM scored)
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word, round(score, 9) AS score
+    FROM rk WHERE rnk <= 5
+    """,
+    tags=("llm", "retrieval", "featurize"),
+)
+def y_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — the classic featurization
+    step next to BM25 (x_bm25_topk); smooth idf = ln((N+1)/(df+1))+1
+    (sklearn's convention). Bit-exact: each idf is ONE ln of a clean
+    integer ratio, the score is a plain multiply, and ranking breaks
+    ties on the word. Plan: one tokenize+count shuffle builds tf, df
+    is a second small aggregate over tf (no second corpus pass), the
+    per-doc top-k is a WindowGroupLimit — rank truncation pushes into
+    the shuffle, no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " ", -1), lambda w: w != "")
+        ).alias("w0"),
+    ).select("doc_id", F.lower("w0").alias("word"))
+    tf = (
+        tok.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfk = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dfc"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("dfc") + F.lit(1.0))) + F.lit(1.0)
+    scored = (
+        tf.join(dfk, "word")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "word", (F.col("tf") * idf).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "word",
+            F.round("score", 9).alias("score"),
+        )
+    )

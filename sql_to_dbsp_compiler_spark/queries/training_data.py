@@ -937,3 +937,122 @@ def x_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.alias("trigram_entropy"),
         (ent < 3.0).alias("low_entropy"),
     )
+
+
+@query(
+    "y_bigram_logprob",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    tk AS (SELECT doc_id,
+                  unnest([struct_pack(pos := i, word := ws[i])
+                          FOR i IN range(1, len(ws)+1)]) AS t
+           FROM w),
+    tok AS (SELECT doc_id, t.pos AS pos, t.word AS word FROM tk),
+    bg0 AS (SELECT doc_id,
+                   unnest([struct_pack(pos := i, w1 := ws[i], w2 := ws[i+1])
+                           FOR i IN range(1, len(ws))]) AS t
+            FROM w),
+    bg AS (SELECT doc_id, t.pos AS pos, t.w1 AS w1, t.w2 AS w2 FROM bg0),
+    uni AS (SELECT word, COUNT(*) AS c1 FROM tok GROUP BY word),
+    vsz AS (SELECT COUNT(*) AS v FROM uni),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    lp AS (SELECT g.doc_id, g.pos,
+                  ln((b.c12 + 1.0) / (u.c1 + CAST(v.v AS DOUBLE))) AS lp
+           FROM bg g JOIN big b USING (w1, w2)
+                     JOIN uni u ON g.w1 = u.word CROSS JOIN vsz v),
+    doc AS (SELECT doc_id, COUNT(*) AS nb,
+                   list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS s
+            FROM lp GROUP BY doc_id)
+    SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+           round(s / nb, 9) AS avg_lp, round(s / nb, 9) >= -6.5 AS kept
+    FROM doc
+    """,
+    tags=("llm", "quality", "lm"),
+)
+def y_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality filter (llm/text.py:bigram_logprob) — the
+    sequence-aware CCNet sibling of x_unigram_logprob: local word
+    ORDER scores low on shuffled/templated text even when the
+    vocabulary fits."""
+    from sql_to_dbsp_compiler_spark.llm.text import bigram_logprob
+
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "y_url_canonicalize",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'HTTPS://' || upper(source) || '.Example.com/' || lang ||
+               '/page' || CAST(doc_id % 40 AS VARCHAR) ||
+               CASE CAST(doc_id % 4 AS INTEGER)
+                 WHEN 0 THEN '?utm_source=x&id=' || CAST(doc_id % 7 AS VARCHAR)
+                 WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=y'
+                 WHEN 2 THEN '?utm_only=1'
+                 ELSE ''
+               END ||
+               CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END ||
+               CASE WHEN doc_id % 4 = 3 AND doc_id % 2 = 0 THEN '/' ELSE '' END
+                   AS url
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     lower(regexp_replace(url, '#.*', '')),
+                     'utm_[a-z]+=[a-z0-9]*&', '', 'g'),
+                   '[?&]utm_[a-z]+=[a-z0-9]*$', ''),
+                 '/$', '') AS canonical_url
+        FROM u
+    )
+    SELECT canonical_url, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+    FROM c GROUP BY canonical_url
+    """,
+    tags=("llm", "dedup", "web"),
+)
+def y_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the first pass of every web-corpus
+    pipeline (CommonCrawl dedups on normalized URL before any content
+    hash): lowercase, strip fragments, strip utm_* tracking params
+    (mid-string then trailing, so separators stay well-formed), strip
+    the trailing slash, then group. The synthetic URL is derived
+    deterministically from doc metadata (same trick as media_table) so
+    both engines build identical inputs. All map-side string work; ONE
+    shuffle on the canonical key carrying (url, id), never text."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"), F.upper("source"), F.lit(".Example.com/"),
+        F.col("lang"), F.lit("/page"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("?utm_source=x&id="),
+                        (F.col("doc_id") % 7).cast("string")))
+         .when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit("?id="), (F.col("doc_id") % 7).cast("string"),
+                        F.lit("&utm_campaign=y")))
+         .when(F.col("doc_id") % 4 == 2, F.lit("?utm_only=1"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        F.when((F.col("doc_id") % 4 == 3) & (F.col("doc_id") % 2 == 0),
+               F.lit("/")).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_replace(url, "#.*", "")),
+                "utm_[a-z]+=[a-z0-9]*&", ""),
+            r"[?&]utm_[a-z]+=[a-z0-9]*$", ""),
+        "/$", "")
+    return (
+        d.select(F.col("doc_id"), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )

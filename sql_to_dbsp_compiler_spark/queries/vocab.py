@@ -574,3 +574,95 @@ def x_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # TakeOrderedAndProject: per-partition heaps, no global sort
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(50)
+
+
+@query(
+    "y_zipf_slope",
+    oracle="""
+    WITH tok AS (
+        SELECT lower(unnest(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS word
+        FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+    rk AS (SELECT word, cnt,
+                  row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+           FROM freq),
+    top AS (SELECT rnk, ln(CAST(rnk AS DOUBLE)) AS x,
+                   ln(CAST(cnt AS DOUBLE)) AS y
+            FROM rk WHERE rnk <= 200),
+    s AS (SELECT COUNT(*) AS n,
+                 list_reduce(list(x ORDER BY rnk), (a, b) -> a + b) AS sx,
+                 list_reduce(list(y ORDER BY rnk), (a, b) -> a + b) AS sy,
+                 list_reduce(list(x * y ORDER BY rnk), (a, b) -> a + b) AS sxy,
+                 list_reduce(list(x * x ORDER BY rnk), (a, b) -> a + b) AS sxx
+          FROM top)
+    SELECT CAST(n AS BIGINT) AS n_words,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9)
+               AS intercept
+    FROM s
+    """,
+    tags=("llm", "statistics", "vocab"),
+)
+def y_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law slope of the corpus vocabulary — a one-number corpus
+    health diagnostic (natural text sits near slope -1; templated or
+    deduplicated-to-death corpora drift): OLS fit of ln(freq) against
+    ln(rank) over the top 200 words.
+
+    Bit-exact without regr_slope: the builtin aggregate sums in
+    partition order (non-deterministic float association), so the four
+    regression sums are SEQUENTIAL folds over rank-sorted arrays on
+    both engines, and the slope/intercept are plain arithmetic on
+    identical doubles. Plan: one tokenize+count shuffle, a 200-row
+    TakeOrderedAndProject (no global sort), and a single-row fold —
+    corpus-size-independent beyond the count."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " ", -1), lambda w: w != "")
+        ).alias("w0")
+    ).select(F.lower("w0").alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    # top-200 FIRST via TakeOrderedAndProject (partial top-k per
+    # partition, no global sort of the vocab); the ranking window then
+    # runs over 200 rows, not the corpus vocabulary.
+    top200 = freq.orderBy(F.col("cnt").desc(), F.col("word")).limit(200)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    top = (
+        top200.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "rnk",
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+    arrs = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(F.collect_list(F.struct("rnk", "x", "y"))).alias("__a"),
+    )
+
+    def fold(expr):
+        return F.aggregate(
+            F.transform(F.col("__a"), expr), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    s = arrs.select(
+        F.col("n"),
+        fold(lambda t: t["x"]).alias("sx"),
+        fold(lambda t: t["y"]).alias("sy"),
+        fold(lambda t: t["x"] * t["y"]).alias("sxy"),
+        fold(lambda t: t["x"] * t["x"]).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_words"),
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 9).alias("intercept"),
+    )
