@@ -236,25 +236,27 @@ def bigram_logprob(
     bigrams and drop out, mirrored by the oracle's empty unnest."""
     ws = words(F.col(text_col))
     n = F.size(ws)
-    bi = F.when(
-        n >= 2,
+    # ONE explode pass: per position emit (w1 = token, w2 = next token
+    # or NULL at the end) — the unigram stream is the w1 column, the
+    # bigram stream is the rows whose w2 is not null. Guarded against
+    # empty docs (Spark's sequence(1, 0) would DESCEND).
+    pairs = F.when(
+        n >= 1,
         F.transform(
-            F.sequence(F.lit(1), n - 1),
+            F.sequence(F.lit(1), n),
             lambda i: F.struct(
                 F.element_at(ws, i).alias("w1"),
-                F.element_at(ws, i + 1).alias("w2"),
+                F.when(i < n, F.element_at(ws, i + 1)).alias("w2"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    tok = df.select(
-        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "word")
-    ).localCheckpoint(eager=False)
-    bg = (
-        df.select(F.col(id_col), F.posexplode(bi).alias("pos", "bg"))
+    tok = (
+        df.select(F.col(id_col), F.posexplode(pairs).alias("pos", "bg"))
         .select(F.col(id_col), "pos", F.col("bg.w1"), F.col("bg.w2"))
         .localCheckpoint(eager=False)
     )
-    uni = tok.groupBy("word").agg(F.count("*").alias("c1"))
+    bg = tok.where(F.col("w2").isNotNull())
+    uni = tok.groupBy(F.col("w1").alias("word")).agg(F.count("*").alias("c1"))
     vsz = uni.agg(F.count("*").alias("v"))
     big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     lp = (
