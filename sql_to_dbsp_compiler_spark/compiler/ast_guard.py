@@ -152,6 +152,8 @@ _FORBIDDEN_FEATURES: dict[str, set[str]] = {
     # scalar-agg subquery: subquery + aggregate_fn are intrinsic.
     "_ScalarSubqueryOp": {"join", "setop", "window", "limit", "order_by",
                           "distinct", "having", "group_by"},
+    "_RangeScalarSubqOp": {"join", "setop", "window", "limit", "order_by",
+                           "distinct", "having", "group_by"},
     "_GroupingSetsOp": {"join", "setop", "window", "limit", "order_by",
                         "subquery", "having", "distinct"},
 }

@@ -2415,6 +2415,27 @@ class _RangeSemiAntiOp:
 
 
 @dataclass
+class _RangeScalarSubqOp:
+    """Range-correlated scalar-aggregate subquery view — ``SELECT a.*,
+    (SELECT agg(b.v) FROM b WHERE b.k = a.k AND b.ts < a.ts) AS m
+    FROM a`` (plans.incremental.IncrementalRangeScalarAgg: per-outer-
+    row aggregate slices, touched-key recompute; the "latest-before"
+    as-of aggregation the reference's visitCorrelate also
+    decorrelates)."""
+
+    src_a: str
+    src_b: str
+    b_keys: "list[str]"
+    b_pred_cols: "list[str]"
+    b_arg: "str | None"  # None for COUNT(*)
+    pred: str
+    b_where: "str | None"
+    a_where: "str | None"
+    op: object  # IncrementalRangeScalarAgg
+    out_cols: "list[str]"
+
+
+@dataclass
 class _ScalarSub:
     """One decorrelated scalar-aggregate subquery: its source table,
     the key+arg pre-projection of that delta, and the aggregate +
@@ -3609,7 +3630,41 @@ def _recognize_scalar_subq(sql: str, known: set[str], cols_of: dict[str, list[st
         alias = aliases[k]
         corr = _split_correlation(sm.group("cond"), a, b, cols_a, cols_of[b])
         if corr is None:
-            return None
+            # range correlation (b.ts < a.ts): the aggregate's slice
+            # is per OUTER ROW, so the keyed-agg + outer-join chain
+            # below can't host it — a single range subquery compiles
+            # to the touched-key recompute circuit instead
+            if len(sub_items) != 1:
+                return None
+            rng = _split_correlation_ranged(
+                sm.group("cond"), a, b, cols_a, cols_of[b]
+            )
+            if rng is None:
+                return None
+            r_keys_a, _r_keys_b, r_b_where, pred_sql, b_pred_cols = rng
+            for kk in r_keys_a:
+                if kk not in cols_a:
+                    return None
+            fn = sm.group("fn").lower()
+            arg = sm.group("arg").strip()
+            star = arg == "*"
+            if not star:
+                arg = re.sub(
+                    rf"\b{re.escape(b)}\s*\.\s*", "", arg, flags=re.IGNORECASE
+                )
+                if _FORBIDDEN_LINEAR.search(arg):
+                    return None
+            from ..plans.incremental import IncrementalRangeScalarAgg
+
+            return _RangeScalarSubqOp(
+                a, b, _r_keys_b, b_pred_cols,
+                None if star else arg, pred_sql, r_b_where, a_where,
+                IncrementalRangeScalarAgg(
+                    keys_a=r_keys_a, pred=pred_sql, fn=fn, alias=alias,
+                    star=star,
+                ),
+                out_cols,
+            )
         keys_a, keys_b, b_where = corr
         if not set(keys_a) <= set(plain):
             return None  # join keys must pass through for the outer join
@@ -4364,7 +4419,7 @@ def _out_cols_of(
         op, (_FlatMapOp, _SemiAntiOp, _RangeSemiAntiOp, _NotInOp, _KeyedNotInOp)
     ):
         return list(op.out_cols) if op.out_cols is not None else None
-    if isinstance(op, (_ScalarSubqueryOp, _GroupingSetsOp)):
+    if isinstance(op, (_ScalarSubqueryOp, _RangeScalarSubqOp, _GroupingSetsOp)):
         return list(op.out_cols)
     return None
 
@@ -4689,6 +4744,8 @@ class IncrementalProgram:
                 return "not-in-correlated"
             if isinstance(op, _ScalarSubqueryOp):
                 return "scalar-agg-join"
+            if isinstance(op, _RangeScalarSubqOp):
+                return "range-scalar-agg"
             if isinstance(op, _GroupingSetsOp):
                 suffix = "-recompute" if op.recompute else ""
                 return f"{op.kindword}-aggregate{suffix}"
@@ -4967,6 +5024,20 @@ class IncrementalProgram:
                 d = op.op.step(da, dk)
                 if op.sel_items is not None:
                     d = d.map(*[F.expr(i) for i in op.sel_items])
+            elif isinstance(op, _RangeScalarSubqOp):
+                da = ZSet(
+                    _apply_linear(delta_of(op.src_a).df, None, op.a_where)
+                ).consolidate()
+                b_sel = [f"{k} AS __k{i}" for i, k in enumerate(op.b_keys)] + [
+                    f"{c} AS __b_{c}" for c in op.b_pred_cols
+                ]
+                if op.b_arg is not None:
+                    b_sel.append(f"{op.b_arg} AS __arg")
+                dk = ZSet(
+                    _apply_linear(delta_of(op.src_b).df, b_sel, op.b_where)
+                )
+                d = op.op.step(da, dk)
+                d = d.map(*[F.col(c) for c in op.out_cols])
             elif isinstance(op, _ScalarSubqueryOp):
                 d = ZSet(
                     _apply_linear(delta_of(op.src_a).df, None, op.a_where)

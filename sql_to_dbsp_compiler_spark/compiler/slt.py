@@ -392,6 +392,11 @@ def slt_statements(seed: int = 0) -> list[str]:
         "(SELECT 1 FROM u WHERE u.k = t.id AND u.v < t.a + 40)",
         "SELECT id FROM t WHERE b > 0 AND EXISTS "
         "(SELECT 1 FROM u WHERE u.k = t.id AND u.v > t.b AND u.v < 45)",
+        # range-correlated scalar aggregates ("latest-before" shape)
+        "SELECT id, a, (SELECT max(u.v) FROM u "
+        "WHERE u.k = t.id AND u.v > t.b) AS mv FROM t",
+        "SELECT id, (SELECT count(*) FROM u "
+        "WHERE u.k = t.id AND u.v < t.a + 40) AS nv FROM t",
     ]
     return stmts
 

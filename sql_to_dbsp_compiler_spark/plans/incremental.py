@@ -422,6 +422,129 @@ class IncrementalRangeSemiAnti:
         return out_delta
 
 
+class IncrementalRangeScalarAgg:
+    """Range-correlated SCALAR AGGREGATE subquery — ``SELECT a.*,
+    (SELECT agg(b.v) FROM b WHERE b.k = a.k AND b.ts < a.ts) FROM a``
+    (the "latest-before"/as-of aggregation shape; reference
+    visitCorrelate decorrelates it to an aggregate-join circuit).
+
+    The aggregate's group is defined per OUTER ROW (the range makes
+    each A row see a different B slice), so the keyed aggregate-then-
+    outer-join circuit of _ScalarSubqueryOp does not apply; maintained
+    by touched-key recompute over integrated A, integrated B
+    (__k keys, __b_ predicate columns, __arg), and the stored output.
+
+    Weighted-exact: SUM/COUNT/AVG aggregate B with its Z-set weights
+    (SUM(arg·w), SUM(w)); MIN/MAX over the positive support. SQL
+    scalar semantics on empty match: COUNT → 0, others → NULL. Output
+    groups identical A rows, so duplicate outer rows consolidate with
+    summed weights — the same multiset."""
+
+    def __init__(
+        self,
+        keys_a: list[str],
+        pred: str,
+        fn: str,
+        alias: str,
+        star: bool = False,
+        checkpoint_every: int = 8,
+    ):
+        self.keys_a = list(keys_a)
+        self.pred = pred
+        self.fn = fn.lower()
+        self.alias = alias
+        self.star = star  # COUNT(*) — no __arg column projected
+        self._a: ZSet | None = None
+        self._b: ZSet | None = None
+        self._out: DataFrame | None = None
+        self._steps = 0
+        self._checkpoint_every = checkpoint_every
+
+    def _agg_col(self) -> Column:
+        w = F.col("__bw")
+        if self.fn == "count":
+            # NULL args don't count; empty/unmatched → 0 (SQL scalar
+            # COUNT over an empty set is 0, not NULL)
+            base = w if self.star else F.when(F.col("__arg").isNotNull(), w)
+            return F.coalesce(F.sum(base), F.lit(0)).cast("long")
+        if self.fn == "sum":
+            return F.sum(F.col("__arg") * w)
+        if self.fn == "avg":
+            return F.sum(F.col("__arg") * w) / F.sum(
+                F.when(F.col("__arg").isNotNull(), w)
+            )
+        if self.fn == "min":
+            return F.min("__arg")
+        return F.max("__arg")
+
+    def step(self, da: ZSet, db: ZSet) -> ZSet:
+        da = da.consolidate()
+        db = db.consolidate()
+        n = len(self.keys_a)
+        touched = (
+            da.df.select(*[F.col(k) for k in self.keys_a])
+            .unionByName(
+                db.df.select(
+                    *[F.col(f"__k{i}").alias(k) for i, k in enumerate(self.keys_a)]
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        self._a = da if self._a is None else self._a.add(da).consolidate()
+        self._b = db if self._b is None else self._b.add(db).consolidate()
+
+        a_t = _join_on_keys(self._a.df, self.keys_a, touched, "leftsemi")
+        b_t = _join_on_keys(
+            self._b.df,
+            [f"__k{i}" for i in range(n)],
+            touched.select(
+                *[F.col(k).alias(f"__k{i}") for i, k in enumerate(self.keys_a)]
+            ),
+            "leftsemi",
+        )
+        b_payload = [c for c in b_t.columns if c != WEIGHT]
+        b_c = (
+            b_t.groupBy(*b_payload)
+            .agg(F.sum(WEIGHT).alias("__bw"))
+            .where(
+                F.col("__bw") > 0
+                if self.fn in ("min", "max")
+                else F.col("__bw") != 0
+            )
+        )
+        cond = None
+        for i, k in enumerate(self.keys_a):
+            eq = a_t[k] == b_c[f"__k{i}"]
+            cond = eq if cond is None else cond & eq
+        cond = cond & F.expr(self.pred)
+        a_cols = [c for c in a_t.columns if c != WEIGHT]
+        new_t = (
+            a_t.join(b_c, cond, "left")
+            .groupBy(*[a_t[c] for c in a_cols], a_t[WEIGHT])
+            .agg(self._agg_col().alias(self.alias))
+            .select(*a_cols, self.alias, WEIGHT)
+            .localCheckpoint(eager=False)
+        )
+
+        if self._out is None:
+            out_delta = ZSet(new_t)
+            self._out = new_t
+        else:
+            old_t = _join_on_keys(self._out, self.keys_a, touched, "leftsemi")
+            out_delta = ZSet(new_t).subtract(ZSet(old_t)).consolidate()
+            self._out = _join_on_keys(
+                self._out, self.keys_a, touched, "left_anti"
+            ).unionByName(new_t)
+
+        self._steps += 1
+        if self._steps % self._checkpoint_every == 0:
+            self._a = ZSet(self._a.df.localCheckpoint(eager=False))
+            self._b = ZSet(self._b.df.localCheckpoint(eager=False))
+            self._out = self._out.localCheckpoint(eager=False)
+        return out_delta
+
+
 class IncrementalNullAwareNotIn:
     """NULL-aware ``x NOT IN (SELECT y FROM B …)`` with full SQL
     three-valued logic (the reason plain anti-join is wrong):

@@ -609,3 +609,63 @@ def y_program_range_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in deltas[1:]:
         inc.step({"lineitem": d})
     return inc.snapshot("v_shipped_late").to_multiset_df()
+
+
+_RANGE_SCALAR_PROGRAM = """
+CREATE TABLE lineitem(l_orderkey BIGINT, l_partkey BIGINT,
+                      l_quantity DOUBLE, l_shipdate DATE);
+CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT,
+                    o_orderdate DATE, o_totalprice DOUBLE);
+CREATE VIEW v_early_ship AS
+    SELECT o_orderkey, o_custkey,
+    (SELECT MAX(lineitem.l_shipdate) FROM lineitem
+     WHERE lineitem.l_orderkey = orders.o_orderkey
+       AND lineitem.l_shipdate < orders.o_orderdate) AS last_early_ship
+    FROM orders;
+"""
+
+
+@query(
+    "y_program_range_scalar",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           (SELECT MAX(lineitem.l_shipdate) FROM lineitem
+            WHERE lineitem.l_orderkey = orders.o_orderkey
+              AND lineitem.l_shipdate < orders.o_orderdate)
+               AS last_early_ship
+    FROM orders
+    """,
+    tags=("compiler", "incremental", "range-scalar"),
+)
+def y_program_range_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-correlated scalar aggregate decorrelated to the
+    touched-key IncrementalRangeScalarAgg circuit (the 'latest-before'
+    as-of aggregation; reference visitCorrelate parity): per order,
+    the latest line shipped BEFORE the order date (NULL when none —
+    scalar-subquery semantics). Orders in step 1, lineitem as three
+    churning deltas; plan asserted non-naive, snapshot equals the
+    oracle's batch evaluation."""
+    from pyspark.sql import functions as F
+
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet, differentiate
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+    inc = IncrementalProgram(spark, _RANGE_SCALAR_PROGRAM, optimize=True)
+    assert inc.plan()["v_early_ship"] == "range-scalar-agg", inc.plan()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    snapshots = [
+        li.where(F.col("l_orderkey") % 3 == 0),
+        li.where(F.col("l_orderkey") % 3 != 2),
+        li,
+    ]
+    deltas = differentiate(snapshots)
+    inc.step({"lineitem": deltas[0], "orders": ZSet.from_df(orders)})
+    for d in deltas[1:]:
+        inc.step({"lineitem": d})
+    return inc.snapshot("v_early_ship").to_multiset_df()

@@ -1257,6 +1257,55 @@ def test_range_correlated_exists_decorrelates(spark):
             assert _zrows(do[v]) == _zrows(dn[v]), f"step {i} {v}"
 
 
+def test_range_correlated_scalar_agg_decorrelates(spark):
+    """Range-correlated scalar-aggregate subqueries (the
+    "latest-before"/as-of aggregation shape) compile to the
+    touched-key IncrementalRangeScalarAgg circuit, covering all five
+    aggregate functions with weighted deltas, NULL keys/args, weight>1
+    inserts and retractions — optimized == naive at every step."""
+    prog = """
+    CREATE TABLE ord(cust INT, oid INT, ts INT);
+    CREATE TABLE clk(cust INT, cts INT, amt INT);
+    CREATE VIEW v_latest AS SELECT oid, cust,
+      (SELECT MAX(clk.cts) FROM clk
+       WHERE clk.cust = ord.cust AND clk.cts < ord.ts) AS last_click
+      FROM ord;
+    CREATE VIEW v_cnt AS SELECT oid,
+      (SELECT COUNT(*) FROM clk
+       WHERE clk.cust = ord.cust AND clk.cts < ord.ts) AS n_prior
+      FROM ord;
+    CREATE VIEW v_sum AS SELECT oid,
+      (SELECT SUM(clk.amt) FROM clk
+       WHERE clk.cust = ord.cust AND clk.cts < ord.ts AND clk.amt > 0)
+          AS s_amt
+      FROM ord;
+    CREATE VIEW v_avg AS SELECT oid,
+      (SELECT AVG(clk.amt) FROM clk
+       WHERE clk.cust = ord.cust AND clk.cts < ord.ts) AS a_amt
+      FROM ord;
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True)
+    naive = IncrementalProgram(spark, prog, optimize=False)
+    plan = opt.plan()
+    for v in ("v_latest", "v_cnt", "v_sum", "v_avg"):
+        assert plan[v] == "range-scalar-agg", plan
+    o = "cust int, oid int, ts int, __weight long"
+    c = "cust int, cts int, amt int, __weight long"
+    steps = [
+        {"ord": [(1, 10, 100, 1), (1, 11, 50, 1), (2, 20, 100, 1), (4, 40, None, 1)],
+         "clk": [(1, 60, 5, 1), (1, 20, None, 1), (2, 200, 7, 1), (None, 5, 1, 1)]},
+        {"clk": [(2, 90, 3, 1), (1, 60, 5, -1)]},
+        {"ord": [(1, 11, 50, -1), (3, 30, 10, 1)], "clk": [(1, 40, -2, 1)]},
+        {"clk": [(1, 40, -2, -1), (1, 99, 4, 1), (1, 65, 6, 2)]},
+    ]
+    sch = {"ord": o, "clk": c}
+    for i, st in enumerate(steps):
+        do = opt.step({k: ZSet(spark.createDataFrame(v, sch[k])) for k, v in st.items()})
+        dn = naive.step({k: ZSet(spark.createDataFrame(v, sch[k])) for k, v in st.items()})
+        for v in ("v_latest", "v_cnt", "v_sum", "v_avg"):
+            assert _zrows(do[v]) == _zrows(dn[v]), f"step {i} {v}"
+
+
 def test_round3_recognizer_conservative_fallbacks(spark):
     """Shapes the round-3 recognizers must NOT claim: correlated
     non-equi predicates WITHOUT an equi anchor (range decorrelation
