@@ -3479,14 +3479,24 @@ def _recognize_semi_anti(sql: str, known: set[str], cols_of: dict[str, list[str]
         keys_a, keys_b = [sa[1]], [sb[1]]
         b_where = None
         if nm.group("bwhere"):
-            corr = _split_correlation(
-                nm.group("bwhere") + f" AND {b}.{keys_b[0]} = {a}.{keys_a[0]}",
-                a, b, cols_a, cols_of[b],
+            full_cond = (
+                nm.group("bwhere") + f" AND {b}.{keys_b[0]} = {a}.{keys_a[0]}"
             )
+            corr = _split_correlation(full_cond, a, b, cols_a, cols_of[b])
             if corr is None:
-                return None
-            ka2, kb2, b_where = corr
-            keys_a, keys_b = ka2, kb2
+                # IN with a range-correlated residual: the IN value
+                # equality is just another equi pair, so the range
+                # semi circuit hosts it directly
+                rng = _split_correlation_ranged(
+                    full_cond, a, b, cols_a, cols_of[b]
+                )
+                if rng is None:
+                    return None
+                keys_a, keys_b, b_where, pred_sql, b_pred_cols = rng
+                ranged = (pred_sql, b_pred_cols)
+            else:
+                ka2, kb2, b_where = corr
+                keys_a, keys_b = ka2, kb2
     for k in keys_a:
         if k not in cols_a:
             return None

@@ -1257,6 +1257,36 @@ def test_range_correlated_exists_decorrelates(spark):
             assert _zrows(do[v]) == _zrows(dn[v]), f"step {i} {v}"
 
 
+def test_range_correlated_in_subquery_decorrelates(spark):
+    """Correlated IN with a range residual — ``x IN (SELECT b.y FROM b
+    WHERE b.ts < a.ts ...)`` — routes to the same range-semi circuit
+    (the IN value equality is just another equi pair; positive-IN
+    NULL semantics coincide with the null-unsafe semi join)."""
+    prog = """
+    CREATE TABLE ord(cust INT, oid INT, ts INT);
+    CREATE TABLE clk(ccust INT, cts INT, amt INT);
+    CREATE VIEW v_in AS SELECT oid, cust FROM ord
+      WHERE cust IN (SELECT clk.ccust FROM clk
+                     WHERE clk.cts < ord.ts AND clk.amt > 0);
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True)
+    naive = IncrementalProgram(spark, prog, optimize=False)
+    assert opt.plan()["v_in"] == "range-semi-join-decorrelated"
+    o = "cust int, oid int, ts int, __weight long"
+    c = "ccust int, cts int, amt int, __weight long"
+    steps = [
+        {"ord": [(1, 10, 100, 1), (2, 20, 100, 1), (None, 30, 50, 1)],
+         "clk": [(1, 60, 5, 1), (2, 200, 7, 1), (None, 5, 1, 1)]},
+        {"clk": [(2, 90, 3, 1), (1, 60, 5, -1)]},
+        {"ord": [(3, 40, 10, 1)], "clk": [(1, 40, -2, 1), (1, 30, 2, 1)]},
+    ]
+    sch = {"ord": o, "clk": c}
+    for i, st in enumerate(steps):
+        do = opt.step({k: ZSet(spark.createDataFrame(v, sch[k])) for k, v in st.items()})
+        dn = naive.step({k: ZSet(spark.createDataFrame(v, sch[k])) for k, v in st.items()})
+        assert _zrows(do["v_in"]) == _zrows(dn["v_in"]), f"step {i}"
+
+
 def test_range_correlated_scalar_agg_decorrelates(spark):
     """Range-correlated scalar-aggregate subqueries (the
     "latest-before"/as-of aggregation shape) compile to the
