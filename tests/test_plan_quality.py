@@ -371,3 +371,38 @@ def test_char_entropy_generate_no_cartesian(spark, sf_dir):
     assert "Generate" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_topk_window_group_limit(spark, sf_dir):
+    """y_tfidf_topk: per-doc top-5 is a WindowGroupLimit (rank
+    truncation pushes into the shuffle), the doc count broadcasts, no
+    nested loop from the cross join of the 1-row stats frame."""
+    plan = _plan(spark, sf_dir, "y_tfidf_topk")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_canonicalize_single_shuffle(spark, sf_dir):
+    """y_url_canonicalize: map-side string work + ONE aggregate
+    exchange on the canonical key; no join, no Python."""
+    plan = _plan(spark, sf_dir, "y_url_canonicalize")
+    assert plan.count("Exchange") <= 2  # formatted explain lists nodes twice
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zipf_slope_take_ordered_no_global_sort(spark, sf_dir):
+    """y_zipf_slope: the top-200 vocabulary cut is a
+    TakeOrderedAndProject (partition-local top-k), never a global
+    Sort of the vocabulary."""
+    plan = _plan(spark, sf_dir, "y_zipf_slope")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_logprob_no_cartesian_one_explode(spark, sf_dir):
+    """y_bigram_logprob: single Generate pass produces both token
+    streams; count joins are hash joins, no nested loop, no Python."""
+    plan = _plan(spark, sf_dir, "y_bigram_logprob")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
