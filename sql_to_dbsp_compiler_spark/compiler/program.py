@@ -2115,10 +2115,25 @@ _GROUPING_ITEM_RE = re.compile(
 
 def _split_conjuncts(s: str) -> list[str]:
     """Split a WHERE condition on top-level AND — outside parens and
-    outside single-quoted literals — preserving each conjunct's text."""
+    outside single-quoted literals — preserving each conjunct's text.
+    The AND inside ``[NOT] BETWEEN lo AND hi`` pairs with its BETWEEN
+    and does NOT split (the conjunct stays whole, so the band form is
+    recognizable downstream)."""
     parts, buf = [], []
     depth, in_str, i = 0, False, 0
+    pending_between = 0
     up = s.upper()
+
+    def _kw(at: int, kw: str) -> bool:
+        return (
+            up.startswith(kw, at)
+            and (at == 0 or not (s[at - 1].isalnum() or s[at - 1] == "_"))
+            and (
+                at + len(kw) >= len(s)
+                or not (s[at + len(kw)].isalnum() or s[at + len(kw)] == "_")
+            )
+        )
+
     while i < len(s):
         c = s[i]
         if in_str:
@@ -2137,16 +2152,16 @@ def _split_conjuncts(s: str) -> list[str]:
             depth += 1
         elif c == ")":
             depth -= 1
-        if (
-            depth == 0
-            and up.startswith("AND", i)
-            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
-            and (i + 3 >= len(s) or not (s[i + 3].isalnum() or s[i + 3] == "_"))
-        ):
-            parts.append("".join(buf))
-            buf = []
-            i += 3
-            continue
+        if depth == 0 and _kw(i, "BETWEEN"):
+            pending_between += 1
+        if depth == 0 and _kw(i, "AND"):
+            if pending_between:
+                pending_between -= 1
+            else:
+                parts.append("".join(buf))
+                buf = []
+                i += 3
+                continue
         buf.append(c)
         i += 1
     parts.append("".join(buf))
@@ -2223,6 +2238,14 @@ _RANGE_CONJ_RE = re.compile(
     rf"(?:<=|>=|<>|!=|<|>)\s*"
     rf"(?P<r>{_RANGE_TERM})(?:\s*[+\-]\s*{_RANGE_TERM})?\s*$"
 )
+# X BETWEEN lo AND hi (same term grammar) — expanded to two range
+# conjuncts before matching, so the band-join form is recognized.
+_RANGE_BETWEEN_RE = re.compile(
+    rf"^\s*(?P<x>{_RANGE_TERM})\s+BETWEEN\s+"
+    rf"(?P<lo>{_RANGE_TERM}(?:\s*[+\-]\s*{_RANGE_TERM})?)\s+AND\s+"
+    rf"(?P<hi>{_RANGE_TERM}(?:\s*[+\-]\s*{_RANGE_TERM})?)\s*$",
+    re.IGNORECASE,
+)
 
 
 def _split_correlation_ranged(
@@ -2243,7 +2266,19 @@ def _split_correlation_ranged(
     residual: list[str] = []
     preds: list[str] = []
     pred_cols: list[str] = []
+    conjs: list[str] = []
     for conj in _split_conjuncts(cond):
+        bm = _RANGE_BETWEEN_RE.match(conj)
+        if bm and re.search(
+            rf"\b{re.escape(a)}\s*\.", _strip_string_literals(conj), re.IGNORECASE
+        ):
+            # band form: expand X BETWEEN lo AND hi into two range
+            # conjuncts the grammar below accepts
+            conjs.append(f"{bm.group('x')} >= {bm.group('lo')}")
+            conjs.append(f"{bm.group('x')} <= {bm.group('hi')}")
+        else:
+            conjs.append(conj)
+    for conj in conjs:
         m = re.fullmatch(r"\s*([\w.]+)\s*=\s*([\w.]+)\s*", conj)
         if m:
             s1 = _resolve_side(m.group(1), a, b, cols_a, cols_b)

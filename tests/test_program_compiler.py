@@ -1287,6 +1287,58 @@ def test_range_correlated_in_subquery_decorrelates(spark):
         assert _zrows(do["v_in"]) == _zrows(dn["v_in"]), f"step {i}"
 
 
+def test_between_band_correlation_decorrelates(spark):
+    """BETWEEN pairs with its AND in the conjunct splitter (the band
+    form stays one conjunct) and a correlated ``b.ts BETWEEN a.ts - k
+    AND a.ts`` expands into two range conjuncts for the range-semi
+    circuit; a b-only BETWEEN stays a whole residual filter."""
+    from sql_to_dbsp_compiler_spark.compiler.program import (
+        _split_conjuncts,
+        _split_correlation_ranged,
+    )
+
+    assert _split_conjuncts("a > 1 AND b BETWEEN 2 AND 5 AND c = 3") == [
+        "a > 1", "b BETWEEN 2 AND 5", "c = 3",
+    ]
+    assert _split_conjuncts("b NOT BETWEEN 2 AND 5 AND c = 3") == [
+        "b NOT BETWEEN 2 AND 5", "c = 3",
+    ]
+    lit = _split_conjuncts("x = 'BETWEEN a AND b' AND y > 0")
+    assert lit == ["x = 'BETWEEN a AND b'", "y > 0"]
+    rng = _split_correlation_ranged(
+        "clk.ccust = ord.cust AND clk.cts BETWEEN ord.ts - 40 AND ord.ts"
+        " AND clk.amt > 0",
+        "ord", "clk", ["cust", "oid", "ts"], ["ccust", "cts", "amt"],
+    )
+    assert rng == (
+        ["cust"], ["ccust"], "amt > 0",
+        "(__b_cts >= ts - 40) AND (__b_cts <= ts)", ["cts"],
+    )
+
+    prog = """
+    CREATE TABLE ord(cust INT, oid INT, ts INT);
+    CREATE TABLE clk(ccust INT, cts INT, amt INT);
+    CREATE VIEW v_band AS SELECT oid, cust FROM ord
+      WHERE EXISTS (SELECT 1 FROM clk WHERE clk.ccust = ord.cust
+                    AND clk.cts BETWEEN ord.ts - 40 AND ord.ts);
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True)
+    naive = IncrementalProgram(spark, prog, optimize=False)
+    assert opt.plan()["v_band"] == "range-semi-join-decorrelated"
+    o = "cust int, oid int, ts int, __weight long"
+    c = "ccust int, cts int, amt int, __weight long"
+    steps = [
+        {"ord": [(1, 10, 100, 1), (2, 20, 100, 1)],
+         "clk": [(1, 80, 5, 1), (2, 10, 7, 1)]},
+        {"clk": [(2, 90, 3, 1), (1, 80, 5, -1)]},
+    ]
+    sch = {"ord": o, "clk": c}
+    for i, st in enumerate(steps):
+        do = opt.step({k: ZSet(spark.createDataFrame(v, sch[k])) for k, v in st.items()})
+        dn = naive.step({k: ZSet(spark.createDataFrame(v, sch[k])) for k, v in st.items()})
+        assert _zrows(do["v_band"]) == _zrows(dn["v_band"]), f"step {i}"
+
+
 def test_range_correlated_scalar_agg_decorrelates(spark):
     """Range-correlated scalar-aggregate subqueries (the
     "latest-before"/as-of aggregation shape) compile to the
