@@ -813,6 +813,21 @@ def _strip_string_literals(s: str) -> str:
     return re.sub(r"'(?:[^']|'')*'", "''", s)
 
 
+def _sub_outside_literals(pattern: str, repl: str, s: str, flags: int = 0) -> str:
+    """re.sub applied only OUTSIDE single-quoted SQL literals, so a
+    qualifier-strip rewrite can't corrupt literal content: with inner
+    table ``clk``, the conjunct ``b.tag = 'clk.x'`` must keep its
+    literal intact while ``b.`` is rewritten (ADVICE r5)."""
+    out: list[str] = []
+    pos = 0
+    for m in re.finditer(r"'(?:[^']|'')*'", s):
+        out.append(re.sub(pattern, repl, s[pos : m.start()], flags=flags))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(re.sub(pattern, repl, s[pos:], flags=flags))
+    return "".join(out)
+
+
 _FORBIDDEN_LINEAR_RAW = re.compile(
     r"\b(JOIN|GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|DISTINCT|OVER)\b"
     r"|\(\s*SELECT\b|\bSUM\s*\(|\bCOUNT\s*\(|\bAVG\s*\(|\bMIN\s*\(|\bMAX\s*\(",
@@ -2224,7 +2239,9 @@ def _split_correlation(
                 return None  # ambiguous bare column
             if not prefixed and w in cols_a and w not in cols_b:
                 return None  # outer reference in a non-equi conjunct
-        residual.append(re.sub(rf"\b{re.escape(b)}\s*\.\s*", "", conj, flags=re.IGNORECASE))
+        residual.append(
+            _sub_outside_literals(rf"\b{re.escape(b)}\s*\.\s*", "", conj, flags=re.IGNORECASE)
+        )
     if not keys_a:
         return None
     return keys_a, keys_b, (" AND ".join(residual) if residual else None)
@@ -2307,8 +2324,12 @@ def _split_correlation_ranged(
                 ok = False
             if not ok:
                 return None
-            p = re.sub(rf"\b{re.escape(a)}\s*\.\s*", "", conj, flags=re.IGNORECASE)
-            p = re.sub(rf"\b{re.escape(b)}\s*\.\s*", "__b_", p, flags=re.IGNORECASE)
+            p = _sub_outside_literals(
+                rf"\b{re.escape(a)}\s*\.\s*", "", conj, flags=re.IGNORECASE
+            )
+            p = _sub_outside_literals(
+                rf"\b{re.escape(b)}\s*\.\s*", "__b_", p, flags=re.IGNORECASE
+            )
             preds.append(f"({p.strip()})")
             continue
         if refs_a:
@@ -2323,7 +2344,7 @@ def _split_correlation_ranged(
             if not prefixed and w in cols_a and w not in cols_b:
                 return None
         residual.append(
-            re.sub(rf"\b{re.escape(b)}\s*\.\s*", "", conj, flags=re.IGNORECASE)
+            _sub_outside_literals(rf"\b{re.escape(b)}\s*\.\s*", "", conj, flags=re.IGNORECASE)
         )
     if not keys_a or not preds:
         return None
@@ -2348,7 +2369,9 @@ def _parse_plain_sel(
         return (None, None)
     items, names = [], []
     for item in _split_top_level_commas(sel):
-        item = re.sub(rf"\b{re.escape(src)}\s*\.\s*", "", item.strip(), flags=re.IGNORECASE)
+        item = _sub_outside_literals(
+            rf"\b{re.escape(src)}\s*\.\s*", "", item.strip(), flags=re.IGNORECASE
+        )
         am = re.search(r"\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
         if am:
             if _FORBIDDEN_LINEAR.search(item):
@@ -3542,7 +3565,8 @@ def _recognize_semi_anti(sql: str, known: set[str], cols_of: dict[str, list[str]
     a_where = None
     if outer:
         a_where = " AND ".join(
-            re.sub(rf"\b{re.escape(a)}\s*\.\s*", "", c, flags=re.IGNORECASE) for c in outer
+            _sub_outside_literals(rf"\b{re.escape(a)}\s*\.\s*", "", c, flags=re.IGNORECASE)
+            for c in outer
         )
         stripped = _strip_string_literals(a_where)
         if re.search(rf"\b{re.escape(b)}\s*\.", stripped, re.IGNORECASE):
@@ -3716,7 +3740,9 @@ def _recognize_scalar_subq(sql: str, known: set[str], cols_of: dict[str, list[st
         fn = sm.group("fn").lower()
         arg = sm.group("arg").strip()
         if arg != "*":
-            arg = re.sub(rf"\b{re.escape(b)}\s*\.\s*", "", arg, flags=re.IGNORECASE)
+            arg = _sub_outside_literals(
+                rf"\b{re.escape(b)}\s*\.\s*", "", arg, flags=re.IGNORECASE
+            )
             if _FORBIDDEN_LINEAR.search(arg):
                 return None
         bks = [f"__bk{i}" for i in range(len(keys_b))]

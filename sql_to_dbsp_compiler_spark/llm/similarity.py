@@ -167,7 +167,10 @@ def ivf_train_kmeans(
         if total <= 0:
             idx.append(int(rng.randint(len(X))))
             continue
-        idx.append(int(np.searchsorted(np.cumsum(d2 / total), rng.rand())))
+        # clamp: float rounding can leave cumsum[-1] < rand, which
+        # would return len(X) and IndexError at X[idx]
+        pick = int(np.searchsorted(np.cumsum(d2 / total), rng.rand()))
+        idx.append(min(pick, len(X) - 1))
     C = X[idx].copy()
 
     prev = None

@@ -33,7 +33,24 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()) -> C
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name, fn, oracle, tags)
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver hands us a vanilla SparkSession; pin the
+            # load-bearing runtime confs before ANY plan is built, so
+            # queries that never call load_table (pure-program views,
+            # custom sources) still get the contract confs.
+            from sql_to_dbsp_compiler_spark.sources.tables import (
+                _ensure_session_confs,
+            )
+
+            _ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__module__ = fn.__module__
+        wrapped.__wrapped__ = fn
+        REGISTRY[name] = Query(name, wrapped, oracle, tags)
         return fn
 
     return deco

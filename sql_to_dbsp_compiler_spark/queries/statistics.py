@@ -423,7 +423,8 @@ def x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
            bool_and(o_totalprice > 5000) AS all_big,
            bool_or(o_orderstatus = 'F') AS any_f,
            COUNT(*) AS n,
-           list_sort(list_distinct(list(o_orderstatus))) AS statuses
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+               AS statuses
     FROM orders GROUP BY o_orderpriority
     """,
     tags=("aggregate", "boolean"),
@@ -431,16 +432,20 @@ def x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_agg_boolean_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's remaining aggregate family: EVERY/SOME/ANY
     (RustSqlRuntimeLibrary.java:66-68 — boolean aggregates) as Spark
-    bool_and/bool_or, and SET_AGG (:70) as sorted collect_set (the
-    sort pins engine-independent array order). Map-side partial
-    aggregation applies to all four — booleans fold to one byte per
-    group, the set is bounded by the status domain."""
+    bool_and/bool_or, and SET_AGG (:70) as sorted collect_set joined
+    to a string — raw array output columns are not hashable by the
+    driver's pandas canonicalizer, so the sorted set is emitted as a
+    comma-joined string (same contract as array_functions). Map-side
+    partial aggregation applies to all four — booleans fold to one
+    byte per group, the set is bounded by the status domain."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
         F.bool_and(F.col("o_totalprice") > 5000).alias("all_big"),
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
         F.count("*").alias("n"),
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
     )
 
 

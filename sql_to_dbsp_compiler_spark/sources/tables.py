@@ -33,18 +33,37 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
 
 def _ensure_session_confs(spark: SparkSession) -> None:
     """The engine may be handed an externally-created SparkSession
-    (the driver contract does exactly that). Two confs are
+    (the driver contract does exactly that). Four confs are
     load-bearing and runtime-settable — pin them defensively:
-    nanos-timestamp parquet support and UTC timestamp semantics."""
+    nanos-timestamp parquet support, UTC timestamp semantics,
+    the Spark 4.1 constraint-propagation workaround (dangling
+    attribute reference in UnionBase.rewriteConstraints when a
+    localCheckpoint barrier sits under a self-union — hit by the
+    recursive-view fixpoint), and Python DataSource filter pushdown
+    (CdcJournalReader implements pushFilters(); Spark 4.1 hard-errors
+    with DATA_SOURCE_PUSHDOWN_DISABLED when the conf is off)."""
     for key, val in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.constraintPropagation.enabled", "false"),
+        ("spark.sql.python.filterPushdown.enabled", "true"),
     ):
         try:
             if spark.conf.get(key, None) != val:
                 spark.conf.set(key, val)
         except Exception:
             pass  # non-settable in this build: keep going
+    # Python planner workers (custom data sources) spawn fresh
+    # interpreters that see PYTHONPATH, not the parent's sys.path —
+    # under an externally-created session nobody has exported it yet.
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
 
 
 # Plan cache: (session id, sf_dir, table, mtime) -> unresolved

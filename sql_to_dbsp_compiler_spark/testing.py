@@ -34,6 +34,29 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
         con.close()
 
 
+def driver_canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Replicate the DRIVER's canonicalization, failure modes included.
+
+    The driver sorts columns by name, runs a raw pandas
+    ``sort_values`` over all columns, and value-hashes cells. Our own
+    :func:`canonicalize` stringifies list cells first, which HID a
+    whole failure class: a query returning a bare ``array<...>``
+    column passes locally but reds out at the driver with
+    ``TypeError: unhashable type: 'list'`` (r1 ``array_functions``,
+    r5 ``x_agg_boolean_set``). This replica keeps the driver's
+    behavior: unsortable/unhashable cells raise. Run it on every
+    oracled query's Spark output BEFORE the value compare so the
+    contract bug fails locally first.
+    """
+    cols = sorted(pdf.columns)
+    out = pdf[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    for c in cols:
+        for v in out[c]:
+            if v is not None:
+                hash(v)  # raises TypeError on list/dict/ndarray cells
+    return out
+
+
 def _canon_cell(v: object) -> str:
     if v is None:
         return "NULL"

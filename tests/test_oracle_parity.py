@@ -9,7 +9,11 @@ from __future__ import annotations
 import pytest
 
 from sql_to_dbsp_compiler_spark.queries import REGISTRY
-from sql_to_dbsp_compiler_spark.testing import compare_frames, run_oracle
+from sql_to_dbsp_compiler_spark.testing import (
+    compare_frames,
+    driver_canonicalize,
+    run_oracle,
+)
 
 ORACLE_QUERIES = sorted(name for name, q in REGISTRY.items() if q.oracle)
 
@@ -35,6 +39,17 @@ def test_oracle_parity(spark, sf_correct_dir, name):
     q = REGISTRY[name]
     spark_pdf = q.fn(spark, sf_correct_dir).toPandas()
     oracle_pdf = run_oracle(q.oracle, sf_correct_dir)
+    # The driver's canonicalizer (raw sort_values + cell hashing)
+    # chokes on bare array/map/struct output columns — any oracled
+    # query emitting one reds out at the driver even when the values
+    # match (r5 x_agg_boolean_set). Fail locally first.
+    try:
+        driver_canonicalize(spark_pdf)
+    except TypeError as exc:
+        raise AssertionError(
+            f"{name}: output is not driver-canonicalizable "
+            f"(bare array/map/struct column?): {exc}"
+        ) from None
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{name}:\n" + "\n".join(problems)
     if name not in EMPTY_OK_AT_TINY_SF:

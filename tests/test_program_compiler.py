@@ -1287,6 +1287,67 @@ def test_range_correlated_in_subquery_decorrelates(spark):
         assert _zrows(do["v_in"]) == _zrows(dn["v_in"]), f"step {i}"
 
 
+def test_qualifier_rewrites_are_literal_safe(spark):
+    """ADVICE r5: the qualifier-strip rewrites in the correlation
+    splitters ran plain re.sub over the raw conjunct, corrupting
+    string literals that contain '<table>.' (``b.tag = 'clk.x'`` with
+    inner table ``clk`` became ``tag = 'x'``). The rewrites are now
+    quote-aware; literals must round-trip byte-identical and the
+    compiled circuit must still equal the naive evaluation."""
+    from sql_to_dbsp_compiler_spark.compiler.program import (
+        _split_correlation,
+        _split_correlation_ranged,
+        _sub_outside_literals,
+    )
+
+    # unit: literal spans survive, non-literal spans rewrite
+    assert (
+        _sub_outside_literals(r"\bclk\s*\.\s*", "", "clk.tag = 'clk.x'")
+        == "tag = 'clk.x'"
+    )
+    assert (
+        _sub_outside_literals(r"\bclk\s*\.\s*", "__b_", "clk.a < ord.b AND clk.t = 'clk.a'")
+        == "__b_a < ord.b AND __b_t = 'clk.a'"
+    )
+    # plain splitter: residual keeps the literal intact
+    corr = _split_correlation(
+        "clk.ccust = ord.cust AND clk.tag = 'clk.x'",
+        "ord", "clk", ["cust", "oid"], ["ccust", "tag"],
+    )
+    assert corr == (["cust"], ["ccust"], "tag = 'clk.x'")
+    # ranged splitter: both the residual and the range pred keep it
+    rng = _split_correlation_ranged(
+        "clk.ccust = ord.cust AND clk.cts < ord.ts AND clk.tag = 'clk.x'",
+        "ord", "clk", ["cust", "oid", "ts"], ["ccust", "cts", "tag"],
+    )
+    assert rng == (
+        ["cust"], ["ccust"], "tag = 'clk.x'", "(__b_cts < ts)", ["cts"],
+    )
+
+    prog = """
+    CREATE TABLE ord(cust INT, oid INT, ts INT);
+    CREATE TABLE clk(ccust INT, cts INT, tag VARCHAR(10));
+    CREATE VIEW v_lit AS SELECT oid, cust FROM ord
+      WHERE EXISTS (SELECT 1 FROM clk WHERE clk.ccust = ord.cust
+                    AND clk.cts < ord.ts AND clk.tag = 'clk.x');
+    """
+    opt = IncrementalProgram(spark, prog, optimize=True)
+    naive = IncrementalProgram(spark, prog, optimize=False)
+    assert opt.plan()["v_lit"] == "range-semi-join-decorrelated"
+    o = "cust int, oid int, ts int, __weight long"
+    c = "ccust int, cts int, tag string, __weight long"
+    steps = [
+        {"ord": [(1, 10, 100, 1), (2, 20, 100, 1)],
+         "clk": [(1, 80, "clk.x", 1), (2, 10, "other", 1)]},
+        {"clk": [(2, 90, "clk.x", 1), (1, 80, "clk.x", -1)]},
+    ]
+    sch = {"ord": o, "clk": c}
+    for i, st in enumerate(steps):
+        do = opt.step({k: ZSet(spark.createDataFrame(v, sch[k])) for k, v in st.items()})
+        dn = naive.step({k: ZSet(spark.createDataFrame(v, sch[k])) for k, v in st.items()})
+        assert _zrows(do["v_lit"]) == _zrows(dn["v_lit"]), f"step {i}"
+
+
 def test_between_band_correlation_decorrelates(spark):
     """BETWEEN pairs with its AND in the conjunct splitter (the band
     form stays one conjunct) and a correlated ``b.ts BETWEEN a.ts - k

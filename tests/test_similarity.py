@@ -50,6 +50,32 @@ def test_ivf_kmeans_recall(spark, sf_dir):
     assert _mean_recall(exact, kmeans) >= 0.5
 
 
+def test_kmeanspp_init_clamps_searchsorted(spark, sf_dir, monkeypatch):
+    """ADVICE r5: k-means++ draws the next centroid by
+    searchsorted(cumsum(d2/total), rand()); float rounding can leave
+    cumsum[-1] just below the drawn value, making searchsorted return
+    len(X) and IndexError at X[idx]. Force the worst case — rand()
+    returning a value ≥ cumsum[-1] — and assert the fit survives via
+    the clamp."""
+    import numpy as np
+
+    from sql_to_dbsp_compiler_spark.llm import similarity as sim
+
+    real_rs = np.random.RandomState
+
+    class EdgeRandomState(real_rs):
+        def rand(self, *args):  # noqa: D401 — numpy signature
+            return 1.0  # ≥ any float cumsum[-1], incl. exact 1.0
+
+    monkeypatch.setattr(np.random, "RandomState", EdgeRandomState)
+    corpus, _ = _split(spark, sf_dir)
+    centroids, assigned = sim.ivf_train_kmeans(
+        corpus.limit(64), nlist=4, max_iter=2, sample_n=64
+    )
+    assert centroids.count() == 4
+    assert assigned.select("vec_id").distinct().count() == 64
+
+
 def test_bruteforce_topk_is_ordered_and_complete(spark, sf_dir):
     corpus, queries = _split(spark, sf_dir)
     rows = brute_force_topk(corpus, queries, k=5).collect()
