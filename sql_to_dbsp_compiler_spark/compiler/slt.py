@@ -585,7 +585,7 @@ def slt_random_statements(seed: int = 0, n: int = 150) -> list[str]:
 
     out: list[str] = []
     while len(out) < n:
-        kind = rng.randrange(8)
+        kind = rng.randrange(9)
         if kind == 0:  # grouped aggregate (+ optional HAVING)
             k = rng.choice(keys)
             picked = rng.sample(aggs, rng.randint(1, 3))
@@ -686,6 +686,45 @@ def slt_random_statements(seed: int = 0, n: int = 150) -> list[str]:
                 f"ORDER BY coalesce({e1}, -999999) {rng.choice(['ASC', 'DESC'])}, id "
                 f"LIMIT {rng.randint(3, 9)}"
             )
+        elif kind == 8:  # range-correlated EXISTS / scalar agg / BETWEEN band
+            # The r5 range circuits (equi anchor u.k = t.id plus a
+            # strict-grammar non-equi residual) exercised as hundreds
+            # of seeded variants through BOTH gates, not just the
+            # hand-picked bank statements (VERDICT r5 item 7).
+            cmpop = rng.choice(["<", "<=", ">", ">="])
+            shift = rng.choice(["", f" + {rng.randint(1, 4)}", f" - {rng.randint(1, 4)}"])
+            outer_col = rng.choice(["t.a", "t.b"])
+            form = rng.randrange(4)
+            if form == 0:  # range EXISTS / NOT EXISTS
+                neg = rng.choice(["", "NOT "])
+                resid = rng.choice(["", " AND u.tag <> 'u.k'", " AND u.v IS NOT NULL"])
+                out.append(
+                    f"SELECT id, a FROM t WHERE {neg}EXISTS "
+                    f"(SELECT 1 FROM u WHERE u.k = t.id "
+                    f"AND u.v {cmpop} {outer_col}{shift}{resid})"
+                )
+            elif form == 1:  # range scalar aggregate ("latest-before")
+                fn = rng.choice(["max(u.v)", "min(u.v)", "count(*)", "sum(u.v)"])
+                out.append(
+                    f"SELECT id, (SELECT {fn} FROM u WHERE u.k = t.id "
+                    f"AND u.v {cmpop} {outer_col}{shift}) AS sv "
+                    f"FROM t WHERE {rf()}"
+                )
+            elif form == 2:  # BETWEEN band correlation
+                lo = rng.randint(1, 6)
+                hi = rng.randint(0, 6)
+                out.append(
+                    f"SELECT id, b FROM t WHERE EXISTS "
+                    f"(SELECT 1 FROM u WHERE u.k = t.id "
+                    f"AND u.v BETWEEN {outer_col} - {lo} AND {outer_col} + {hi})"
+                )
+            else:  # two-sided range (band written as two conjuncts)
+                out.append(
+                    f"SELECT id FROM t WHERE EXISTS "
+                    f"(SELECT 1 FROM u WHERE u.k = t.id "
+                    f"AND u.v >= {outer_col} - {rng.randint(1, 5)} "
+                    f"AND u.v {cmpop} {outer_col}{shift})"
+                )
         elif kind == 7:  # WITH RECURSIVE ... UNION ALL (acyclic counter)
             lo = rng.randint(-3, 3)
             step = rng.randint(1, 3)

@@ -207,6 +207,14 @@ def test_slt_random_statements_through_program_incremental(spark):
         )
     )
     inc = IncrementalProgram(spark, ddl, optimize=True, checkpoint_every=1)
+    # the seeded pool must actually exercise the r5 range circuits —
+    # not just hand-picked bank statements (VERDICT r5 item 7)
+    kinds = set(inc.plan().values())
+    assert kinds & {
+        "range-semi-join-decorrelated",
+        "range-anti-join-decorrelated",
+        "range-scalar-agg",
+    }, f"no range circuit recognized in the seeded pool: {kinds}"
 
     t_schema = "id int, a int, b int, s string, d double, ts timestamp, __weight long"
     u_schema = "k int, v int, tag string, __weight long"
