@@ -92,7 +92,10 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping priority: selective filters on both join sides, then
     top-10. Filters are pushed below the joins by Catalyst; order has a
-    unique tiebreaker (l_orderkey) so LIMIT is deterministic."""
+    unique tiebreaker (l_orderkey) so LIMIT is deterministic. The
+    orders⋈lineitem join is pinned sort-merge: a filtered fact is
+    still O(fact) and must never be the broadcast build side (see
+    tpch_q5; measured 2.4x→1.2x at 10x data, faster at sf0.1 too)."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -100,7 +103,9 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
-    joined = c.join(o, c.c_custkey == o.o_custkey).join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+    joined = c.join(o, c.c_custkey == o.o_custkey).join(
+        l.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.sum(_disc_price()).cast("double").alias("revenue")
     )
@@ -137,7 +142,15 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_nationkey = s_nationkey chain, so doing it explicitly cuts the
     customer⋈orders⋈lineitem shuffle volume ~5x (the dominant cost at
     cluster scale). Only the three fact tables shuffle, each on its
-    natural key."""
+    natural key. The orders⋈lineitem fact-fact join is PINNED to
+    sort-merge: with column pruning, lineitem's size estimate slips
+    under the broadcast threshold at mid scales and Catalyst
+    broadcast the ENTIRE fact table — a single-threaded hash-relation
+    build that made sf1 wall superlinear (measured 3.3x for 10x data;
+    SMJ is 1.2x and 2x faster at BOTH scales). A fact table must
+    never be on the build side regardless of what the estimate says;
+    SMJ shuffles both sides on the join key and spills, the canonical
+    fact-fact strategy at 100 TB."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -159,7 +172,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         c2.join(o, c2.c_custkey == o.o_custkey)
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(l.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
     )
     joined = dim_join(
         joined,
@@ -223,7 +236,11 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("headline", "join", "topk"),
 )
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Returned-item reporting: top-20 customers by lost revenue."""
+    """Returned-item reporting: top-20 customers by lost revenue.
+    The orders⋈lineitem join is pinned sort-merge — the returnflag
+    filter keeps ~25% of the fact table, which must never be the
+    broadcast build side (see tpch_q5; measured 3.0x→1.7x at 10x
+    data, faster at sf0.1 too)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -233,7 +250,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     joined = (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(l.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
     )
     joined = dim_join(joined, n, F.col("c_nationkey") == F.col("n_nationkey"))
     agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(

@@ -56,7 +56,10 @@ def groupwise_max_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q4: EXISTS with a cross-table predicate → semi join on key with
-    the time predicate inside the join condition."""
+    the time predicate inside the join condition. The semi join's
+    right side is the FULL lineitem fact — pinned sort-merge so it is
+    never the broadcast build side (see tpch_q5; measured 6.1x→~1x
+    at 10x data)."""
     o = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
@@ -66,7 +69,7 @@ def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
     )
     return (
-        o.join(l, cond, "left_semi")
+        o.join(l.hint("merge"), cond, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
@@ -106,7 +109,12 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        # lineitem⋈orders is fact-fact: pinned sort-merge (see
+        # tpch_q5). customer is left to Catalyst — its estimate is
+        # honest (no pruning-induced underestimate), so the broadcast
+        # self-corrects to SMJ as the table grows (measured faster at
+        # both sf0.1 and sf1 unhinted).
+        .join(o.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
     )
     j = dim_join(j, n1, F.col("s_nationkey") == F.col("n1_key"))
@@ -138,7 +146,8 @@ def tpch_q12_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        # fact-fact join pinned sort-merge (see tpch_q5)
+        o.join(l.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
@@ -200,7 +209,10 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q18: IN-subquery over a HAVING aggregate → aggregate once, semi
-    join the fact tables against the qualifying key set."""
+    join the fact tables against the qualifying key set. The
+    orders⋈(semi-filtered lineitem) join is pinned sort-merge — the
+    semi output is still O(fact) and must never be the broadcast
+    build side (see tpch_q5; measured faster at both sf0.1 and sf1)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -213,7 +225,8 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(l.join(big.withColumnRenamed("l_orderkey", "__bk"),
-                     F.col("l_orderkey") == F.col("__bk"), "left_semi"),
+                     F.col("l_orderkey") == F.col("__bk"), "left_semi")
+              .hint("merge"),
               F.col("o_orderkey") == F.col("l_orderkey"))
     )
     agg = j.groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice").agg(

@@ -171,7 +171,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     j = dim_join(l, p, F.col("p_partkey") == F.col("l_partkey"))
     j = dim_join(j, s, F.col("s_suppkey") == F.col("l_suppkey"))
-    j = j.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    # lineitem⋈orders is fact-fact: pinned sort-merge (see tpch_q5)
+    j = j.join(o.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
     j = dim_join(j, n, F.col("s_nationkey") == F.col("n_nationkey"))
     profit = _disc_price() - dec2("p_retailprice") * dec2("l_quantity") * F.lit(0.5).cast(
         "decimal(2,1)"
@@ -241,7 +242,8 @@ def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
     per_cust = (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        # customer⋈orders is fact-fact: pinned sort-merge (see tpch_q5)
+        c.join(o.hint("merge"), F.col("c_custkey") == F.col("o_custkey"), "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("c_count"))
     )
@@ -422,7 +424,9 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     late_cutoff = F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
     base = (
-        l1.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        # all three lineitem occurrences and orders are facts: every
+        # join among them is pinned sort-merge (see tpch_q5)
+        l1.join(o.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
         .where(F.col("l_shipdate") > late_cutoff)
     )
     base = dim_join(base, sn, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -431,7 +435,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("__k2"), F.col("l_suppkey").alias("__s2")
     )
     base = base.join(
-        l2,
+        l2.hint("merge"),
         (F.col("__k2") == F.col("l_orderkey")) & (F.col("__s2") != F.col("l_suppkey")),
         "left_semi",
     )
@@ -441,7 +445,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").alias("__ship3"),
     )
     base = base.join(
-        l3,
+        l3.hint("merge"),
         (F.col("__k3") == F.col("l_orderkey"))
         & (F.col("__s3") != F.col("l_suppkey"))
         & (F.col("__ship3") > late_cutoff),

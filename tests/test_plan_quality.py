@@ -25,6 +25,11 @@ def test_q6_filters_pushed_to_scan(spark, sf_dir):
 def test_q5_broadcasts_dimensions(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q5")
     assert plan.count("BroadcastHashJoin") >= 3, "nation/region/supplier must broadcast"
+    # the fact-fact orders⋈lineitem join must be sort-merge: with
+    # pruned columns lineitem's estimate slips under the broadcast
+    # threshold at mid scales and Catalyst would build a hash relation
+    # over the whole fact table (measured superlinear at sf1)
+    assert "SortMergeJoin" in plan, "orders⋈lineitem must not broadcast a fact table"
 
 
 def test_topk_uses_window_group_limit(spark, sf_dir):
