@@ -88,6 +88,21 @@ class DeleteDef:
     where_sql: str  # the predicate after WHERE (SQL TRUE rows removed)
 
 
+@dataclass(frozen=True)
+class UpdateDef:
+    """UPDATE t SET c = e, ... [WHERE p] — in Z-set semantics a
+    retraction of the matched rows plus an insertion of their rewrites
+    (the reference models every table-modify statement this way:
+    TableModifyStatement.java:35, TableContents tracking). Every SET
+    expression is evaluated against the OLD row, per the SQL standard;
+    rows where the predicate is UNKNOWN are untouched (like DELETE's
+    UNKNOWN-keeps-row rule)."""
+
+    table: str
+    assignments: tuple[tuple[str, str], ...]  # (column, expr_sql) pairs
+    where_sql: str
+
+
 @dataclass
 class SqlProgram:
     tables: dict[str, TableDef] = field(default_factory=dict)
@@ -142,9 +157,30 @@ class SqlProgram:
                     )
                 )
                 continue
+            m = _UPDATE_RE.match(stmt)
+            if m:
+                assigns = []
+                for item in _split_top_level_commas(m.group("sets")):
+                    am = re.match(
+                        r'^\s*(?P<col>"[^"]+"|\w+)\s*=\s*(?P<expr>.+)$',
+                        item,
+                        re.DOTALL,
+                    )
+                    if not am:
+                        raise ValueError(f"malformed SET item: {item[:60]!r}")
+                    assigns.append((_ident(am.group("col")), am.group("expr").strip()))
+                where = m.group("where")
+                prog.mutations.append(
+                    UpdateDef(
+                        _ident(m.group("name")),
+                        tuple(assigns),
+                        where.strip() if where else "TRUE",
+                    )
+                )
+                continue
             raise ValueError(
                 "unsupported statement (only CREATE TABLE / CREATE VIEW / "
-                f"INSERT / DELETE): {stmt[:80]!r}"
+                f"INSERT / DELETE / UPDATE): {stmt[:80]!r}"
             )
         return prog
 
@@ -165,6 +201,11 @@ _INSERT_RE = re.compile(
 )
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<name>\"[^\"]+\"|\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>\"[^\"]+\"|\w+)\s+SET\s+(?P<sets>.+?)"
     r"(?:\s+WHERE\s+(?P<where>.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -413,16 +454,35 @@ def _table_from_inserts(spark: SparkSession, table: TableDef, inserts: list[Inse
 def _table_from_mutations(
     spark: SparkSession, table: TableDef, mutations: list
 ) -> DataFrame:
-    """Fold INSERT/DELETE statements in order. DELETE removes the rows
-    whose predicate is SQL TRUE (UNKNOWN keeps the row, like every
-    engine), applied to the table contents built so far — so
-    insert/delete/re-insert sequences reproduce statement-order
-    semantics, matching the reference's TableContents tracking."""
+    """Fold INSERT/DELETE/UPDATE statements in order. DELETE removes
+    the rows whose predicate is SQL TRUE (UNKNOWN keeps the row, like
+    every engine); UPDATE rewrites matched rows with every SET
+    expression evaluated against the OLD row. Both apply to the table
+    contents built so far — so insert/delete/update/re-insert
+    sequences reproduce statement-order semantics, matching the
+    reference's TableContents tracking."""
     df = _empty_table(spark, table)
+    type_of = dict(table.columns)
     for mut in mutations:
         if isinstance(mut, InsertDef):
             df = df.unionByName(
                 _table_from_inserts(spark, table, [mut])
+            )
+        elif isinstance(mut, UpdateDef):
+            p = F.coalesce(F.expr(mut.where_sql), F.lit(False))
+            new_val = dict(mut.assignments)
+            # one select over the ORIGINAL row: assignments can
+            # reference each other's columns and must see old values
+            df = df.select(
+                *[
+                    (
+                        F.when(p, F.expr(new_val[c]).cast(spark_type(type_of[c])))
+                        .otherwise(F.col(c))
+                        if c in new_val
+                        else F.col(c)
+                    ).alias(c)
+                    for c, _ in table.columns
+                ]
             )
         else:
             df = df.where(~F.coalesce(F.expr(mut.where_sql), F.lit(False)))
@@ -521,7 +581,7 @@ def bind_sources(
             bound[name] = sources[name]
             continue
         muts = [m for m in program.mutations if m.table == name]
-        if any(isinstance(m, DeleteDef) for m in muts):
+        if any(isinstance(m, (DeleteDef, UpdateDef)) for m in muts):
             bound[name] = _table_from_mutations(spark, table, muts)
             continue
         ins = [i for i in program.inserts if i.table == name]

@@ -669,3 +669,44 @@ def y_program_range_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in deltas[1:]:
         inc.step({"lineitem": d})
     return inc.snapshot("v_early_ship").to_multiset_df()
+
+
+_UPDATE_PROGRAM = """
+CREATE TABLE acc(id INTEGER, bal INTEGER, tier VARCHAR(5));
+CREATE VIEW balances AS SELECT tier, SUM(bal) AS total_bal, COUNT(*) AS n
+    FROM acc GROUP BY tier;
+INSERT INTO acc VALUES (1, 100, 'lo'), (2, 250, 'lo'), (3, 900, 'hi'),
+                       (4, NULL, 'lo'), (5, 40, 'lo');
+UPDATE acc SET bal = bal * 2, tier = 'hi' WHERE bal >= 250;
+DELETE FROM acc WHERE id = 3;
+UPDATE acc SET bal = 0 WHERE bal IS NULL;
+UPDATE acc SET bal = bal + 1 WHERE tier = 'mid';
+"""
+
+
+@query(
+    "y_program_update",
+    oracle="""
+    WITH acc(id, bal, tier) AS (
+        VALUES (1, 100, 'lo'), (2, 500, 'hi'), (4, 0, 'lo'), (5, 40, 'lo')
+    )
+    SELECT tier, CAST(SUM(bal) AS BIGINT) AS total_bal, COUNT(*) AS n
+    FROM acc GROUP BY tier
+    """,
+    tags=("compiler", "update"),
+)
+def y_program_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Program frontend with UPDATE statements (reference:
+    TableModifyStatement.java:35 — every table-modify is a Z-set
+    retract+insert; TableContents tracks statement order). Semantics
+    pinned under the driver gate: both SET expressions of one UPDATE
+    evaluate against the OLD row (id 2: bal 250→500 AND tier→'hi'
+    from the pre-update bal); a row whose predicate is UNKNOWN is
+    untouched (id 4's NULL bal fails bal >= 250, then a later
+    IS NULL update rewrites it); statement order matters (id 3 is
+    doubled, then deleted); a no-match UPDATE is a no-op. The oracle
+    lists the surviving post-update rows directly."""
+    views = compile_batch(spark, _UPDATE_PROGRAM)
+    return views["balances"].withColumn(
+        "total_bal", F.col("total_bal").cast("bigint")
+    )

@@ -762,3 +762,138 @@ def x_robust_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("w").cast("double").alias("w_min"),
         F.max("w").cast("double").alias("w_max"),
     )
+
+
+@query(
+    "y_hll_rollup",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    slots AS (SELECT event_type, day, h % 512 AS bucket, h >> 9 AS w FROM h),
+    regs_day AS (
+        SELECT event_type, day, bucket,
+               MAX(CASE WHEN w > 0 THEN 52 - length(bin(w)) ELSE 52 END) AS m
+        FROM slots GROUP BY event_type, day, bucket
+    ),
+    est_day AS (
+        SELECT event_type, day,
+               512 - COUNT(*) AS v,
+               (0.7213 / (1 + 1.079 / 512)) * 512.0 * 512.0
+                   / ((SUM(CAST(1 AS BIGINT) << CAST(52 - m AS INTEGER))
+                       + (512 - COUNT(*)) * (CAST(1 AS BIGINT) << 52))
+                      / pow(2.0, 52)) AS raw_e
+        FROM regs_day GROUP BY event_type, day
+    ),
+    day_final AS (
+        SELECT event_type, day,
+               CASE WHEN raw_e <= 2.5 * 512 AND v > 0
+                    THEN 512.0 * ln(512.0 / v) ELSE raw_e END AS est
+        FROM est_day
+    ),
+    regs_merged AS (
+        SELECT event_type, bucket, MAX(m) AS m
+        FROM regs_day GROUP BY event_type, bucket
+    ),
+    est_merged AS (
+        SELECT event_type,
+               512 - COUNT(*) AS v,
+               (0.7213 / (1 + 1.079 / 512)) * 512.0 * 512.0
+                   / ((SUM(CAST(1 AS BIGINT) << CAST(52 - m AS INTEGER))
+                       + (512 - COUNT(*)) * (CAST(1 AS BIGINT) << 52))
+                      / pow(2.0, 52)) AS raw_e
+        FROM regs_merged GROUP BY event_type
+    )
+    SELECT em.event_type,
+           CAST(d.n_days AS BIGINT) AS n_days,
+           round(CASE WHEN em.raw_e <= 2.5 * 512 AND em.v > 0
+                      THEN 512.0 * ln(512.0 / em.v) ELSE em.raw_e END, 4)
+               AS est_merged,
+           round(d.sum_day_est, 4) AS sum_day_est,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM est_merged em
+    JOIN (SELECT event_type, COUNT(*) AS n_days,
+                 SUM(round(est, 6)) AS sum_day_est
+          FROM day_final GROUP BY event_type) d USING (event_type)
+    JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY event_type) ex USING (event_type)
+    """,
+    tags=("statistics", "sketch", "llm"),
+)
+def y_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register ROLLUP — the property that makes sketches the
+    100 TB cardinality tool: per-(event_type, day) register arrays
+    merge LOSSLESSLY to the event_type level by bucket-wise MAX, so a
+    pre-aggregated daily sketch table answers coarser distinct-count
+    questions without rescanning raw events (Agarwal et al.,
+    "Mergeable Summaries"; reference parity: the HLL pipeline of
+    x_sketch_hll lifted to a two-level hierarchy). Output per type:
+    the merged estimate (union semantics — users deduplicate across
+    days), the SUM of per-day estimates (≥ merged; the gap is the
+    cross-day overlap a naive per-day rollup double-counts), and the
+    exact distinct for reference. Deterministic end-to-end: registers
+    are md5-derived integers, the harmonic fold is exact BIGINT
+    arithmetic (see x_sketch_hll), estimates round before the
+    float-order-free single-row sums."""
+    m = 512
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    slots = e.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        (h % m).alias("bucket"),
+        F.shiftright(h, 9).alias("w"),
+    )
+    rho = F.when(F.col("w") > 0, F.lit(52) - F.length(F.bin(F.col("w")))).otherwise(
+        F.lit(52)
+    )
+    # ONE register shuffle at the finest grain; every coarser level is
+    # a bucket-wise MAX over 512-row groups (mergeable, no rescan)
+    regs_day = slots.groupBy("event_type", "day", "bucket").agg(F.max(rho).alias("m"))
+
+    def estimate(regs: DataFrame, keys: list[str], ndp: int) -> DataFrame:
+        agg = regs.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(52 - m AS INT))")
+            ).alias("int_sum"),
+        )
+        alpha = 0.7213 / (1 + 1.079 / m)
+        int_full = F.col("int_sum") + (F.lit(m) - F.col("n_present")) * F.shiftleft(
+            F.lit(1).cast("long"), 52
+        )
+        raw_e = F.lit(alpha) * m * m / (int_full / F.pow(F.lit(2.0), 52))
+        v = F.lit(m) - F.col("n_present")
+        est = F.round(
+            F.when(
+                (raw_e <= 2.5 * m) & (v > 0),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+            ).otherwise(raw_e),
+            ndp,
+        )
+        return agg.select(*keys, est.alias("est"))
+
+    day_est = estimate(regs_day, ["event_type", "day"], 6)
+    merged = estimate(
+        regs_day.groupBy("event_type", "bucket").agg(F.max("m").alias("m")),
+        ["event_type"],
+        4,
+    )
+    per_day = day_est.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.sum("est"), 4).alias("sum_day_est"),
+    )
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        merged.select("event_type", F.col("est").alias("est_merged"))
+        .join(per_day, "event_type")
+        .join(ex, "event_type")
+        .select("event_type", "n_days", "est_merged", "sum_day_est", "exact_distinct")
+    )

@@ -666,3 +666,39 @@ def y_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 9).alias("zipf_slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / n, 9).alias("intercept"),
     )
+
+
+@query(
+    "y_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+        SELECT lower(unnest(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS word
+        FROM documents
+    )
+    SELECT word, COUNT(*) AS cnt
+    FROM tok GROUP BY word
+    HAVING COUNT(*) >= (SELECT COUNT(*) // 256 FROM tok) + 1
+    """,
+    tags=("llm", "statistics", "sketch"),
+)
+def y_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT φ=1/256 heavy hitters over the corpus token stream via
+    Misra–Gries candidates + exact recount
+    (operators/heavy_hitters.py) — the scale path for frequent-token
+    detection when the vocabulary is too large to group-by: a plain
+    groupBy shuffles EVERY distinct key (billions at 100 TB), while
+    this shuffles ≤ k candidates per partition plus one broadcast
+    semi-join recount. Candidates are provably a superset of every
+    word with frequency ≥ N/256 (mergeable-summaries bound), and the
+    recount makes the output exact — so a plain GROUP BY ... HAVING
+    is the value oracle. Output: every word with count > N/256."""
+    from sql_to_dbsp_compiler_spark.operators.heavy_hitters import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " ", -1), lambda w: w != "")
+        ).alias("w0")
+    ).select(F.lower("w0").alias("word"))
+    return heavy_hitters(tok, "word", k=256)

@@ -2573,8 +2573,10 @@ def test_delete_statements_in_program(spark):
     # unsupported statements still rejected with the extended message
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="INSERT / DELETE"):
-        compile_batch(spark, "CREATE TABLE t(id INTEGER);\nUPDATE t SET id = 1;")
+    # (UPDATE became a supported statement in r6, so the canonical
+    # unsupported example is now TRUNCATE)
+    with _pytest.raises(ValueError, match="INSERT / DELETE / UPDATE"):
+        compile_batch(spark, "CREATE TABLE t(id INTEGER);\nTRUNCATE TABLE t;")
 
 
 def test_delete_without_where_is_delete_all(spark):
@@ -2592,6 +2594,32 @@ def test_delete_without_where_is_delete_all(spark):
     """
     views = compile_batch(spark, prog)
     assert sorted(tuple(r) for r in views["v"].collect()) == [(3, 30)]
+
+
+def test_update_statements_in_program(spark):
+    """UPDATE = Z-set retract+insert in statement order (reference
+    TableModifyStatement.java:35). Pins: all SET expressions of one
+    UPDATE see the OLD row; UNKNOWN predicate leaves the row
+    untouched; assignments may swap columns (a,b = b,a works because
+    both read pre-update values); quoted literals containing '=' or
+    ',' don't break SET parsing."""
+    from sql_to_dbsp_compiler_spark.compiler.program import compile_batch
+
+    prog = """
+    CREATE TABLE t(id INTEGER, a INTEGER, b INTEGER, s VARCHAR(10));
+    CREATE VIEW v AS SELECT id, a, b, s FROM t;
+    INSERT INTO t VALUES (1, 10, 100, 'x'), (2, 20, 200, 'y'), (3, NULL, 300, 'z');
+    UPDATE t SET a = b, b = a WHERE id <= 2;
+    UPDATE t SET s = 'a=b, c' WHERE a > 150;
+    UPDATE t SET a = -1 WHERE a < 5;
+    """
+    views = compile_batch(spark, prog)
+    got = sorted(tuple(r) for r in views["v"].collect())
+    assert got == [
+        (1, 100, 10, "x"),       # swap via old-row semantics
+        (2, 200, 20, "a=b, c"),  # swapped, then literal with = and ,
+        (3, None, 300, "z"),     # NULL a: both predicates UNKNOWN
+    ]
 
 
 def test_schema_json_does_not_clobber_session_temp_views(spark):

@@ -47,3 +47,46 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     assert not fn, f"Bloom false negatives: {fn[:5]}"
     # sanity: the filter actually prunes something (not all-pass)
     assert any(not r.bloom_pass for r in rows)
+
+
+def test_heavy_hitters_exact_on_adversarial_layout(spark):
+    """Misra–Gries candidates + recount must equal the naive
+    groupBy-filter on a skewed stream even when the heavy key is
+    spread thin across partitions (each partition sees it just above
+    the local bound) and k is tiny."""
+    from pyspark.sql import functions as F
+
+    from sql_to_dbsp_compiler_spark.operators.heavy_hitters import (
+        heavy_hitters,
+        misra_gries_candidates,
+    )
+
+    # 8 partitions; 'hot' appears 40x spread evenly, plus 960 distinct
+    # cold keys — N=1000, k=16 → threshold floor(1000/16)+1 = 63? No:
+    # hot(40) < 63, so raise hot to 100.
+    rows = [("hot",)] * 100 + [(f"cold{i}",) for i in range(900)]
+    df = spark.createDataFrame(rows, "word string").repartition(8)
+    got = {(r["word"], r["cnt"]) for r in heavy_hitters(df, "word", k=16).collect()}
+    n = df.count()
+    want = {
+        (r["word"], r["cnt"])
+        for r in df.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= n // 16 + 1)
+        .collect()
+    }
+    assert got == want and got == {("hot", 100)}
+
+    # candidate phase: bounded output (≤ k per partition), superset
+    cands = {r["word"] for r in misra_gries_candidates(df, "word", 16).collect()}
+    assert "hot" in cands
+    assert len(cands) <= 16 * 8
+
+    # custom threshold path: exact counts for a lower bar too
+    got2 = {
+        (r["word"], r["cnt"])
+        for r in heavy_hitters(df, "word", k=16, min_count=1).collect()
+    }
+    # with min_count=1 every CANDIDATE key is returned with its exact
+    # count — spot-check the hot key's exactness
+    assert ("hot", 100) in got2
