@@ -904,3 +904,71 @@ def ngram_contamination(
         ),
         (F.col("shared_ngrams") >= contaminated_at).alias("contaminated"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT join: C(A→B) = |A∩B| / |A|.
+
+    Containment is the asymmetric twin of Jaccard and the right
+    detector for EXCERPT duplication — a short doc fully copied into
+    a long one has tiny Jaccard (the union is dominated by the long
+    doc) but containment ≈ 1 in the short→long direction. Training
+    corpora are full of this shape (quoted posts, syndicated
+    paragraphs, boilerplate-wrapped bodies), which symmetric dedup
+    misses (Broder's containment sketches, 1997).
+
+    Same one-shuffle-per-stage plan as ngram_jaccard_pairs (shingle
+    explode → equi-join on shingle → pair counts), same ``max_df``
+    hot-shingle guard, exact on the df-filtered sets. Emits one row
+    per unordered pair with BOTH directions; rows qualify when the
+    max direction clears ``threshold``."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle").select(id_col, "shingle")
+    sh = sh.persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    c_ab = F.col("inter").cast("double") / F.col("size_a").cast("double")
+    c_ba = F.col("inter").cast("double") / F.col("size_b").cast("double")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(c_ab, 9).alias("cont_a_in_b"),
+            F.round(c_ba, 9).alias("cont_b_in_a"),
+        )
+        .where(
+            (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+        )
+    )

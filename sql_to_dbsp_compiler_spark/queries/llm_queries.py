@@ -1345,3 +1345,42 @@ def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(
         scored, ["query_id"], [F.col("sim").desc(), F.col("vec_id")], 5
     ).withColumn("rn", F.col("rn").cast("bigint"))
+
+
+@query(
+    "y_dedup_containment",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / sa.sz, 9) AS cont_a_in_b,
+           round(CAST(n_inter AS DOUBLE) / sb.sz, 9) AS cont_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(n_inter AS DOUBLE) / sa.sz, 9) >= 0.4
+       OR round(CAST(n_inter AS DOUBLE) / sb.sz, 9) >= 0.4
+    """,
+    tags=("llm", "dedup"),
+)
+def y_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram CONTAINMENT near-dup join (llm/dedup.py::
+    ngram_containment_pairs) — catches excerpt/quote duplication that
+    symmetric Jaccard misses: a short doc copied into a long one has
+    containment ≈ 1 short→long but low Jaccard. Both directions
+    emitted per unordered pair; qualifies when either clears 0.4."""
+    d = load_table(spark, sf_dir, "documents")
+    from sql_to_dbsp_compiler_spark.llm.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(d, "doc_id", "text", n=3, threshold=0.4)

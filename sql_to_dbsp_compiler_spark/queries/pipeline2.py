@@ -842,3 +842,126 @@ def y_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 9).alias("score"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# y_rank_fusion — reciprocal-rank fusion of two retrieval rankings
+# --------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPK = 10
+
+
+@query(
+    "y_rank_fusion",
+    oracle=f"""
+    WITH q(query_id, qtext) AS (
+        VALUES {", ".join(f"('{qid}', '{qt}')" for qid, qt in _BM25_QUERIES)}
+    ),
+    qt AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS word FROM q),
+    tok AS (
+        SELECT doc_id,
+               lower(unnest(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS word
+        FROM documents
+    ),
+    hit AS (
+        SELECT qt.query_id, tok.doc_id, tok.word, COUNT(*) AS tf
+        FROM qt JOIN tok ON qt.word = tok.word
+        GROUP BY qt.query_id, tok.doc_id, tok.word
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(tf) AS BIGINT) AS tf_total,
+               CAST(COUNT(*) AS BIGINT) AS coverage
+        FROM hit GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, tf_total, coverage,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY tf_total DESC, doc_id) AS BIGINT) AS r_tf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY coverage DESC, doc_id) AS BIGINT) AS r_cov
+        FROM scored
+    )
+    SELECT query_id, doc_id, r_tf, r_cov,
+           round(1.0 / ({_RRF_K} + r_tf) + 1.0 / ({_RRF_K} + r_cov), 9)
+               AS rrf_score,
+           rn
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY 1.0 / ({_RRF_K} + r_tf)
+                               + 1.0 / ({_RRF_K} + r_cov) DESC, doc_id)
+                  AS BIGINT) AS rn
+        FROM ranked
+    ) WHERE rn <= {_RRF_TOPK}
+    """,
+    tags=("llm", "retrieval"),
+)
+def y_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the
+    standard way hybrid retrieval combines heterogeneous scorers
+    (lexical + semantic) without calibrating their score scales: each
+    ranking contributes 1/(k + rank), k=60. Fused here: a
+    term-frequency ranking and a query-term-coverage ranking over the
+    same candidate set (docs hitting ≥1 query term). Scale shape: one
+    tokenize pass, the tiny query-term table BROADCAST into the hit
+    join (no corpus shuffle by word), candidates grouped once per
+    (query, doc); both component ranks come from ONE window shuffle
+    (same partition key), and the fused top-k is a WindowGroupLimit —
+    never a global sort. RRF scores are sums of two exactly-rounded
+    IEEE divisions with integer operands: bit-identical on both
+    engines."""
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id string, qtext string")
+    qt = q.select(
+        "query_id", F.explode(F.split(F.col("qtext"), " ", -1)).alias("word")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " ", -1), lambda w: w != "")
+        ).alias("w0"),
+    ).select("doc_id", F.lower("w0").alias("word"))
+    hit = (
+        tok.join(F.broadcast(qt), "word")
+        .groupBy("query_id", "doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = hit.groupBy("query_id", "doc_id").agg(
+        F.sum("tf").cast("bigint").alias("tf_total"),
+        F.count(F.lit(1)).cast("bigint").alias("coverage"),
+    )
+    from pyspark.sql import Window
+
+    w_tf = Window.partitionBy("query_id").orderBy(
+        F.col("tf_total").desc(), F.col("doc_id")
+    )
+    w_cov = Window.partitionBy("query_id").orderBy(
+        F.col("coverage").desc(), F.col("doc_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "doc_id",
+        "tf_total",
+        "coverage",
+        F.row_number().over(w_tf).cast("bigint").alias("r_tf"),
+        F.row_number().over(w_cov).cast("bigint").alias("r_cov"),
+    )
+    rrf = (
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_tf"))
+        + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_cov"))
+    )
+    w_f = Window.partitionBy("query_id").orderBy(rrf.desc(), F.col("doc_id"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w_f).cast("bigint"))
+        .where(F.col("rn") <= _RRF_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "r_tf",
+            "r_cov",
+            F.round(rrf, 9).alias("rrf_score"),
+            "rn",
+        )
+    )

@@ -710,3 +710,63 @@ def y_program_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return views["balances"].withColumn(
         "total_bal", F.col("total_bal").cast("bigint")
     )
+
+
+_RANGE_ANTI_PROGRAM = """
+CREATE TABLE lineitem(l_orderkey BIGINT, l_partkey BIGINT,
+                      l_quantity DOUBLE, l_shipdate DATE);
+CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT,
+                    o_orderdate DATE, o_totalprice DOUBLE);
+CREATE VIEW v_never_late AS
+    SELECT orders.o_orderkey, orders.o_custkey FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE lineitem.l_orderkey = orders.o_orderkey
+                        AND lineitem.l_shipdate > orders.o_orderdate
+                        AND lineitem.l_quantity >= 2);
+"""
+
+
+@query(
+    "y_program_range_anti",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE lineitem.l_orderkey = orders.o_orderkey
+                        AND lineitem.l_shipdate > orders.o_orderdate
+                        AND lineitem.l_quantity >= 2)
+    """,
+    tags=("compiler", "incremental", "range-anti"),
+)
+def y_program_range_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANTI twin of y_program_range_exists: range-correlated NOT
+    EXISTS compiled to the touched-key range circuit's anti branch
+    (_RangeSemiAntiOp; reference visitCorrelate parity). Orders with
+    NO substantial line shipped after the order date — the b-only
+    residual (l_quantity >= 2) rides along to pin the residual path
+    under the driver gate. Same churn protocol as the exists twin:
+    orders in step 1, lineitem as three deltas with deletes; plan
+    asserted non-naive; snapshot equals the oracle's batch answer."""
+    from pyspark.sql import functions as F
+
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet, differentiate
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+    inc = IncrementalProgram(spark, _RANGE_ANTI_PROGRAM, optimize=True)
+    assert inc.plan()["v_never_late"] == "range-anti-join-decorrelated", inc.plan()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    snapshots = [
+        li.where(F.col("l_orderkey") % 3 == 0),
+        li.where(F.col("l_orderkey") % 3 != 2),
+        li,
+    ]
+    deltas = differentiate(snapshots)
+    inc.step({"lineitem": deltas[0], "orders": ZSet.from_df(orders)})
+    for d in deltas[1:]:
+        inc.step({"lineitem": d})
+    return inc.snapshot("v_never_late").to_multiset_df()

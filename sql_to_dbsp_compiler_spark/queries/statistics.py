@@ -897,3 +897,137 @@ def y_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ex, "event_type")
         .select("event_type", "n_days", "est_merged", "sum_day_est", "exact_distinct")
     )
+
+
+@query(
+    "y_retention_cohorts",
+    oracle="""
+    WITH act AS (
+        SELECT user_id, date_trunc('week', ts) AS week
+        FROM events GROUP BY user_id, date_trunc('week', ts)
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id),
+    sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_week)
+    SELECT c.cohort_week,
+           (epoch_us(a.week) - epoch_us(c.cohort_week)) // 604800000000
+               AS weeks_since,
+           COUNT(*) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           round(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 9) AS retention
+    FROM act a JOIN cohort c USING (user_id)
+    JOIN sizes s ON s.cohort_week = c.cohort_week
+    GROUP BY c.cohort_week,
+             (epoch_us(a.week) - epoch_us(c.cohort_week)) // 604800000000,
+             s.cohort_size
+    """,
+    tags=("statistics", "analytics", "events"),
+)
+def y_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the standard product-analytics rollup
+    (users bucketed by first-active week; per cohort, the share still
+    active k weeks later). Scale shape: distinct (user, week) pairs in
+    one map-side-combined shuffle, cohorts as a MIN aggregate over
+    that (no second scan of raw events), sizes broadcast back. User
+    activity histories never co-locate beyond the user_id shuffle —
+    no per-user sort, no window. weeks_since is exact integer
+    microsecond arithmetic over the Monday-aligned week starts (both
+    engines truncate weeks to Monday; weeks are a fixed 604800 s in
+    the UTC session, so the epoch quotient is exact)."""
+    e = load_table(spark, sf_dir, "events")
+    act = (
+        e.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).alias("week"),
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                (F.unix_micros("week") - F.unix_micros("cohort_week"))
+                / F.lit(604800000000)
+            )
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 9
+            ).alias("retention"),
+        )
+    )
+
+
+@query(
+    "y_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(value AS DECIMAL(18,6)) AS v,
+               epoch_us(ts) AS t,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS t_next
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, v * (t_next - t) AS num_part, t_next - t AS dur
+        FROM seq WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(dur) AS BIGINT) AS span_us,
+           round(CAST(SUM(num_part) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 9)
+               AS twa_value
+    FROM seg GROUP BY user_id
+    """,
+    tags=("statistics", "analytics", "events", "window"),
+)
+def y_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of a sampled metric — the
+    correct mean for irregularly-sampled series (a value 'holds'
+    until the next observation; plain AVG over-weights bursts). Each
+    value is weighted by its hold duration in MICROSECONDS (the one
+    granularity both engines agree on for elapsed time) and the fold
+    is exact: value → DECIMAL(18,6), duration → BIGINT, so Σ v·Δt and
+    Σ Δt are order-independent decimal/integer sums under any
+    partitioning — only the final division is float. One user_id
+    shuffle with an in-partition (ts, event_id) sort; no
+    driver-side state."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ (nanos parquet → truncated); unix_micros
+    # needs LTZ — the cast is value-preserving under the pinned UTC
+    # session timezone
+    t_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    seq = e.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        t_us.alias("t"),
+        F.lead(t_us).over(w).alias("t_next"),
+    ).where(F.col("t_next").isNotNull())
+    seg = seq.select(
+        "user_id",
+        (F.col("v") * (F.col("t_next") - F.col("t"))).alias("num_part"),
+        (F.col("t_next") - F.col("t")).alias("dur"),
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dur").cast("bigint").alias("span_us"),
+        F.round(
+            F.sum("num_part").cast("double") / F.sum("dur").cast("double"), 9
+        ).alias("twa_value"),
+    )
