@@ -1384,3 +1384,46 @@ def y_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_to_dbsp_compiler_spark.llm.dedup import ngram_containment_pairs
 
     return ngram_containment_pairs(d, "doc_id", "text", n=3, threshold=0.4)
+
+
+@query(
+    "y_embedding_centroids",
+    oracle="""
+    WITH comp AS (
+        SELECT label, i - 1 AS dim,
+               CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,14)) AS v
+        FROM embeddings, range(1, 65) r(i)
+    )
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           COUNT(*) AS n_vecs,
+           round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS centroid
+    FROM comp GROUP BY label, dim
+    """,
+    tags=("llm", "similarity", "aggregate"),
+)
+def y_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes — the building
+    block of prototype classifiers, SemDeDup-style cluster summaries
+    and domain-drift monitors), emitted LONG (label, dim, centroid)
+    so no raw array column reaches the driver's canonicalizer.
+    Determinism at 1000 executors: each float component is widened to
+    an exact DECIMAL(28,14) before the fold, so Σv is
+    order-independent under any partitioning (a plain double sum
+    would flip low bits per run); only the final mean divides as
+    double. Plan: posexplode → one (label, dim) hash aggregate with
+    map-side partials — 64 rows per vector in, 64 per label out."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "comp"),
+    ).select(
+        "label",
+        "dim",
+        F.col("comp").cast("double").cast("decimal(28,14)").alias("v"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum("v").cast("double") / F.count(F.lit(1)), 9
+        ).alias("centroid"),
+    )

@@ -1056,3 +1056,50 @@ def y_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("canonical_id"),
         )
     )
+
+
+@query(
+    "y_quantile_normalize",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, r,
+           round(CAST(r AS DOUBLE) / (n + 1), 9) AS qnorm
+    FROM ranked
+    """,
+    tags=("llm", "statistics", "features"),
+)
+def y_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile (rank) normalization — the scale-free
+    feature transform for heterogeneous corpora: a doc's length is
+    mapped to its quantile WITHIN its language, r/(n+1) ∈ (0,1), so
+    thresholds transfer across groups whose raw distributions differ
+    (the standard preprocessing trick quality classifiers use instead
+    of z-scores, robust to heavy tails). Deterministic under ties via
+    the doc_id tiebreak. Plan: ONE lang-partitioned window shuffle
+    computes both the rank and the group size; no global sort, no
+    second scan. At 100 TB each language partition sorts
+    independently — skewed languages split by AQE."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number().over(w).cast("bigint").alias("r"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "r",
+        F.round(F.col("r").cast("double") / (F.col("n") + 1), 9).alias("qnorm"),
+    )
