@@ -957,15 +957,16 @@ def x_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg AS (SELECT doc_id, t.pos AS pos, t.w1 AS w1, t.w2 AS w2 FROM bg0),
     uni AS (SELECT word, COUNT(*) AS c1 FROM tok GROUP BY word),
     vsz AS (SELECT COUNT(*) AS v FROM uni),
-    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
-    lp AS (SELECT g.doc_id, g.pos,
-                  ln((b.c12 + 1.0) / (u.c1 + CAST(v.v AS DOUBLE))) AS lp
-           FROM bg g JOIN big b USING (w1, w2)
-                     JOIN uni u ON g.w1 = u.word CROSS JOIN vsz v),
-    doc AS (SELECT doc_id, COUNT(*) AS nb,
-                   list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS s
-            FROM lp GROUP BY doc_id)
-    SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+    doc_bg AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM bg GROUP BY doc_id, w1, w2),
+    big AS (SELECT w1, w2, SUM(k) AS c12 FROM doc_bg GROUP BY w1, w2),
+    klp AS (SELECT g.doc_id, g.w1, g.w2, g.k,
+                   g.k * ln((b.c12 + 1.0) / (u.c1 + CAST(v.v AS DOUBLE))) AS klp
+            FROM doc_bg g JOIN big b ON g.w1 = b.w1 AND g.w2 = b.w2
+                          JOIN uni u ON g.w1 = u.word CROSS JOIN vsz v),
+    doc AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS nb,
+                   list_reduce(list(klp ORDER BY w1, w2), (a, b) -> a + b) AS s
+            FROM klp GROUP BY doc_id)
+    SELECT doc_id, nb AS n_bigrams,
            round(s / nb, 9) AS avg_lp, round(s / nb, 9) >= -6.5 AS kept
     FROM doc
     """,
