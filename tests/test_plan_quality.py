@@ -223,13 +223,13 @@ def test_semdedup_assignment_materialized_once(spark, sf_dir):
     cartesian over the corpus."""
     plan = _plan(spark, sf_dir, "x_semdedup")
     assert "CartesianProduct" not in plan
-    # the argmax subtree (broadcast centroid cross + WindowGroupLimit)
-    # would repeat per consumer without the checkpoint
+    # the argmax subtree (broadcast centroid cross) would repeat per
+    # consumer without the checkpoint
     assert plan.count("BroadcastNestedLoopJoin") <= 1
-    # formatted explain mentions each node twice (tree + details):
-    # partial+final WindowGroupLimit of the drop-rule topk = 4; the
-    # assignment argmax's own pair would push this to 8
-    assert plan.count("WindowGroupLimit") <= 4
+    # r6: both the assignment argmax and the lowest-witness drop rule
+    # are max_by/min_by AGGREGATES (map-side partials) — no window
+    # shuffle of scored rows or qualifying pairs remains at all
+    assert "WindowGroupLimit" not in plan and "Window" not in plan
 
 
 def test_unigram_logprob_stays_jvm_side(spark, sf_dir):
