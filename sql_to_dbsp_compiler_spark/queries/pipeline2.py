@@ -203,7 +203,10 @@ def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [("__intercept__", float(model.intercept))] + [
         (name, float(w)) for name, w in zip(_FEATURES, model.coefficients)
     ]
-    spark.createDataFrame(rows, "feature string, weight double").coalesce(
+    # repartition(1), NOT coalesce(1): the coalesced single task
+    # inherits every parent partition's preferred location and stalls
+    # the tiny artifact write (measured ~4 s on a handful of rows)
+    spark.createDataFrame(rows, "feature string, weight double").repartition(
         1
     ).write.mode("overwrite").parquet(_LR_WEIGHTS_PATH)
 
