@@ -1031,3 +1031,38 @@ def y_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("num_part").cast("double") / F.sum("dur").cast("double"), 9
         ).alias("twa_value"),
     )
+
+
+@query(
+    "y_salted_join_skew",
+    oracle="""
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(SUM(CAST(e.value AS DECIMAL(18,6))), 6) AS total_value,
+           c.c_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type <> 'error'
+    GROUP BY e.user_id, c.c_name
+    """,
+    tags=("join", "skew", "operators"),
+)
+def y_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting operator (operators/skew.py::salted_join) under
+    the driver gate: events⋈customer on the skewed user key with the
+    probe side scattered across 8 salt replicas of the build side —
+    result provably identical to the plain join (the oracle IS the
+    plain join). This is the static fallback for the key-hotter-than-
+    one-task regime AQE's skew split can't fix (a single key
+    oversized even after splitting); the post-join aggregate uses a
+    DECIMAL-exact sum so the value hash is partition-order-free."""
+    from sql_to_dbsp_compiler_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") != "error")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = salted_join(e, c, "user_id", "c_custkey", salt=8)
+    return joined.groupBy("user_id", "c_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("total_value"),
+    ).select("user_id", "n_events", "total_value", "c_name")

@@ -1104,3 +1104,83 @@ def y_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r",
         F.round(F.col("r").cast("double") / (F.col("n") + 1), 9).alias("qnorm"),
     )
+
+
+@query(
+    "y_perplexity_buckets",
+    oracle="""
+    WITH w AS (SELECT doc_id, lang,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS words
+               FROM documents),
+    tk AS (SELECT doc_id, lang,
+                  unnest([struct_pack(pos := i, word := words[i])
+                          FOR i IN range(1, len(words)+1)]) AS t
+           FROM w),
+    tok AS (SELECT doc_id, lang, t.pos AS pos, t.word AS word FROM tk),
+    vocab AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    lp AS (SELECT t.doc_id, t.lang, t.pos,
+                  ln(CAST(v.cnt AS DOUBLE) / tot.total) AS lp
+           FROM tok t JOIN vocab v USING (word) CROSS JOIN tot),
+    doc AS (SELECT doc_id, lang, COUNT(*) AS n_tokens,
+                   list_reduce(list(lp ORDER BY pos), (a,b) -> a+b) AS s
+            FROM lp GROUP BY doc_id, lang)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(s / n_tokens, 9) AS avg_lp,
+           CASE CAST(NTILE(3) OVER (PARTITION BY lang
+                     ORDER BY s / n_tokens DESC, doc_id) AS INTEGER)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM doc
+    """,
+    tags=("llm", "quality", "lm"),
+)
+def y_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's actual third stage (Wenzek et al. 2019 §4.3): split
+    each LANGUAGE's documents into head/middle/tail terciles by LM
+    score — downstream pipelines keep head+middle or reweight by
+    bucket rather than hard-thresholding. Per-language NTILE, so the
+    ordering window partitions by lang (no single global sort at
+    100 TB; a skewed language splits under AQE like any window). The
+    sort key s/n_tokens is the UNROUNDED position-ordered fold —
+    bit-identical across engines (same reason x_unigram_logprob is
+    oracle-exact), so the tercile boundaries agree exactly; doc_id
+    breaks ties deterministically."""
+    from pyspark.sql import Window
+
+    from sql_to_dbsp_compiler_spark.llm.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.posexplode(words(F.col("text"))).alias("pos", "word")
+    ).localCheckpoint(eager=False)
+    vocab = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    lp = (
+        tok.join(vocab, "word")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("lp", F.log(F.col("cnt").cast("double") / F.col("total")))
+    )
+    doc = lp.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("pos", "lp"))).alias("__arr"),
+    )
+    s = F.aggregate(
+        F.transform(F.col("__arr"), lambda x: x["lp"]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = doc.select(
+        "doc_id", "lang", "n_tokens", (s / F.col("n_tokens")).alias("__alp")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("__alp").desc(), F.col("doc_id"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(F.col("__alp"), 9).alias("avg_lp"),
+        F.when(F.ntile(3).over(w) == 1, F.lit("head"))
+        .when(F.ntile(3).over(w) == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
