@@ -25,9 +25,17 @@ def asof_join_backward(
     left_ts: str,
     right_ts: str,
     right_payload: list[str],
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    right_ts <= left_ts for the same key (NULL payload if none)."""
+    right_ts <= left_ts for the same key (NULL payload if none).
+
+    ``tolerance`` (a SQL interval literal, e.g. ``"INTERVAL 30 DAY"``)
+    bounds how stale the match may be — pandas ``merge_asof``
+    semantics: a carried right row older than ``left_ts - tolerance``
+    is treated as no match (payload NULL). Enforced as a post-carry
+    predicate, so the plan is unchanged: one (key) shuffle, one sort,
+    never a range self-join."""
     left_cols = left.columns
     l_part = left.select(
         *left_cols,
@@ -56,11 +64,22 @@ def asof_join_backward(
             F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__carried_{c}")
             for c in right_payload
         ],
+        # the matched right row's own timestamp rides along for the
+        # tolerance check (NULL among left rows, carried like payloads)
+        F.last(
+            F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True
+        ).over(w).alias("__carried_ts"),
     )
+    keep = F.lit(True)
+    if tolerance is not None:
+        keep = F.col("__carried_ts") >= F.col("__t") - F.expr(tolerance)
     return (
         carried.where(F.col("__is_left") == 1)
         .select(
             *left_cols,
-            *[F.col(f"__carried_{c}").alias(c) for c in right_payload],
+            *[
+                F.when(keep, F.col(f"__carried_{c}")).alias(c)
+                for c in right_payload
+            ],
         )
     )

@@ -337,3 +337,55 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         F.col("o_totalprice").alias("last_totalprice"),
     )
+
+
+@query(
+    "y_asof_tolerance",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           CASE WHEN e.shifted_ts - o.o_orderdate <= INTERVAL 30 DAY
+                THEN o.o_orderkey END AS last_orderkey,
+           CASE WHEN e.shifted_ts - o.o_orderdate <= INTERVAL 30 DAY
+                THEN o.o_totalprice END AS last_totalprice
+    FROM (SELECT *, ts + INTERVAL 9125 DAY AS shifted_ts FROM events) e
+    ASOF LEFT JOIN (
+        SELECT * FROM orders
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                   ORDER BY o_orderkey DESC) = 1
+    ) o ON e.user_id = o.o_custkey AND e.shifted_ts >= o.o_orderdate
+    """,
+    tags=("asof", "join"),
+)
+def y_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (pandas merge_asof
+    semantics; the variant every feature-store point-in-time join
+    needs so a years-old record can't leak into a fresh example): the
+    carried match is kept only when it is at most 30 days older than
+    the event. Same union-sort-carry plan as asof_join — the bound is
+    a post-carry predicate on the carried timestamp, not a range
+    join. Oracle: DuckDB's native ASOF JOIN with the gap CASE'd to
+    NULL."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "shifted_ts", F.col("ts") + F.expr("INTERVAL 9125 DAY")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    o = o.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    out = asof_join_backward(
+        e,
+        o.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="shifted_ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey", "o_totalprice"],
+        tolerance="INTERVAL 30 DAY",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
