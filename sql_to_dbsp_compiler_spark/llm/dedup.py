@@ -972,3 +972,95 @@ def ngram_containment_pairs(
             (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
         )
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard set-similarity self-join via PREFIX FILTERING —
+    the AllPairs/PPJoin family (Bayardo et al. WWW'07; Xiao et al.
+    ICDE'08), the standard exact-threshold alternative to MinHash
+    when NO false negatives are acceptable.
+
+    The filter: order every doc's shingle set by GLOBAL document
+    frequency ascending (rarest first, ties by value); if
+    J(A,B) >= t, the first ``|S| - ceil(t*|S|) + 1`` elements of each
+    set (its "prefix") must share at least one element. So candidates
+    are generated by an EQUI-join on prefix shingles only — and
+    because prefixes hold each doc's *rarest* shingles, the join's
+    per-key bucket sizes are the smallest possible under any
+    ordering: boilerplate shingles shared by millions of docs sort to
+    the suffix and never generate candidates (contrast
+    ngram_containment_pairs, which needs a ``max_df`` guard for the
+    same reason). A length filter (t*|A| <= |B| <= |A|/t) prunes
+    further. Candidates are then VERIFIED with an exact intersection
+    count over the full sets, so the result equals the brute-force
+    all-pairs join — the oracle computes exactly that.
+
+    Plan shape at 100 TB: shingle explode (map-side) -> one hash agg
+    for df -> rank window per doc -> prefix equi-join (rare keys,
+    small buckets) -> verify equi-join on candidate ids. No cartesian
+    anywhere; the +1 slack on the prefix bound guards the float ceil
+    (a superset of candidates can only cost time, never correctness).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("tok")
+    ).persist()
+    dfreq = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy(id_col).orderBy("__df", "tok")
+    sized = sh.join(dfreq, "tok").select(
+        id_col,
+        "tok",
+        F.row_number().over(w_doc).alias("__pos"),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("__sz"),
+    )
+    prefix = sized.where(
+        F.col("__pos")
+        <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + F.lit(2)
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "tok", F.col("__sz").alias("__sz_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "tok", F.col("__sz").alias("__sz_b")
+    )
+    cand = (
+        a.join(b, "tok")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__sz_a").cast("double") * threshold
+               <= F.col("__sz_b").cast("double") + 1e-9)
+            & (F.col("__sz_b").cast("double") * threshold
+               <= F.col("__sz_a").cast("double") + 1e-9)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = sh.select(F.col(id_col).alias("id_a"), "tok")
+    tb = sh.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sz_b"))
+    jac = F.round(
+        F.col("__inter").cast("double")
+        / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")).cast("double"),
+        9,
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

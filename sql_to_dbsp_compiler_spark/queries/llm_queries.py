@@ -1438,3 +1438,49 @@ def y_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("double") / F.count(F.lit(1)), 9
         ).alias("centroid"),
     )
+
+
+@query(
+    "y_simjoin_prefix",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                       FOR i IN range(1, len(words) - 1)]) AS tok
+        FROM w
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE)
+                 / (sa.sz + sb.sz - n_inter), 9) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 9)
+          >= 0.5
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def y_simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold Jaccard similarity self-join via PREFIX
+    FILTERING (llm/dedup.py::prefix_filtered_jaccard_pairs — the
+    AllPairs/PPJoin family): candidates come from an equi-join on
+    each doc's RAREST shingles only (global-df-ascending prefix of
+    provably sufficient length), then exact verification — zero false
+    negatives, so the oracle is the brute-force all-pairs join. This
+    is the exact complement to the MinHash cascade: same banded
+    equi-join scale shape, but guaranteed recall for compliance-grade
+    dedup. The reference has no set-similarity join; this extends the
+    LLM-pipeline surface (SURVEY §2.5)."""
+    d = load_table(spark, sf_dir, "documents")
+    from sql_to_dbsp_compiler_spark.llm.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    return prefix_filtered_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
