@@ -103,6 +103,33 @@ class UpdateDef:
     where_sql: str
 
 
+@dataclass(frozen=True)
+class MergeDef:
+    """MERGE INTO t USING (VALUES …) AS s(cols) ON cond
+    WHEN MATCHED [AND p] THEN UPDATE SET … | DELETE
+    WHEN NOT MATCHED [AND p] THEN INSERT [(cols)] VALUES (…)
+
+    The SQL:2003 upsert — the batch CDC-apply shape. Clauses apply
+    FIRST-MATCH-WINS in statement order (the standard's rule); UPDATE
+    SET and insert VALUES expressions may reference both the target
+    (by name or alias) and the source alias. The source is an inline
+    VALUES relation (self-contained, like every other mutation
+    statement the frontend accepts — the reference's TableContents
+    model has no cross-table statement state either). The standard's
+    cardinality rule is enforced: a target row matching more than one
+    source row raises, like mainstream engines."""
+
+    table: str
+    target_alias: str
+    source_values_sql: str  # "(VALUES …) AS s(c1, c2)" — runnable as a FROM item
+    source_alias: str
+    on_sql: str
+    # ordered (pred_sql|None, "delete"|assignments) for WHEN MATCHED
+    matched_clauses: tuple[tuple[str | None, object], ...]
+    # ordered (pred_sql|None, cols|None, values_exprs) for WHEN NOT MATCHED
+    not_matched_clauses: tuple[tuple[str | None, tuple[str, ...] | None, tuple[str, ...]], ...]
+
+
 @dataclass
 class SqlProgram:
     tables: dict[str, TableDef] = field(default_factory=dict)
@@ -178,9 +205,13 @@ class SqlProgram:
                     )
                 )
                 continue
+            merge = _parse_merge(stmt)
+            if merge is not None:
+                prog.mutations.append(merge)
+                continue
             raise ValueError(
                 "unsupported statement (only CREATE TABLE / CREATE VIEW / "
-                f"INSERT / DELETE / UPDATE): {stmt[:80]!r}"
+                f"INSERT / DELETE / UPDATE / MERGE): {stmt[:80]!r}"
             )
         return prog
 
@@ -209,6 +240,154 @@ _UPDATE_RE = re.compile(
     r"(?:\s+WHERE\s+(?P<where>.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _keyword_positions(s: str, word: str) -> list[int]:
+    """Start offsets of ``word`` (word-bounded, case-insensitive) that
+    sit OUTSIDE single-quoted literals and OUTSIDE parens — so clause
+    keywords inside VALUES literals or subexpressions can't shear a
+    MERGE statement at the wrong place."""
+    out: list[int] = []
+    depth, in_str, i, n = 0, False, 0, len(s)
+    wl = len(word)
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and s[i : i + wl].upper() == word:
+            before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "_.")
+            after = i + wl
+            after_ok = after >= n or not (s[after].isalnum() or s[after] == "_")
+            if before_ok and after_ok:
+                out.append(i)
+        i += 1
+    return out
+
+
+_MERGE_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<name>\"[^\"]+\"|\w+)"
+    r"(?:\s+(?:AS\s+)?(?P<talias>(?!USING\b)\w+))?\s+USING\s*",
+    re.IGNORECASE,
+)
+_MERGE_SRC_TAIL_RE = re.compile(
+    r"^\s*(?:AS\s+)?(?P<salias>\w+)\s*\(\s*(?P<scols>[\w\s,\"]+?)\s*\)\s*",
+    re.IGNORECASE,
+)
+_WHEN_UPDATE_RE = re.compile(
+    r"^WHEN\s+MATCHED(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+UPDATE\s+SET\s+(?P<sets>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_DELETE_RE = re.compile(
+    r"^WHEN\s+MATCHED(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+DELETE\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_INSERT_RE = re.compile(
+    r"^WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+INSERT\s*"
+    r"(?:\(\s*(?P<cols>[\w\s,\"]+?)\s*\)\s*)?VALUES\s*\((?P<vals>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_merge(stmt: str) -> "MergeDef | None":
+    m = _MERGE_HEAD_RE.match(stmt)
+    if m is None:
+        return None
+    rest = stmt[m.end():]
+    if not rest.startswith("("):
+        raise ValueError(
+            "MERGE USING accepts an inline (VALUES …) AS alias(cols) "
+            f"relation only, got: {rest[:60]!r}"
+        )
+    # scan to the matching close paren of the VALUES relation
+    depth, in_str, i, n = 0, False, 0, len(rest)
+    while i < n:
+        c = rest[i]
+        if in_str:
+            if c == "'" and i + 1 < n and rest[i + 1] == "'":
+                i += 2
+                continue
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    if depth != 0:
+        raise ValueError("unbalanced parens in MERGE USING relation")
+    values_part, tail = rest[: i + 1], rest[i + 1:]
+    sm = _MERGE_SRC_TAIL_RE.match(tail)
+    if sm is None:
+        raise ValueError(f"MERGE USING needs AS alias(cols): {tail[:60]!r}")
+    salias = _ident(sm.group("salias"))
+    scols = ", ".join(_ident(c) for c in sm.group("scols").split(","))
+    tail = tail[sm.end():]
+    on_positions = _keyword_positions(tail, "ON")
+    when_positions = _keyword_positions(tail, "WHEN")
+    if not on_positions or not when_positions or on_positions[0] > when_positions[0]:
+        raise ValueError(f"MERGE needs ON <cond> before WHEN clauses: {tail[:60]!r}")
+    on_sql = tail[on_positions[0] + 2 : when_positions[0]].strip()
+    matched: list[tuple[str | None, object]] = []
+    not_matched: list[tuple[str | None, tuple[str, ...] | None, tuple[str, ...]]] = []
+    bounds = when_positions + [len(tail)]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        clause = tail[a:b].strip()
+        cm = _WHEN_UPDATE_RE.match(clause)
+        if cm:
+            assigns = []
+            for item in _split_top_level_commas(cm.group("sets")):
+                am = re.match(
+                    r'^\s*(?P<col>"[^"]+"|\w+)\s*=\s*(?P<expr>.+)$', item, re.DOTALL
+                )
+                if not am:
+                    raise ValueError(f"malformed MERGE SET item: {item[:60]!r}")
+                assigns.append((_ident(am.group("col")), am.group("expr").strip()))
+            pred = cm.group("pred")
+            matched.append((pred.strip() if pred else None, tuple(assigns)))
+            continue
+        cm = _WHEN_DELETE_RE.match(clause)
+        if cm:
+            pred = cm.group("pred")
+            matched.append((pred.strip() if pred else None, "delete"))
+            continue
+        cm = _WHEN_INSERT_RE.match(clause)
+        if cm:
+            pred = cm.group("pred")
+            cols = cm.group("cols")
+            not_matched.append(
+                (
+                    pred.strip() if pred else None,
+                    tuple(_ident(c) for c in cols.split(",")) if cols else None,
+                    tuple(v.strip() for v in _split_top_level_commas(cm.group("vals"))),
+                )
+            )
+            continue
+        raise ValueError(f"unsupported MERGE clause: {clause[:80]!r}")
+    return MergeDef(
+        table=_ident(m.group("name")),
+        target_alias=_ident(m.group("talias")) if m.group("talias") else _ident(m.group("name")),
+        source_values_sql=f"{values_part} AS {salias}({scols})",
+        source_alias=salias,
+        on_sql=on_sql,
+        matched_clauses=tuple(matched),
+        not_matched_clauses=tuple(not_matched),
+    )
 
 
 # --- Calcite → Spark SQL dialect shim (view bodies) ----------------------
@@ -468,6 +647,8 @@ def _table_from_mutations(
             df = df.unionByName(
                 _table_from_inserts(spark, table, [mut])
             )
+        elif isinstance(mut, MergeDef):
+            df = _apply_merge(spark, table, df, mut)
         elif isinstance(mut, UpdateDef):
             p = F.coalesce(F.expr(mut.where_sql), F.lit(False))
             new_val = dict(mut.assignments)
@@ -487,6 +668,95 @@ def _table_from_mutations(
         else:
             df = df.where(~F.coalesce(F.expr(mut.where_sql), F.lit(False)))
     return df
+
+
+def _apply_merge(
+    spark: SparkSession, table: TableDef, df: DataFrame, mut: MergeDef
+) -> DataFrame:
+    """Apply one MERGE statement to the table contents built so far.
+
+    Z-set framing (reference TableModifyStatement.java:35 — every
+    table-modify is retract+insert): matched target rows are retracted
+    and re-inserted rewritten (or dropped for DELETE clauses);
+    unmatched source rows insert. Clauses fire FIRST-MATCH-WINS in
+    statement order. The SQL standard's cardinality rule (a target row
+    updated/deleted via more than one source row is an error) is
+    enforced with a multiplicity check: if a target VALUE occurs k
+    times and joins p source rows, p > k means some row matched twice.
+    Program tables are bounded VALUES contents, so the eager check is
+    a small local job."""
+    names = [c for c, _ in table.columns]
+    type_of = dict(table.columns)
+    ta, sa = mut.target_alias, mut.source_alias
+    src = spark.sql(f"SELECT * FROM {mut.source_values_sql}").withColumn(
+        "__m", F.lit(True)
+    )
+    tgt = df.alias(ta)
+    cond = F.expr(mut.on_sql)
+    if mut.matched_clauses:
+        pair = tgt.join(src.alias(sa), cond, "inner").select(
+            *[F.col(f"{ta}.{c}").alias(c) for c in names]
+        )
+        p_cnt = pair.groupBy(*names).agg(F.count(F.lit(1)).alias("__p"))
+        k_cnt = df.groupBy(*names).agg(F.count(F.lit(1)).alias("__k"))
+        key = [p_cnt[c].eqNullSafe(k_cnt[c]) for c in names]
+        bad = p_cnt.join(k_cnt, key).where(F.col("__p") > F.col("__k"))
+        if bad.limit(1).count() > 0:
+            raise ValueError(
+                f"MERGE INTO {mut.table}: a target row matches more than "
+                "one source row (SQL cardinality violation)"
+            )
+    j = tgt.join(src.alias(sa), cond, "left")
+    matched = F.col("__m").isNotNull()
+    col_exprs: dict[str, Column] = {c: F.col(f"{ta}.{c}") for c in names}
+    delete_cond = F.lit(False)
+    prior = F.lit(False)
+    for pred, action in mut.matched_clauses:
+        p = matched if pred is None else matched & F.coalesce(F.expr(pred), F.lit(False))
+        eff = p & ~prior
+        if action == "delete":
+            delete_cond = delete_cond | eff
+        else:
+            for c, e in action:
+                col_exprs[c] = F.when(
+                    eff, F.expr(e).cast(spark_type(type_of[c]))
+                ).otherwise(col_exprs[c])
+        prior = prior | p
+    kept = j.where(~delete_cond).select(
+        *[col_exprs[c].alias(c) for c in names]
+    )
+    frames = [kept]
+    if mut.not_matched_clauses:
+        anti = src.alias(sa).join(tgt, cond, "left_anti")
+        prior_i = F.lit(False)
+        for pred, cols, vals in mut.not_matched_clauses:
+            p = F.lit(True) if pred is None else F.coalesce(F.expr(pred), F.lit(False))
+            eff = p & ~prior_i
+            if cols is None:
+                if len(vals) != len(names):
+                    raise ValueError(
+                        f"MERGE INSERT arity {len(vals)} != table arity {len(names)}"
+                    )
+                val_of = dict(zip(names, vals))
+            else:
+                val_of = dict(zip(cols, vals))
+            frames.append(
+                anti.where(eff).select(
+                    *[
+                        (
+                            F.expr(val_of[c]).cast(spark_type(type_of[c]))
+                            if c in val_of
+                            else F.lit(None).cast(spark_type(type_of[c]))
+                        ).alias(c)
+                        for c in names
+                    ]
+                )
+            )
+            prior_i = prior_i | p
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out
 
 
 def _empty_table(spark: SparkSession, table: TableDef) -> DataFrame:
@@ -581,7 +851,7 @@ def bind_sources(
             bound[name] = sources[name]
             continue
         muts = [m for m in program.mutations if m.table == name]
-        if any(isinstance(m, (DeleteDef, UpdateDef)) for m in muts):
+        if any(isinstance(m, (DeleteDef, UpdateDef, MergeDef)) for m in muts):
             bound[name] = _table_from_mutations(spark, table, muts)
             continue
         ins = [i for i in program.inserts if i.table == name]

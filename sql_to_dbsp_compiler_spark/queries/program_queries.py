@@ -770,3 +770,54 @@ def y_program_range_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in deltas[1:]:
         inc.step({"lineitem": d})
     return inc.snapshot("v_never_late").to_multiset_df()
+
+
+_MERGE_PROGRAM = """
+CREATE TABLE inv(sku INTEGER, qty INTEGER, status VARCHAR(10));
+CREATE VIEW stock AS SELECT status, SUM(qty) AS total_qty, COUNT(*) AS n
+    FROM inv GROUP BY status;
+INSERT INTO inv VALUES (1, 10, 'live'), (2, 0, 'live'), (3, 5, 'hold'),
+                       (4, NULL, 'hold');
+MERGE INTO inv USING (VALUES (2, 7), (3, -5), (5, 20), (6, 0))
+    AS s(sku, delta)
+    ON inv.sku = s.sku
+    WHEN MATCHED AND inv.qty + s.delta <= 0 THEN DELETE
+    WHEN MATCHED THEN UPDATE SET qty = inv.qty + s.delta
+    WHEN NOT MATCHED AND s.delta > 0 THEN INSERT VALUES (s.sku, s.delta, 'new')
+    WHEN NOT MATCHED THEN INSERT (sku, status) VALUES (s.sku, 'empty');
+MERGE INTO inv USING (VALUES (1, 'gold'), (6, 'silver')) AS t(sku, tag)
+    ON inv.sku = t.sku AND inv.status = 'live'
+    WHEN MATCHED THEN UPDATE SET status = t.tag;
+"""
+
+
+@query(
+    "y_program_merge",
+    oracle="""
+    WITH inv(sku, qty, status) AS (
+        VALUES (1, 10, 'gold'), (2, 7, 'live'), (4, NULL, 'hold'),
+               (5, 20, 'new'), (6, NULL, 'empty')
+    )
+    SELECT status, CAST(SUM(qty) AS BIGINT) AS total_qty, COUNT(*) AS n
+    FROM inv GROUP BY status
+    """,
+    tags=("compiler", "merge"),
+)
+def y_program_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SQL:2003 upsert) in the program frontend
+    (compiler/program.py::MergeDef/_apply_merge) — the batch
+    CDC-apply statement; extends the reference's table-modify set
+    (TableModifyStatement.java tracks INSERT/DELETE; MERGE is the
+    same Z-set retract+insert composition). Semantics pinned under
+    the driver gate: clause order is first-match-wins (sku 3 hits
+    the DELETE guard before the UPDATE; sku 5 hits the guarded
+    INSERT, sku 6 falls through to the unguarded one with partial
+    column list -> NULL qty); UPDATE SET sees target AND source
+    columns; an UNKNOWN guard predicate does not fire (sku 4's NULL
+    qty); a second MERGE with an extra ON conjunct (status = 'live')
+    only retags matched rows. The oracle lists the expected
+    post-merge table contents directly."""
+    views = compile_batch(spark, _MERGE_PROGRAM)
+    return views["stock"].withColumn(
+        "total_qty", F.col("total_qty").cast("bigint")
+    )

@@ -2768,3 +2768,95 @@ def test_filter_clause_aggregates_recognized_and_incremental(spark):
             ro = sorted(map(tuple, out_o[vname].df.collect()))
             rn = sorted(map(tuple, out_n[vname].df.collect()))
             assert ro == rn, f"step {i} view {vname}"
+
+
+def test_merge_statements_in_program(spark):
+    """MERGE INTO (SQL:2003) folds like every table-modify: Z-set
+    retract+insert. Pins: first-match-wins clause order (the DELETE
+    guard beats the unguarded UPDATE); guarded + fallback NOT MATCHED
+    inserts; partial INSERT column list fills NULL; UNKNOWN guard
+    does not fire; UPDATE SET reads target and source columns."""
+    from sql_to_dbsp_compiler_spark.compiler.program import compile_batch
+
+    prog = """
+    CREATE TABLE inv(sku INTEGER, qty INTEGER, status VARCHAR(10));
+    CREATE VIEW v AS SELECT sku, qty, status FROM inv;
+    INSERT INTO inv VALUES (1, 10, 'live'), (2, 0, 'live'),
+                           (3, 5, 'hold'), (4, NULL, 'hold');
+    MERGE INTO inv USING (VALUES (2, 7), (3, -5), (5, 20), (6, 0))
+        AS s(sku, delta)
+        ON inv.sku = s.sku
+        WHEN MATCHED AND inv.qty + s.delta <= 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET qty = inv.qty + s.delta
+        WHEN NOT MATCHED AND s.delta > 0 THEN
+            INSERT VALUES (s.sku, s.delta, 'new')
+        WHEN NOT MATCHED THEN INSERT (sku, status) VALUES (s.sku, 'empty');
+    """
+    views = compile_batch(spark, prog)
+    got = sorted(tuple(r) for r in views["v"].collect())
+    assert got == [
+        (1, 10, "live"),    # untouched (not in source)
+        (2, 7, "live"),     # 0 + 7 via the second clause
+        (4, None, "hold"),  # not in source; sku 3 deleted by the guard
+        (5, 20, "new"),     # guarded insert
+        (6, None, "empty"), # fallback insert, partial column list
+    ]
+
+
+def test_merge_cardinality_violation_raises(spark):
+    """SQL standard: a target row updated/deleted via more than one
+    source row is an error, not a silent double-apply."""
+    import pytest as _pytest
+
+    from sql_to_dbsp_compiler_spark.compiler.program import compile_batch
+
+    prog = """
+    CREATE TABLE t(id INTEGER, v INTEGER);
+    CREATE VIEW out AS SELECT id, v FROM t;
+    INSERT INTO t VALUES (1, 10);
+    MERGE INTO t USING (VALUES (1, 1), (1, 2)) AS s(id, d)
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = t.v + s.d;
+    """
+    with _pytest.raises(ValueError, match="cardinality"):
+        compile_batch(spark, prog)["out"].collect()
+
+
+def test_merge_literals_do_not_shear_clauses(spark):
+    """Clause keywords inside string literals (WHEN/THEN/ON in VALUES
+    data or predicates) must not split the statement — the scanner is
+    literal- and paren-aware, the same lesson as the qualifier
+    rewrites (ADVICE r5)."""
+    from sql_to_dbsp_compiler_spark.compiler.program import compile_batch
+
+    prog = """
+    CREATE TABLE t(id INTEGER, s VARCHAR(20));
+    CREATE VIEW v AS SELECT id, s FROM t;
+    INSERT INTO t VALUES (1, 'old');
+    MERGE INTO t USING (VALUES (1, 'WHEN THEN ON'), (2, 'x, ON y'))
+        AS src(id, s)
+        ON t.id = src.id
+        WHEN MATCHED AND src.s <> 'THEN WHEN' THEN UPDATE SET s = src.s
+        WHEN NOT MATCHED THEN INSERT VALUES (src.id, src.s);
+    """
+    views = compile_batch(spark, prog)
+    got = sorted(tuple(r) for r in views["v"].collect())
+    assert got == [(1, "WHEN THEN ON"), (2, "x, ON y")]
+
+
+def test_merge_rejects_table_source(spark):
+    """v1 scope: USING must be an inline VALUES relation (the
+    frontend's mutation statements are self-contained, matching the
+    reference's TableContents model — no cross-table statement
+    state)."""
+    import pytest as _pytest
+
+    from sql_to_dbsp_compiler_spark.compiler.program import SqlProgram
+
+    with _pytest.raises(ValueError, match="VALUES"):
+        SqlProgram.parse(
+            "CREATE TABLE t(id INTEGER);\n"
+            "CREATE TABLE s(id INTEGER);\n"
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE;"
+        )
