@@ -1484,3 +1484,53 @@ def y_simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return prefix_filtered_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query(
+    "y_tokenizer_fertility",
+    oracle=r"""
+    WITH t AS (
+        SELECT lang, source, n_chars,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                   AS n_tok
+        FROM documents
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tok), 9)
+               AS chars_per_token,
+           round(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 9)
+               AS tokens_per_doc
+    FROM t GROUP BY lang, source
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def y_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit per (lang, source): chars-per-token
+    and tokens-per-doc under the BPE-ish token pattern
+    (llm/text.py::token_count_regex). Fertility skew is the standard
+    signal that a tokenizer under-serves a language (low
+    chars-per-token = more tokens per unit text = higher train/serve
+    cost for that slice) — a per-corpus-slice report every
+    multilingual data pipeline runs before committing a vocab. All
+    ratios divide two exact integer sums (order-free), so the value
+    hash is stable under any partitioning; one scan, one hash
+    aggregate with map-side partials."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        token_count_regex(F.col("text")).alias("n_tok"),
+    )
+    return t.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tok"), 9
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("n_tok").cast("double") / F.count(F.lit(1)), 9
+        ).alias("tokens_per_doc"),
+    )

@@ -304,3 +304,58 @@ def x_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v", ignorenulls=True).over(wf).alias("first_obs"),
         F.nth_value("v", 2, ignoreNulls=True).over(wf).alias("second_obs"),
     ).drop("v")
+
+
+@query(
+    "y_window_distinct_count",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(COUNT(DISTINCT event_type) OVER w AS BIGINT)
+               AS distinct_types_5,
+           CAST(COUNT(DISTINCT event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS distinct_types_run
+    FROM events WHERE user_id <= 40
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "distinct"),
+)
+def y_window_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT …) OVER a sliding ROWS frame and a running
+    frame — a window shape Spark's Catalyst REJECTS natively
+    (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED), expressed as
+    size(array_distinct(collect_list() OVER w)): collect_list is
+    frame-bounded, so distinctness is computed per frame JVM-side
+    with zero Python and no self-join. Behavioral dedup per sliding
+    window = session-diversity features for fraud/quality scoring.
+    Scale note: state per row is the frame's values (bounded ROWS
+    frame: 5; running frame: the partition's small type domain), the
+    same state DBSP's window operators carry (reference
+    doc/sql/aggregates.rst window section). DuckDB evaluates the
+    DISTINCT window aggregate natively — the oracle is the ANSI
+    spelling of the same plan."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 40)
+    w5 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    # (ts, event_id) is a unique ordering, so ROWS unbounded-to-current
+    # equals the oracle's default RANGE frame (peers are singletons)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w5)))
+        .cast("bigint")
+        .alias("distinct_types_5"),
+        F.size(F.array_distinct(F.collect_list("event_type").over(wrun)))
+        .cast("bigint")
+        .alias("distinct_types_run"),
+    )
