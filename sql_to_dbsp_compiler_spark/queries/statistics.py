@@ -1066,3 +1066,52 @@ def y_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     ).select("user_id", "n_events", "total_value", "c_name")
+
+
+@query(
+    "y_skyline_pareto",
+    oracle="""
+    SELECT a.p_partkey, a.p_brand, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (SELECT 1 FROM part b
+        WHERE b.p_brand = a.p_brand
+          AND b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+    """,
+    tags=("skyline", "operators"),
+)
+def y_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 2-D SKYLINE (Pareto frontier): parts not dominated
+    within their brand — no other same-brand part is cheaper-or-equal
+    AND bigger-or-equal with one strict. The textbook plan is the
+    oracle's quadratic NOT EXISTS self-join; the engine plan is the
+    sort-based linear scan (Borzsony/Kossmann/Stocker ICDE'01
+    specialized to 2-D): collapse to one row per (brand, price) with
+    the group's max size (one hash agg), then a per-brand
+    cumulative-max window over price order — a row survives iff it
+    carries its price group's max size and strictly exceeds every
+    cheaper group's max. Ties on both dims survive together (neither
+    strictly dominates), pinned by duplicate prices in the data.
+    Scale: one shuffle on (brand, price), one windowed pass per
+    brand; no self-join, nothing quadratic, parallel across brands."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    g = p.groupBy("p_brand", "p_retailprice").agg(
+        F.max("p_size").alias("__gmax")
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g2 = g.withColumn("__m1", F.max("__gmax").over(w))
+    return (
+        p.join(g2, ["p_brand", "p_retailprice"])
+        .where(
+            (F.col("__m1").isNull() | (F.col("__m1") < F.col("p_size")))
+            & (F.col("p_size") == F.col("__gmax"))
+        )
+        .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+    )

@@ -702,3 +702,74 @@ def y_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w0")
     ).select(F.lower("w0").alias("word"))
     return heavy_hitters(tok, "word", k=256)
+
+
+@query(
+    "y_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT lower(unnest(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS word
+        FROM documents
+    ),
+    freq AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+    rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+           FROM freq),
+    tot AS (SELECT SUM(cnt) AS total FROM freq),
+    ks AS (SELECT CAST(unnest([100, 1000, 10000]) AS INTEGER) AS k)
+    SELECT k,
+           CAST(SUM(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           round(CAST(SUM(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS DOUBLE)
+                 / (SELECT total FROM tot), 9) AS coverage_share
+    FROM rk CROSS JOIN ks GROUP BY k
+    """,
+    tags=("llm", "statistics", "vocab"),
+)
+def y_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage@k curve: the fraction of all token
+    OCCURRENCES covered by the k most frequent words (k = 100 / 1k /
+    10k) — the first question asked when sizing a tokenizer vocab or
+    diagnosing OOV pressure per corpus slice. Exact integer
+    arithmetic end-to-end (counts and conditional sums; only the
+    final share divides as double), so partition order can't move
+    the hash. Plan: one tokenize+count shuffle; the ranking runs
+    over a TakeOrderedAndProject top-10k slice (partial top-k per
+    partition, never a global vocab sort); the 3-row k relation
+    broadcast-joins the slice. The corpus total comes from the full
+    frequency table's single-row aggregate, not the slice."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " ", -1), lambda w: w != "")
+        ).alias("w0")
+    ).select(F.lower("w0").alias("word"))
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    topk = freq.orderBy(F.col("cnt").desc(), F.col("word")).limit(10000)
+    ranked = topk.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("word")))
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(100), F.lit(1000), F.lit(10000))).alias("k0")
+    ).select(F.col("k0").cast("int").alias("k"))
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("covered_tokens")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("total").cast("double"),
+                9,
+            ).alias("coverage_share"),
+        )
+    )
