@@ -411,3 +411,54 @@ def test_bigram_logprob_no_cartesian_one_explode(spark, sf_dir):
     plan = _plan(spark, sf_dir, "y_bigram_logprob")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simjoin_prefix_all_equi_joins(spark, sf_dir):
+    """y_simjoin_prefix: candidate generation and verification are
+    EQUI-joins (shingle key / id keys) — no cartesian, no nested
+    loop, no Python in the row path. The prefix filter is the whole
+    point: the quadratic all-pairs compare exists only in the
+    oracle."""
+    plan = _plan(spark, sf_dir, "y_simjoin_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_skyline_no_self_join(spark, sf_dir):
+    """y_skyline_pareto: the sort-based skyline never runs the
+    quadratic NOT EXISTS self-join — one aggregate, one window, one
+    equi-join back to the base table."""
+    plan = _plan(spark, sf_dir, "y_skyline_pareto")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_vocab_coverage_take_ordered_broadcast_ks(spark, sf_dir):
+    """y_vocab_coverage: the top-10k vocabulary slice is a
+    TakeOrderedAndProject (no global vocab sort) and the 3-row k
+    relation joins broadcast."""
+    plan = _plan(spark, sf_dir, "y_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_window_distinct_count_no_self_join(spark, sf_dir):
+    """y_window_distinct_count: both frames evaluate in ONE Window
+    node over one user_id exchange — no join, no expand, no Python."""
+    plan = _plan(spark, sf_dir, "y_window_distinct_count")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one partitioning exchange for the partition key (plus the
+    # initial scan round-robin if any); both window specs share it
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_tokenizer_fertility_single_aggregate(spark, sf_dir):
+    """y_tokenizer_fertility: one scan -> one hash aggregate with
+    map-side partials; the token count is a JVM-side regexp, not a
+    UDF."""
+    plan = _plan(spark, sf_dir, "y_tokenizer_fertility")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE reads)
