@@ -166,54 +166,55 @@ class SqlProgram:
                     )
                 )
                 continue
-            m = _INSERT_RE.match(stmt)
-            if m:
-                ins = InsertDef(_ident(m.group("name")), m.group("values").strip())
-                prog.inserts.append(ins)
-                prog.mutations.append(ins)
-                continue
-            m = _DELETE_RE.match(stmt)
-            if m:
-                where = m.group("where")
-                # bare `DELETE FROM t` (valid in the reference's
-                # TableContents statement stream) = delete-all
-                prog.mutations.append(
-                    DeleteDef(
-                        _ident(m.group("name")),
-                        where.strip() if where else "TRUE",
-                    )
-                )
-                continue
-            m = _UPDATE_RE.match(stmt)
-            if m:
-                assigns = []
-                for item in _split_top_level_commas(m.group("sets")):
-                    am = re.match(
-                        r'^\s*(?P<col>"[^"]+"|\w+)\s*=\s*(?P<expr>.+)$',
-                        item,
-                        re.DOTALL,
-                    )
-                    if not am:
-                        raise ValueError(f"malformed SET item: {item[:60]!r}")
-                    assigns.append((_ident(am.group("col")), am.group("expr").strip()))
-                where = m.group("where")
-                prog.mutations.append(
-                    UpdateDef(
-                        _ident(m.group("name")),
-                        tuple(assigns),
-                        where.strip() if where else "TRUE",
-                    )
-                )
-                continue
-            merge = _parse_merge(stmt)
-            if merge is not None:
-                prog.mutations.append(merge)
+            mut = parse_mutation_statement(stmt)
+            if mut is not None:
+                if isinstance(mut, InsertDef):
+                    prog.inserts.append(mut)
+                prog.mutations.append(mut)
                 continue
             raise ValueError(
                 "unsupported statement (only CREATE TABLE / CREATE VIEW / "
                 f"INSERT / DELETE / UPDATE / MERGE): {stmt[:80]!r}"
             )
         return prog
+
+
+def parse_mutation_statement(stmt: str):
+    """Parse one table-modify statement (INSERT / DELETE / UPDATE /
+    MERGE) to its Def, or None if the text is not a mutation. Shared
+    by program parsing and :meth:`IncrementalProgram.step_statements`
+    (the statement-stream input protocol)."""
+    m = _INSERT_RE.match(stmt)
+    if m:
+        return InsertDef(_ident(m.group("name")), m.group("values").strip())
+    m = _DELETE_RE.match(stmt)
+    if m:
+        where = m.group("where")
+        # bare `DELETE FROM t` (valid in the reference's
+        # TableContents statement stream) = delete-all
+        return DeleteDef(
+            _ident(m.group("name")),
+            where.strip() if where else "TRUE",
+        )
+    m = _UPDATE_RE.match(stmt)
+    if m:
+        assigns = []
+        for item in _split_top_level_commas(m.group("sets")):
+            am = re.match(
+                r'^\s*(?P<col>"[^"]+"|\w+)\s*=\s*(?P<expr>.+)$',
+                item,
+                re.DOTALL,
+            )
+            if not am:
+                raise ValueError(f"malformed SET item: {item[:60]!r}")
+            assigns.append((_ident(am.group("col")), am.group("expr").strip()))
+        where = m.group("where")
+        return UpdateDef(
+            _ident(m.group("name")),
+            tuple(assigns),
+            where.strip() if where else "TRUE",
+        )
+    return _parse_merge(stmt)
 
 
 _CREATE_TABLE_RE = re.compile(
@@ -708,55 +709,139 @@ def _apply_merge(
             )
     j = tgt.join(src.alias(sa), cond, "left")
     matched = F.col("__m").isNotNull()
-    col_exprs: dict[str, Column] = {c: F.col(f"{ta}.{c}") for c in names}
-    delete_cond = F.lit(False)
-    prior = F.lit(False)
-    for pred, action in mut.matched_clauses:
-        p = matched if pred is None else matched & F.coalesce(F.expr(pred), F.lit(False))
-        eff = p & ~prior
-        if action == "delete":
-            delete_cond = delete_cond | eff
-        else:
-            for c, e in action:
-                col_exprs[c] = F.when(
-                    eff, F.expr(e).cast(spark_type(type_of[c]))
-                ).otherwise(col_exprs[c])
-        prior = prior | p
+    delete_cond, _upd, col_exprs = _merge_matched_exprs(
+        mut, names, type_of, ta, base=matched
+    )
     kept = j.where(~delete_cond).select(
         *[col_exprs[c].alias(c) for c in names]
     )
     frames = [kept]
     if mut.not_matched_clauses:
         anti = src.alias(sa).join(tgt, cond, "left_anti")
-        prior_i = F.lit(False)
-        for pred, cols, vals in mut.not_matched_clauses:
-            p = F.lit(True) if pred is None else F.coalesce(F.expr(pred), F.lit(False))
-            eff = p & ~prior_i
-            if cols is None:
-                if len(vals) != len(names):
-                    raise ValueError(
-                        f"MERGE INSERT arity {len(vals)} != table arity {len(names)}"
-                    )
-                val_of = dict(zip(names, vals))
-            else:
-                val_of = dict(zip(cols, vals))
-            frames.append(
-                anti.where(eff).select(
-                    *[
-                        (
-                            F.expr(val_of[c]).cast(spark_type(type_of[c]))
-                            if c in val_of
-                            else F.lit(None).cast(spark_type(type_of[c]))
-                        ).alias(c)
-                        for c in names
-                    ]
-                )
-            )
-            prior_i = prior_i | p
+        frames.extend(_merge_insert_frames(mut, anti, names, type_of))
     out = frames[0]
     for f2 in frames[1:]:
         out = out.unionByName(f2)
     return out
+
+
+def _merge_matched_exprs(
+    mut: MergeDef,
+    names: list[str],
+    type_of: dict[str, str],
+    ta: str,
+    base: Column,
+) -> "tuple[Column, Column, dict[str, Column]]":
+    """WHEN MATCHED clause evaluation, first-match-wins: returns
+    (delete_cond, update_cond, per-column value exprs). ``base`` is
+    the matched indicator (TRUE when evaluated over an inner join)."""
+    col_exprs: dict[str, Column] = {c: F.col(f"{ta}.{c}") for c in names}
+    delete_cond = F.lit(False)
+    update_cond = F.lit(False)
+    prior = F.lit(False)
+    for pred, action in mut.matched_clauses:
+        p = base if pred is None else base & F.coalesce(F.expr(pred), F.lit(False))
+        eff = p & ~prior
+        if action == "delete":
+            delete_cond = delete_cond | eff
+        else:
+            update_cond = update_cond | eff
+            for c, e in action:
+                col_exprs[c] = F.when(
+                    eff, F.expr(e).cast(spark_type(type_of[c]))
+                ).otherwise(col_exprs[c])
+        prior = prior | p
+    return delete_cond, update_cond, col_exprs
+
+
+def _merge_insert_frames(
+    mut: MergeDef, anti: DataFrame, names: list[str], type_of: dict[str, str]
+) -> "list[DataFrame]":
+    """WHEN NOT MATCHED insert frames over the source-minus-target
+    anti join, first-match-wins; partial column lists fill NULL."""
+    frames: list[DataFrame] = []
+    prior_i = F.lit(False)
+    for pred, cols, vals in mut.not_matched_clauses:
+        p = F.lit(True) if pred is None else F.coalesce(F.expr(pred), F.lit(False))
+        eff = p & ~prior_i
+        if cols is None:
+            if len(vals) != len(names):
+                raise ValueError(
+                    f"MERGE INSERT arity {len(vals)} != table arity {len(names)}"
+                )
+            val_of = dict(zip(names, vals))
+        else:
+            val_of = dict(zip(cols, vals))
+        frames.append(
+            anti.where(eff).select(
+                *[
+                    (
+                        F.expr(val_of[c]).cast(spark_type(type_of[c]))
+                        if c in val_of
+                        else F.lit(None).cast(spark_type(type_of[c]))
+                    ).alias(c)
+                    for c in names
+                ]
+            )
+        )
+        prior_i = prior_i | p
+    return frames
+
+
+def _merge_delta(
+    spark: SparkSession, table: TableDef, state: "ZSet", mut: MergeDef
+) -> "ZSet":
+    """Derive a MERGE statement's Z-set delta DIRECTLY from the
+    integrated state (for :meth:`IncrementalProgram.step_statements`):
+    retract the matched rows a clause touches (state weight negated),
+    insert their rewrites, insert unmatched source rows — never
+    rematerializing or diffing the full post-merge table, so the
+    per-statement cost is the join against the source batch, not a
+    whole-table consolidate. Cardinality rule enforced on weighted
+    multiplicities (a value with weight k joining m source rows sums
+    to k·m > k ⇔ m > 1)."""
+    names = [c for c, _ in table.columns]
+    type_of = dict(table.columns)
+    ta, sa = mut.target_alias, mut.source_alias
+    src = spark.sql(f"SELECT * FROM {mut.source_values_sql}")
+    sdf = state.consolidate().df  # payload + WEIGHT
+    cond = F.expr(mut.on_sql)
+    if mut.matched_clauses:
+        pair = sdf.alias(ta).join(src.alias(sa), cond, "inner").select(
+            *[F.col(f"{ta}.{c}").alias(c) for c in names], F.col(WEIGHT)
+        )
+        p_cnt = pair.groupBy(*names).agg(F.sum(WEIGHT).alias("__p"))
+        k_cnt = sdf.groupBy(*names).agg(F.sum(WEIGHT).alias("__k"))
+        key = [p_cnt[c].eqNullSafe(k_cnt[c]) for c in names]
+        bad = p_cnt.join(k_cnt, key).where(F.col("__p") > F.col("__k"))
+        if bad.limit(1).count() > 0:
+            raise ValueError(
+                f"MERGE INTO {mut.table}: a target row matches more than "
+                "one source row (SQL cardinality violation)"
+            )
+    j = sdf.alias(ta).join(src.alias(sa), cond, "inner")
+    delete_cond, update_cond, col_exprs = _merge_matched_exprs(
+        mut, names, type_of, ta, base=F.lit(True)
+    )
+    touched = delete_cond | update_cond
+    retract = j.where(touched).select(
+        *[F.col(f"{ta}.{c}").alias(c) for c in names],
+        (-F.col(WEIGHT)).alias(WEIGHT),
+    )
+    rewrite = j.where(update_cond).select(
+        *[col_exprs[c].alias(c) for c in names], F.col(WEIGHT)
+    )
+    frames = [retract, rewrite]
+    if mut.not_matched_clauses:
+        anti = src.alias(sa).join(sdf.alias(ta), cond, "left_anti")
+        frames.extend(
+            f.withColumn(WEIGHT, F.lit(1).cast("long"))
+            for f in _merge_insert_frames(mut, anti, names, type_of)
+        )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return ZSet(out)
 
 
 def _empty_table(spark: SparkSession, table: TableDef) -> DataFrame:
@@ -5537,6 +5622,61 @@ class IncrementalProgram:
         if view not in self._view_state:
             raise ValueError("no steps applied yet")
         return self._view_state[view]
+
+    def step_statements(self, text: str) -> dict[str, ZSet]:
+        """Drive the circuits with TABLE-MODIFY STATEMENTS instead of
+        pre-computed deltas — the reference's input protocol
+        (TableContents.java consumes the INSERT/DELETE statement
+        stream; TableModifyStatement.java:35 models each as Z-set
+        retract+insert). Each statement's delta is DERIVED from the
+        integrated state: INSERT adds its VALUES rows; DELETE retracts
+        the TRUE-matching state rows (all copies, weights and all);
+        UPDATE retracts matched rows and inserts their old-row-
+        semantics rewrites; MERGE takes the post-merge multiset minus
+        the current state (clause guards, cardinality rule and all —
+        one code path with the batch frontend). Statements step IN
+        ORDER, each against the state the previous one left. Returns
+        the per-view delta summed across the statements (one CDC
+        transaction's net effect)."""
+        combined: dict[str, ZSet] = {}
+        for stmt in split_statements(text):
+            mut = parse_mutation_statement(stmt)
+            if mut is None:
+                raise ValueError(f"not a table-modify statement: {stmt[:80]!r}")
+            if mut.table not in self.program.tables:
+                raise KeyError(f"unknown table: {mut.table}")
+            table = self.program.tables[mut.table]
+            type_of = dict(table.columns)
+            state = self._state[mut.table]
+            if isinstance(mut, InsertDef):
+                delta = ZSet.from_df(
+                    _table_from_inserts(self.spark, table, [mut])
+                )
+            elif isinstance(mut, DeleteDef):
+                delta = state.filter(
+                    F.coalesce(F.expr(mut.where_sql), F.lit(False))
+                ).neg()
+            elif isinstance(mut, UpdateDef):
+                p = F.coalesce(F.expr(mut.where_sql), F.lit(False))
+                matched = state.filter(p)
+                new_val = dict(mut.assignments)
+                rewritten = matched.map(
+                    *[
+                        (
+                            F.expr(new_val[c]).cast(spark_type(type_of[c]))
+                            if c in new_val
+                            else F.col(c)
+                        ).alias(c)
+                        for c, _ in table.columns
+                    ]
+                )
+                delta = matched.neg().add(rewritten)
+            else:  # MergeDef
+                delta = _merge_delta(self.spark, table, state, mut)
+            out = self.step({mut.table: delta.consolidate()})
+            for name, z in out.items():
+                combined[name] = combined[name].add(z) if name in combined else z
+        return {n: z.consolidate() for n, z in combined.items()}
 
     def save_state(self, path: str) -> None:
         """Persist the program's integrated INPUT state (one parquet

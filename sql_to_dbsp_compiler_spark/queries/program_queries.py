@@ -821,3 +821,87 @@ def y_program_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return views["stock"].withColumn(
         "total_qty", F.col("total_qty").cast("bigint")
     )
+
+
+_CDC_STMT_PROGRAM = """
+CREATE TABLE orders(o_orderkey BIGINT, o_custkey BIGINT,
+                    o_orderdate DATE, o_totalprice DOUBLE);
+CREATE VIEW cust_totals AS
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM orders GROUP BY o_custkey;
+"""
+
+_CDC_STMT_STREAM = """
+DELETE FROM orders WHERE o_totalprice < 1000;
+UPDATE orders SET o_totalprice = o_totalprice + 100.0
+    WHERE o_custkey % 100 = 7;
+MERGE INTO orders USING (VALUES (CAST(1 AS BIGINT), 500.0),
+                                (CAST(2 AS BIGINT), -200.0),
+                                (CAST(90000001 AS BIGINT), 42.0))
+    AS adj(k, d)
+    ON orders.o_orderkey = adj.k
+    WHEN MATCHED THEN UPDATE SET o_totalprice = orders.o_totalprice + adj.d
+    WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) VALUES (adj.k, adj.d);
+"""
+
+
+@query(
+    "y_program_cdc_statements",
+    oracle="""
+    WITH o1 AS (SELECT * FROM orders WHERE NOT (o_totalprice < 1000)),
+    o2 AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                  CASE WHEN o_custkey % 100 = 7
+                       THEN o_totalprice + 100.0 ELSE o_totalprice END
+                      AS o_totalprice
+           FROM o1),
+    adj(k, d) AS (VALUES (CAST(1 AS BIGINT), 500.0),
+                         (CAST(2 AS BIGINT), -200.0),
+                         (CAST(90000001 AS BIGINT), 42.0)),
+    upd AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                   CASE WHEN adj.k IS NOT NULL
+                        THEN o_totalprice + adj.d ELSE o_totalprice END
+                       AS o_totalprice
+            FROM o2 LEFT JOIN adj ON o2.o_orderkey = adj.k),
+    ins AS (SELECT k AS o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+                   CAST(NULL AS DATE) AS o_orderdate, d AS o_totalprice
+            FROM adj
+            WHERE NOT EXISTS (SELECT 1 FROM o2 WHERE o2.o_orderkey = adj.k)),
+    fin AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total
+    FROM fin GROUP BY o_custkey
+    """,
+    tags=("compiler", "incremental", "cdc", "merge"),
+)
+def y_program_cdc_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statement-stream input protocol under the driver gate:
+    IncrementalProgram.step_statements derives Z-set deltas FROM the
+    integrated state for a DELETE / UPDATE / MERGE transaction stream
+    (the reference's TableContents statement-consumption model,
+    TableModifyStatement.java:35), maintaining a grouped DECIMAL-
+    exact aggregate view. Step 1 loads orders as a plain insert
+    delta; the statement stream then deletes cheap orders, bumps one
+    customer band's prices (old-row semantics), and MERGE-applies a
+    keyed adjustment batch (two matched updates, one insert with a
+    partial column list -> NULL group). The oracle replays the same
+    transaction in plain SQL. Maintenance cost per statement is
+    driven by the statement's matched slice, not the table size —
+    the deltas are derived, consolidated, and stepped through the
+    same incremental circuits as any other delta."""
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+    inc = IncrementalProgram(spark, _CDC_STMT_PROGRAM, optimize=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    inc.step({"orders": orders})
+    inc.step_statements(_CDC_STMT_STREAM)
+    snap = inc.snapshot("cust_totals").to_multiset_df()
+    return snap.select(
+        "o_custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(F.col("total").cast("double"), 2).alias("total"),
+    )
