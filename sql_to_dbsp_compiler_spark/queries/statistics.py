@@ -1115,3 +1115,119 @@ def y_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_brand", "p_retailprice", "p_size")
     )
+
+
+@query(
+    "y_grouped_corr",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(value AS DECIMAL(18,6)) AS x,
+               CAST(CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS DECIMAL(18,6)) AS y
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM b GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+               AS corr_value_hour
+    FROM s
+    """,
+    tags=("statistics", "aggregate"),
+)
+def y_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation (value vs hour-of-day per event
+    type) computed EXACTLY from five decimal-widened sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) with the final ratio in double — the
+    one-pass textbook decomposition. The builtin corr() aggregates
+    doubles in partition order (non-deterministic low bits at 1000
+    executors); decimal sums are associative-exact, so the value hash
+    is stable under ANY partitioning — the same determinism pattern
+    as every money aggregate in this repo. One scan, one hash
+    aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("x"),
+        F.hour("ts").cast("bigint").cast("decimal(18,6)").alias("y"),
+    )
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            9,
+        ).alias("corr_value_hour"),
+    )
+
+
+@query(
+    "y_benford_digits",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(substring(CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS digit
+        FROM events WHERE value >= 1
+    ),
+    c AS (SELECT event_type, digit, COUNT(*) AS n FROM d GROUP BY 1, 2),
+    t AS (SELECT event_type, SUM(n) AS total FROM c GROUP BY event_type)
+    SELECT c.event_type, c.digit, CAST(c.n AS BIGINT) AS n,
+           round(CAST(c.n AS DOUBLE) / t.total, 9) AS obs_share,
+           round(log10(1.0 + 1.0 / c.digit), 9) AS benford_share
+    FROM c JOIN t ON c.event_type = t.event_type
+    """,
+    tags=("statistics", "quality"),
+)
+def y_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit per event type — the classic
+    fabricated-data / instrumentation-bug detector (natural
+    multi-scale positive values follow P(d) = log10(1+1/d); uniform
+    or templated generators don't). The first digit comes from the
+    INTEGER part via bigint-to-string (FLOOR then cast — engines
+    format integers identically, where float-to-string and
+    log10-near-power-of-10 both have cross-engine edge risk).
+    Integer counts and one small join; every share divides exact
+    counts."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value") >= 1)
+    d = e.select(
+        "event_type",
+        F.substring(
+            F.floor("value").cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit"),
+    )
+    c = d.groupBy("event_type", "digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return (
+        c.join(t, "event_type")
+        .select(
+            "event_type",
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("total"), 9).alias("obs_share"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 9).alias("benford_share"),
+        )
+    )
