@@ -1231,3 +1231,169 @@ def y_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log10(1.0 + 1.0 / F.col("digit")), 9).alias("benford_share"),
         )
     )
+
+
+@query(
+    "y_interval_coverage",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(epoch(ts) * 1000000) AS BIGINT) AS s_us,
+               CAST(FLOOR(epoch(ts) * 1000000) AS BIGINT)
+                   + CAST(round(value * 1000000) AS BIGINT) AS e_us
+        FROM events WHERE user_id <= 50
+    ),
+    m AS (
+        SELECT user_id, event_id, s_us, e_us,
+               MAX(e_us) OVER (PARTITION BY user_id
+                               ORDER BY s_us, e_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s_us, e_us,
+               SUM(CASE WHEN prev_max IS NULL OR s_us > prev_max
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY s_us, e_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS island
+        FROM m
+    ),
+    spans AS (
+        SELECT user_id, island,
+               MIN(s_us) AS s0, MAX(e_us) AS e1
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, COUNT(*) AS n_islands,
+           CAST(SUM(e1 - s0) AS BIGINT) AS covered_us
+    FROM spans GROUP BY user_id
+    """,
+    tags=("window", "intervals", "gaps-islands"),
+)
+def y_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS: merge each user's overlapping activity
+    intervals ([ts, ts + value seconds), microsecond-exact integer
+    endpoints) and report merged-island count + total covered time —
+    the canonical SQL pattern for uptime/coverage/billing dedup. A
+    new island starts when an interval begins AFTER the running max
+    end of everything before it (exclusive-frame cumulative max);
+    the island id is the running sum of those starts. All integer
+    arithmetic, two windows over ONE user_id sort order, one
+    aggregate — no self-join, no recursion (the naive formulation is
+    a quadratic interval self-join; the bucketized variant of that
+    join lives in operators/interval_join.py for the cross-relation
+    case)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 50)
+    # ts is TIMESTAMP_NTZ; unix_micros needs LTZ (session is UTC)
+    s_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    iv = e.select(
+        "user_id",
+        "event_id",
+        s_us.alias("s_us"),
+        (s_us + F.round(F.col("value") * 1_000_000).cast("bigint")).alias("e_us"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.withColumn("prev_max", F.max("e_us").over(w_prev))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = m.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s_us") > F.col("prev_max")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).over(w_run),
+    )
+    spans = isl.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("s0"), F.max("e_us").alias("e1")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("e1") - F.col("s0")).cast("bigint").alias("covered_us"),
+    )
+
+
+@query(
+    "y_event_rate_anomaly",
+    oracle="""
+    WITH hc AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, h, c,
+               COUNT(*) OVER w AS k,
+               SUM(c) OVER w AS sc,
+               SUM(c * c) OVER w AS scc
+        FROM hc
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, h, CAST(c AS BIGINT) AS c,
+           CAST(k AS BIGINT) AS k_trailing,
+           round((c - CAST(sc AS DOUBLE) / k)
+                 / sqrt((k * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc)
+                        / (CAST(k AS DOUBLE) * (k - 1))), 9) AS z
+    FROM t
+    WHERE k >= 12
+      AND (k * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc) > 0
+    """,
+    tags=("statistics", "window", "monitoring"),
+)
+def y_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score rate-anomaly detector over the hourly event
+    series per type — the standard ingest-monitoring primitive (a
+    pipeline stall or a bot burst shows as |z| spiking). Mean and
+    variance of the TRAILING 24 observed hours come from exact
+    integer window sums (Σc, Σc²) — sample variance via the
+    k·Σc²−(Σc)² identity, divisions only at the end — so the hash is
+    stable anywhere. Requires ≥12 trailing points and nonzero
+    variance; the current hour is excluded from its own baseline
+    (1 PRECEDING). Two shuffles total: the hourly count aggregate,
+    then one window over event_type."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    t = hc.select(
+        "event_type",
+        "h",
+        "c",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("c").over(w).alias("sc"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("scc"),
+    )
+    k = F.col("k").cast("double")
+    sc, scc = F.col("sc").cast("double"), F.col("scc").cast("double")
+    var_num = F.col("k") * scc - sc * F.col("sc").cast("double")
+    return (
+        t.where((F.col("k") >= 12) & (var_num > 0))
+        .select(
+            "event_type",
+            "h",
+            F.col("c").cast("bigint").alias("c"),
+            F.col("k").cast("bigint").alias("k_trailing"),
+            F.round(
+                (F.col("c") - sc / k) / F.sqrt(var_num / (k * (k - 1))), 9
+            ).alias("z"),
+        )
+    )

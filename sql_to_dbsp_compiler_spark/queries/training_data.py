@@ -1184,3 +1184,59 @@ def y_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+@query(
+    "y_length_band_filter",
+    oracle="""
+    WITH r AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    ),
+    kept AS (
+        SELECT lang, n_chars, n FROM r
+        WHERE rnk >= CAST(FLOOR((n * 5 + 99) / 100.0) AS BIGINT)
+          AND rnk <= CAST(FLOOR(n * 95 / 100.0) AS BIGINT)
+    )
+    SELECT lang, CAST(MAX(n) AS BIGINT) AS n_total,
+           COUNT(*) AS n_kept,
+           round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 9)
+               AS mean_chars_kept
+    FROM kept GROUP BY lang
+    """,
+    tags=("llm", "curation", "filter"),
+)
+def y_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-band curation filter: drop each language's
+    shortest 5% and longest 5% by rank — the standard tail trim
+    before quality scoring (extreme-length docs are boilerplate
+    stubs or concatenation accidents). Percentile CUTS ARE RANKS,
+    not interpolated quantiles: rank bounds are exact integers
+    (ceil(n*0.05) / floor(n*0.95) in integer arithmetic), so the
+    kept set is identical in any engine — interpolated quantile
+    functions differ across engines in type coercion and tie
+    handling, ranks never do. One window shuffle per language
+    partition, then a hash aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = r.where(
+        (F.col("rnk") >= F.floor((F.col("n") * 5 + 99) / 100.0).cast("bigint"))
+        & (F.col("rnk") <= F.floor(F.col("n") * 95 / 100.0).cast("bigint"))
+    )
+    return kept.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 9
+        ).alias("mean_chars_kept"),
+    )
