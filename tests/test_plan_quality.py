@@ -462,3 +462,29 @@ def test_tokenizer_fertility_single_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "y_tokenizer_fertility")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE reads)
+
+
+def test_grouped_corr_single_aggregate(spark, sf_dir):
+    """y_grouped_corr: the five decimal sums come from ONE hash
+    aggregate (partial->final), no join, no Python."""
+    plan = _plan(spark, sf_dir, "y_grouped_corr")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interval_coverage_one_sort_no_self_join(spark, sf_dir):
+    """y_interval_coverage: gaps-and-islands runs both windows over
+    ONE user_id sort order — never the quadratic interval
+    self-join."""
+    plan = _plan(spark, sf_dir, "y_interval_coverage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_event_rate_anomaly_two_shuffles(spark, sf_dir):
+    """y_event_rate_anomaly: hourly-count aggregate then one window
+    over event_type — integer sums only, no Python."""
+    plan = _plan(spark, sf_dir, "y_event_rate_anomaly")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
