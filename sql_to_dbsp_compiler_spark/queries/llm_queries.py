@@ -1463,7 +1463,7 @@ def y_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 9)
-          >= 0.5
+          >= 0.8
     """,
     tags=("llm", "dedup", "similarity"),
 )
@@ -1476,14 +1476,21 @@ def y_simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives, so the oracle is the brute-force all-pairs join. This
     is the exact complement to the MinHash cascade: same banded
     equi-join scale shape, but guaranteed recall for compliance-grade
-    dedup. The reference has no set-similarity join; this extends the
-    LLM-pipeline surface (SURVEY §2.5)."""
+    dedup. Run at t=0.8 — the prefix join's home regime: prefix
+    length is (1-t)|S|+2, so at high thresholds only each doc's
+    RAREST fifth generates candidates and hot boilerplate shingles
+    stay in the suffix. At low thresholds the prefix covers half the
+    set and hot shingles flood the candidate join (measured: spill
+    blow-up at 100x data with t=0.5) — that regime belongs to
+    MinHash-LSH (dedup_canonical_groups), which trades exactness for
+    banded signatures. The reference has no set-similarity join;
+    this extends the LLM-pipeline surface (SURVEY §2.5)."""
     d = load_table(spark, sf_dir, "documents")
     from sql_to_dbsp_compiler_spark.llm.dedup import (
         prefix_filtered_jaccard_pairs,
     )
 
-    return prefix_filtered_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return prefix_filtered_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
 
 
 @query(
