@@ -278,3 +278,78 @@ def test_slt_random_statement_bulk(spark):
     msg = "\n".join(f"  {m.sql}: {m.detail}" for m in mism[:10])
     assert not mism, f"{len(mism)} random-statement divergences:\n{msg}"
     con.close()
+
+
+def test_slt_statements_maintained_through_statement_protocol(spark):
+    """The SLT × incremental gate driven by the STATEMENT protocol
+    (r6 step_statements) instead of hand-built deltas: the whole
+    generated statement bank is maintained through a
+    DELETE + UPDATE + INSERT + MERGE transaction whose Spark-side
+    deltas are DERIVED from integrated state, with the identical
+    mutations executed natively in DuckDB (MERGE mirrored as
+    UPDATE+guarded-INSERT — DuckDB 1.0 has no MERGE), and every view
+    snapshot re-compared. Catches any divergence between derived
+    statement deltas and true table semantics across all recognized
+    circuit kinds at once."""
+    import datetime as dt  # noqa: F401  (timestamp literal goes via SQL)
+
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+    from sql_to_dbsp_compiler_spark.compiler.slt import _row_key
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+
+    con = duckdb.connect()
+    make_fixture(spark, con)
+    stmts = slt_statements(seed=11)
+    views = {f"v{i}": sql for i, sql in enumerate(stmts)}
+    ddl = (
+        "CREATE TABLE t(id INTEGER, a INTEGER, b INTEGER, s VARCHAR(20), "
+        "d DOUBLE, ts TIMESTAMP);\n"
+        "CREATE TABLE u(k INTEGER, v INTEGER, tag VARCHAR(5));\n"
+        + "\n".join(
+            f"CREATE VIEW {n} AS {to_spark_dialect(sql)};" for n, sql in views.items()
+        )
+    )
+    inc = IncrementalProgram(spark, ddl, optimize=True, checkpoint_every=1)
+    t_schema = "id int, a int, b int, s string, d double, ts timestamp, __weight long"
+    u_schema = "k int, v int, tag string, __weight long"
+    inc.step({
+        "t": ZSet(spark.createDataFrame([(*r, 1) for r in T_ROWS], t_schema)),
+        "u": ZSet(spark.createDataFrame([(*r, 1) for r in U_ROWS], u_schema)),
+    })
+
+    inc.step_statements(
+        "DELETE FROM t WHERE id IN (2, 5, 9);"
+        "UPDATE t SET a = a + 1, b = -b WHERE a >= 4;"
+        "INSERT INTO t VALUES (13, NULL, -2, 'zz''q', 0.5, "
+        "TIMESTAMP '2023-08-01 01:02:03');"
+        "MERGE INTO u USING (VALUES (3, 33, 'm'), (9, 90, 'w')) AS s(k, v, tag) "
+        "ON u.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v, s.tag);"
+    )
+    con.execute("DELETE FROM t WHERE id IN (2, 5, 9)")
+    con.execute("UPDATE t SET a = a + 1, b = -b WHERE a >= 4")
+    con.execute(
+        "INSERT INTO t VALUES (13, NULL, -2, 'zz''q', 0.5, "
+        "TIMESTAMP '2023-08-01 01:02:03')"
+    )
+    con.execute("UPDATE u SET v = 33, tag = 'm' WHERE k = 3")
+    con.execute(
+        "INSERT INTO u SELECT 9, 90, 'w' "
+        "WHERE NOT EXISTS (SELECT 1 FROM u WHERE k = 9)"
+    )
+
+    fails = []
+    for name, sql in views.items():
+        got = sorted(
+            (tuple(r) for r in inc.snapshot(name).to_multiset_df().collect()),
+            key=_row_key,
+        )
+        want = sorted(
+            (tuple(r) for r in con.execute(to_duck_dialect(sql)).fetchall()),
+            key=_row_key,
+        )
+        if got != want:
+            fails.append(f"{name} ({sql[:60]}...): spark={got[:3]} duck={want[:3]}")
+    con.close()
+    assert not fails, f"{len(fails)} divergences:\n" + "\n".join(fails[:8])
