@@ -251,3 +251,54 @@ def test_connected_components_star_selfpair_singletons_both_paths(spark):
         comp, _ = connected_components_star(pairs, small_threshold=threshold)
         got = {r["id"]: r["component"] for r in comp.collect()}
         assert got == expected, f"small_threshold={threshold}: {got}"
+
+
+def test_prefix_jaccard_equals_bruteforce_across_thresholds(spark):
+    """The prefix filter's ZERO-FALSE-NEGATIVE guarantee (the whole
+    point of the AllPairs/PPJoin family): for random small corpora
+    with seeded duplication, prefix_filtered_jaccard_pairs must equal
+    a pure-Python brute-force all-pairs Jaccard at every threshold —
+    including low thresholds where the prefix covers most of the set
+    and ties in the global df order are everywhere."""
+    import itertools
+    import random
+
+    from sql_to_dbsp_compiler_spark.llm.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(4, 18))]
+        docs.append((i, " ".join(words)))
+        if rng.random() < 0.4:  # near-duplicate: mutate a copy
+            mutated = list(words)
+            for _ in range(rng.randint(0, 2)):
+                mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+            docs.append((100 + i, " ".join(mutated)))
+
+    def shingle_set(text, n=3):
+        ws = text.split()
+        return {" ".join(ws[j : j + n]) for j in range(max(len(ws) - n + 1, 0))}
+
+    sets = {i: shingle_set(t) for i, t in docs}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        want = set()
+        for (ia, sa), (ib, sb) in itertools.combinations(sorted(sets.items()), 2):
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if round(j, 9) >= t:
+                want.add((ia, ib))
+        got = {
+            (r.id_a, r.id_b)
+            for r in prefix_filtered_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+        assert got == want, (
+            f"t={t}: missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
+        )
