@@ -1541,3 +1541,104 @@ def y_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("double") / F.count(F.lit(1)), 9
         ).alias("tokens_per_doc"),
     )
+
+
+@query(
+    "y_mahalanobis_outliers",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS y
+        FROM documents
+    ),
+    s AS (
+        SELECT lang, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM f GROUP BY lang
+    ),
+    p AS (
+        SELECT lang, n,
+               CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS cxx,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS cyy,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cxy
+        FROM s WHERE n >= 3
+    ),
+    d AS (
+        SELECT f.doc_id, f.lang,
+               round(((f.x - p.mx) * (f.x - p.mx) * p.cyy
+                      - 2 * (f.x - p.mx) * (f.y - p.my) * p.cxy
+                      + (f.y - p.my) * (f.y - p.my) * p.cxx)
+                     / (p.cxx * p.cyy - p.cxy * p.cxy), 6) AS d2
+        FROM f JOIN p ON f.lang = p.lang
+        WHERE p.cxx * p.cyy - p.cxy * p.cxy > 0
+    )
+    SELECT doc_id, lang, d2 FROM (
+        SELECT doc_id, lang, d2,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY d2 DESC, doc_id) AS r
+        FROM d
+    ) WHERE r <= 5
+    """,
+    tags=("llm", "statistics", "outliers"),
+)
+def y_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language 2-D Mahalanobis outlier mining over the
+    (n_chars, token-count) feature plane — length-vs-tokenization
+    outliers are concatenation accidents, binary-in-text, or
+    wrong-language docs that UNIVARIATE filters miss when each
+    coordinate alone looks normal (correlation-aware distance). The
+    covariance comes from exact BIGINT sums (one hash aggregate per
+    language), the 2x2 inverse is closed-form in the distance
+    expression, ranking uses the ROUNDED distance with doc_id
+    tiebreak so the cut is reproducible bit-for-bit. Plan: one agg,
+    one broadcast join back, one per-lang WindowGroupLimit top-5 —
+    two scans of documents, nothing quadratic, no Python."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("x"),
+        token_count_regex(F.col("text")).alias("y"),
+    )
+    s = f.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).where(F.col("n") >= 3)
+    p = s.select(
+        "lang",
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+        ((F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+         / (F.col("n") - 1)).alias("cxx"),
+        ((F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n"))
+         / (F.col("n") - 1)).alias("cyy"),
+        ((F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+         / (F.col("n") - 1)).alias("cxy"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    det = F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy")
+    dist = f.join(F.broadcast(p), "lang").where(det > 0).select(
+        "doc_id",
+        "lang",
+        F.round(
+            (dx * dx * F.col("cyy") - 2 * dx * dy * F.col("cxy") + dy * dy * F.col("cxx"))
+            / det,
+            6,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("d2").desc(), "doc_id")
+    return (
+        dist.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 5)
+        .select("doc_id", "lang", "d2")
+    )
