@@ -1642,3 +1642,56 @@ def y_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r") <= 5)
         .select("doc_id", "lang", "d2")
     )
+
+
+@query(
+    "y_knn_hubness",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+               FROM embeddings),
+    knn AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.ev, c.ev) DESC,
+                                c.vec_id) AS rn
+            FROM v q CROSS JOIN v c WHERE q.vec_id <> c.vec_id
+        ) WHERE rn <= 10
+    ),
+    deg AS (SELECT vec_id, COUNT(*) AS in_degree FROM knn GROUP BY vec_id)
+    SELECT vec_id, CAST(in_degree AS BIGINT) AS in_degree
+    FROM deg ORDER BY in_degree DESC, vec_id LIMIT 20
+    """,
+    tags=("llm", "similarity", "diagnostics"),
+)
+def y_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUBNESS audit of the embedding space: in-degree of the exact
+    cosine k-NN graph (k=10, self excluded), top-20 hubs. Hub vectors
+    — points that appear in a disproportionate share of other
+    points' neighbor lists — are the standard high-dimensional
+    pathology (Radovanovic et al., JMLR'10) that silently corrupts
+    ANN-based dedup and retrieval: a few hubs absorb most matches.
+    Plan: the exact graph is one broadcast cross score + per-query
+    WindowGroupLimit (the ann_bruteforce plan), then a count-by-id
+    hash aggregate and a 20-row TakeOrderedAndProject. The 100 TB
+    path replaces the exact graph with the IVF/LSH candidate graph
+    (llm/similarity.py) — the degree audit composes unchanged over
+    any candidate generator."""
+    from sql_to_dbsp_compiler_spark.llm.similarity import as_double_array, cosine
+    from sql_to_dbsp_compiler_spark.operators.topk import topk_per_group
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double_array(F.col("embedding")).alias("ev"))
+    q = v.select(F.col("vec_id").alias("q_id"), F.col("ev").alias("qv"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("ev")).alias("sim"))
+    )
+    knn = topk_per_group(
+        scored, ["q_id"], [F.col("sim").desc(), F.col("vec_id")], 10
+    )
+    deg = knn.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_degree")
+    )
+    return deg.orderBy(F.col("in_degree").desc(), "vec_id").limit(20)
