@@ -1004,3 +1004,79 @@ def test_transform_with_state_funnel_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, final.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_streaming_rate_anomaly_matches_batch(spark, tmp_path_factory):
+    """Streaming twin of y_event_rate_anomaly: the hourly count
+    aggregate maintains in Structured Streaming (complete mode) while
+    events arrive in UNORDERED micro-batches; the trailing z-score is
+    a pure function of the count series, so composing it over the
+    streamed counts must reproduce the batch detector exactly —
+    ingest-time monitoring and the batch sweep flag the same hours."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import Window
+
+    from sql_to_dbsp_compiler_spark.queries import REGISTRY
+
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    batch_out = sorted(
+        map(tuple, REGISTRY["y_event_rate_anomaly"].fn(
+            spark, "/root/testdata/sf0.01"
+        ).collect())
+    )
+
+    # three unordered micro-batches (by user_id stripe, not by time)
+    base = str(tmp_path_factory.mktemp("rate_stream"))
+    files_dir = str(tmp_path_factory.mktemp("rate_files"))
+    for i in range(3):
+        part = events.where(F.col("user_id") % 3 == i)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(base, f"b{i}")
+        )
+        src = _glob.glob(_os.path.join(base, f"b{i}", "*.parquet"))[0]
+        _shutil.copy(src, _os.path.join(files_dir, f"batch_{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+    )
+    counts = stream.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("rate_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination()
+
+    hc = spark.table("rate_counts")
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    t = hc.select(
+        "event_type", "h", "c",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("c").over(w).alias("sc"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("scc"),
+    )
+    k = F.col("k").cast("double")
+    sc, scc = F.col("sc").cast("double"), F.col("scc").cast("double")
+    var_num = F.col("k") * scc - sc * F.col("sc").cast("double")
+    stream_out = sorted(map(tuple, (
+        t.where((F.col("k") >= 12) & (var_num > 0))
+        .select(
+            "event_type", "h",
+            F.col("c").cast("bigint").alias("c"),
+            F.col("k").cast("bigint").alias("k_trailing"),
+            F.round((F.col("c") - sc / k) / F.sqrt(var_num / (k * (k - 1))), 9)
+            .alias("z"),
+        )
+    ).collect()))
+    assert stream_out == batch_out
+    assert len(stream_out) > 100
