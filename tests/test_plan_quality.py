@@ -488,3 +488,22 @@ def test_event_rate_anomaly_two_shuffles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "y_event_rate_anomaly")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_mahalanobis_broadcast_params_no_python(spark, sf_dir):
+    """y_mahalanobis_outliers: per-language params broadcast back to
+    the feature scan; distance is a closed-form column expression —
+    no Python, nothing quadratic."""
+    plan = _plan(spark, sf_dir, "y_mahalanobis_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_hubness_group_limit_and_take_ordered(spark, sf_dir):
+    """y_knn_hubness: per-query WindowGroupLimit prunes the scored
+    graph before the shuffle and the final top-20 is a
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, sf_dir, "y_knn_hubness")
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
