@@ -1397,3 +1397,55 @@ def y_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+@query(
+    "y_share_of_parent",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY source), 9) AS share_in_source,
+           round(CAST(n AS DOUBLE) / SUM(n) OVER (), 9) AS share_of_corpus,
+           round(CAST(chars AS DOUBLE)
+                 / SUM(chars) OVER (PARTITION BY source), 9)
+               AS char_share_in_source
+    FROM c
+    """,
+    tags=("statistics", "window", "rollup"),
+)
+def y_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent metrics (lang within source,
+    source slice of corpus, char-weighted share) — the mixture report
+    read before every domain-reweighting decision. Window aggregates
+    over the GROUPED relation: the base aggregate reduces documents
+    to |source|x|lang| rows, so the share windows run over dozens of
+    rows, not the corpus — one scan, one hash aggregate, two tiny
+    window passes. All shares divide exact integer sums."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    return c.select(
+        "source",
+        "lang",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_src), 9).alias(
+            "share_in_source"
+        ),
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_all), 9).alias(
+            "share_of_corpus"
+        ),
+        F.round(
+            F.col("chars").cast("double") / F.sum("chars").over(w_src), 9
+        ).alias("char_share_in_source"),
+    )
