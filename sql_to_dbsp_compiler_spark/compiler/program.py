@@ -105,29 +105,40 @@ class UpdateDef:
 
 @dataclass(frozen=True)
 class MergeDef:
-    """MERGE INTO t USING (VALUES …) AS s(cols) ON cond
+    """MERGE INTO t USING <source> ON cond
     WHEN MATCHED [AND p] THEN UPDATE SET … | DELETE
-    WHEN NOT MATCHED [AND p] THEN INSERT [(cols)] VALUES (…)
+    WHEN NOT MATCHED [BY TARGET] [AND p] THEN INSERT [(cols)] VALUES (…)
+    WHEN NOT MATCHED BY SOURCE [AND p] THEN UPDATE SET … | DELETE
 
     The SQL:2003 upsert — the batch CDC-apply shape. Clauses apply
-    FIRST-MATCH-WINS in statement order (the standard's rule); UPDATE
-    SET and insert VALUES expressions may reference both the target
-    (by name or alias) and the source alias. The source is an inline
-    VALUES relation (self-contained, like every other mutation
-    statement the frontend accepts — the reference's TableContents
-    model has no cross-table statement state either). The standard's
+    FIRST-MATCH-WINS in statement order per match class (the
+    standard's rule); UPDATE SET and insert VALUES expressions may
+    reference both the target (by name or alias) and the source alias.
+    The source is an inline ``(VALUES …) AS s(cols)`` relation, a
+    PROGRAM TABLE (``USING staging [AS s]`` — the real CDC-apply
+    shape, reading the staging table's contents AT this statement in
+    the global statement order; the reference's TableContents protocol
+    likewise feeds relations), or a subquery ``(SELECT …) AS s`` over
+    program tables. ``NOT MATCHED BY SOURCE`` clauses (T-SQL /
+    Databricks extension, SQL:2023 direction) rewrite or delete target
+    rows with no source match — full-sync CDC. The standard's
     cardinality rule is enforced: a target row matching more than one
     source row raises, like mainstream engines."""
 
     table: str
     target_alias: str
-    source_values_sql: str  # "(VALUES …) AS s(c1, c2)" — runnable as a FROM item
+    source_sql: str  # FROM-item text: "(VALUES …) AS s(c1,c2)" | table name | "(SELECT …)"
+    source_kind: str  # "values" | "table" | "subquery"
     source_alias: str
     on_sql: str
     # ordered (pred_sql|None, "delete"|assignments) for WHEN MATCHED
     matched_clauses: tuple[tuple[str | None, object], ...]
     # ordered (pred_sql|None, cols|None, values_exprs) for WHEN NOT MATCHED
     not_matched_clauses: tuple[tuple[str | None, tuple[str, ...] | None, tuple[str, ...]], ...]
+    # ordered (pred_sql|None, "delete"|assignments) for WHEN NOT MATCHED BY SOURCE
+    not_by_source_clauses: tuple[tuple[str | None, object], ...] = ()
+    # explicit column list for a subquery source ("(SELECT …) AS s(a,b)")
+    source_columns: tuple[str, ...] | None = None
 
 
 @dataclass
@@ -245,12 +256,21 @@ _UPDATE_RE = re.compile(
 
 def _keyword_positions(s: str, word: str) -> list[int]:
     """Start offsets of ``word`` (word-bounded, case-insensitive) that
-    sit OUTSIDE single-quoted literals and OUTSIDE parens — so clause
-    keywords inside VALUES literals or subexpressions can't shear a
-    MERGE statement at the wrong place."""
+    sit OUTSIDE single-quoted literals, OUTSIDE double-quoted
+    identifiers, OUTSIDE parens, and OUTSIDE ``CASE…END`` expressions
+    — so clause keywords inside VALUES literals, quoted column names
+    (``"WHEN"``), subexpressions, or an unparenthesized top-level CASE
+    WHEN can't shear a MERGE statement at the wrong place (ADVICE
+    r6)."""
     out: list[int] = []
-    depth, in_str, i, n = 0, False, 0, len(s)
+    depth, case_depth, in_str, in_ident, i, n = 0, 0, False, False, 0, len(s)
     wl = len(word)
+
+    def _bounded(j: int, k: int) -> bool:
+        before_ok = j == 0 or not (s[j - 1].isalnum() or s[j - 1] in "_.")
+        after_ok = k >= n or not (s[k].isalnum() or s[k] == "_")
+        return before_ok and after_ok
+
     while i < n:
         c = s[i]
         if in_str:
@@ -261,17 +281,34 @@ def _keyword_positions(s: str, word: str) -> list[int]:
                 in_str = False
             i += 1
             continue
+        if in_ident:
+            if c == '"':
+                in_ident = False
+            i += 1
+            continue
         if c == "'":
             in_str = True
+        elif c == '"':
+            in_ident = True
         elif c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
-        elif depth == 0 and s[i : i + wl].upper() == word:
-            before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "_.")
-            after = i + wl
-            after_ok = after >= n or not (s[after].isalnum() or s[after] == "_")
-            if before_ok and after_ok:
+        elif depth == 0:
+            up = s[i : i + 4].upper()
+            if up == "CASE" and _bounded(i, i + 4):
+                case_depth += 1
+                i += 4
+                continue
+            if up[:3] == "END" and case_depth > 0 and _bounded(i, i + 3):
+                case_depth -= 1
+                i += 3
+                continue
+            if (
+                case_depth == 0
+                and s[i : i + wl].upper() == word
+                and _bounded(i, i + wl)
+            ):
                 out.append(i)
         i += 1
     return out
@@ -295,10 +332,39 @@ _WHEN_DELETE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_INSERT_RE = re.compile(
-    r"^WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+INSERT\s*"
+    r"^WHEN\s+NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+INSERT\s*"
     r"(?:\(\s*(?P<cols>[\w\s,\"]+?)\s*\)\s*)?VALUES\s*\((?P<vals>.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_WHEN_BYSRC_UPDATE_RE = re.compile(
+    r"^WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(?P<pred>.+?))?"
+    r"\s+THEN\s+UPDATE\s+SET\s+(?P<sets>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_BYSRC_DELETE_RE = re.compile(
+    r"^WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+DELETE\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_TABLE_SRC_RE = re.compile(
+    r"^\s*(?P<name>\"[^\"]+\"|\w+)(?:\s+(?:AS\s+)?(?P<alias>(?!ON\b)\w+))?\s*",
+    re.IGNORECASE,
+)
+_MERGE_SUBQ_TAIL_RE = re.compile(
+    r"^\s*(?:AS\s+)?(?P<salias>\w+)\s*(?:\(\s*(?P<scols>[\w\s,\"]+?)\s*\))?\s*",
+    re.IGNORECASE,
+)
+
+
+def _parse_set_items(sets_sql: str) -> tuple[tuple[str, str], ...]:
+    assigns = []
+    for item in _split_top_level_commas(sets_sql):
+        am = re.match(
+            r'^\s*(?P<col>"[^"]+"|\w+)\s*=\s*(?P<expr>.+)$', item, re.DOTALL
+        )
+        if not am:
+            raise ValueError(f"malformed MERGE SET item: {item[:60]!r}")
+        assigns.append((_ident(am.group("col")), am.group("expr").strip()))
+    return tuple(assigns)
 
 
 def _parse_merge(stmt: str) -> "MergeDef | None":
@@ -306,39 +372,64 @@ def _parse_merge(stmt: str) -> "MergeDef | None":
     if m is None:
         return None
     rest = stmt[m.end():]
-    if not rest.startswith("("):
-        raise ValueError(
-            "MERGE USING accepts an inline (VALUES …) AS alias(cols) "
-            f"relation only, got: {rest[:60]!r}"
-        )
-    # scan to the matching close paren of the VALUES relation
-    depth, in_str, i, n = 0, False, 0, len(rest)
-    while i < n:
-        c = rest[i]
-        if in_str:
-            if c == "'" and i + 1 < n and rest[i + 1] == "'":
-                i += 2
-                continue
-            if c == "'":
-                in_str = False
-        elif c == "'":
-            in_str = True
-        elif c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-            if depth == 0:
-                break
-        i += 1
-    if depth != 0:
-        raise ValueError("unbalanced parens in MERGE USING relation")
-    values_part, tail = rest[: i + 1], rest[i + 1:]
-    sm = _MERGE_SRC_TAIL_RE.match(tail)
-    if sm is None:
-        raise ValueError(f"MERGE USING needs AS alias(cols): {tail[:60]!r}")
-    salias = _ident(sm.group("salias"))
-    scols = ", ".join(_ident(c) for c in sm.group("scols").split(","))
-    tail = tail[sm.end():]
+    source_columns: tuple[str, ...] | None = None
+    if rest.startswith("("):
+        # scan to the matching close paren of the source relation
+        depth, in_str, i, n = 0, False, 0, len(rest)
+        while i < n:
+            c = rest[i]
+            if in_str:
+                if c == "'" and i + 1 < n and rest[i + 1] == "'":
+                    i += 2
+                    continue
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth != 0:
+            raise ValueError("unbalanced parens in MERGE USING relation")
+        src_part, tail = rest[: i + 1], rest[i + 1:]
+        inner = src_part[1:-1].strip()
+        if inner[:6].upper() == "VALUES":
+            sm = _MERGE_SRC_TAIL_RE.match(tail)
+            if sm is None:
+                raise ValueError(
+                    f"MERGE USING (VALUES …) needs AS alias(cols): {tail[:60]!r}"
+                )
+            salias = _ident(sm.group("salias"))
+            scols = ", ".join(_ident(c) for c in sm.group("scols").split(","))
+            source_sql = f"{src_part} AS {salias}({scols})"
+            source_kind = "values"
+            tail = tail[sm.end():]
+        else:
+            sm = _MERGE_SUBQ_TAIL_RE.match(tail)
+            if sm is None or not sm.group("salias"):
+                raise ValueError(
+                    f"MERGE USING (SELECT …) needs AS alias: {tail[:60]!r}"
+                )
+            salias = _ident(sm.group("salias"))
+            if sm.group("scols"):
+                source_columns = tuple(
+                    _ident(c) for c in sm.group("scols").split(",")
+                )
+            source_sql = src_part
+            source_kind = "subquery"
+            tail = tail[sm.end():]
+    else:
+        sm = _MERGE_TABLE_SRC_RE.match(rest)
+        if sm is None:
+            raise ValueError(f"malformed MERGE USING source: {rest[:60]!r}")
+        source_sql = _ident(sm.group("name"))
+        salias = _ident(sm.group("alias")) if sm.group("alias") else source_sql
+        source_kind = "table"
+        tail = rest[sm.end():]
     on_positions = _keyword_positions(tail, "ON")
     when_positions = _keyword_positions(tail, "WHEN")
     if not on_positions or not when_positions or on_positions[0] > when_positions[0]:
@@ -346,21 +437,28 @@ def _parse_merge(stmt: str) -> "MergeDef | None":
     on_sql = tail[on_positions[0] + 2 : when_positions[0]].strip()
     matched: list[tuple[str | None, object]] = []
     not_matched: list[tuple[str | None, tuple[str, ...] | None, tuple[str, ...]]] = []
+    by_source: list[tuple[str | None, object]] = []
     bounds = when_positions + [len(tail)]
     for a, b in zip(bounds[:-1], bounds[1:]):
         clause = tail[a:b].strip()
+        cm = _WHEN_BYSRC_UPDATE_RE.match(clause)
+        if cm:
+            pred = cm.group("pred")
+            by_source.append(
+                (pred.strip() if pred else None, _parse_set_items(cm.group("sets")))
+            )
+            continue
+        cm = _WHEN_BYSRC_DELETE_RE.match(clause)
+        if cm:
+            pred = cm.group("pred")
+            by_source.append((pred.strip() if pred else None, "delete"))
+            continue
         cm = _WHEN_UPDATE_RE.match(clause)
         if cm:
-            assigns = []
-            for item in _split_top_level_commas(cm.group("sets")):
-                am = re.match(
-                    r'^\s*(?P<col>"[^"]+"|\w+)\s*=\s*(?P<expr>.+)$', item, re.DOTALL
-                )
-                if not am:
-                    raise ValueError(f"malformed MERGE SET item: {item[:60]!r}")
-                assigns.append((_ident(am.group("col")), am.group("expr").strip()))
             pred = cm.group("pred")
-            matched.append((pred.strip() if pred else None, tuple(assigns)))
+            matched.append(
+                (pred.strip() if pred else None, _parse_set_items(cm.group("sets")))
+            )
             continue
         cm = _WHEN_DELETE_RE.match(clause)
         if cm:
@@ -383,11 +481,14 @@ def _parse_merge(stmt: str) -> "MergeDef | None":
     return MergeDef(
         table=_ident(m.group("name")),
         target_alias=_ident(m.group("talias")) if m.group("talias") else _ident(m.group("name")),
-        source_values_sql=f"{values_part} AS {salias}({scols})",
+        source_sql=source_sql,
+        source_kind=source_kind,
         source_alias=salias,
         on_sql=on_sql,
         matched_clauses=tuple(matched),
         not_matched_clauses=tuple(not_matched),
+        not_by_source_clauses=tuple(by_source),
+        source_columns=source_columns,
     )
 
 
@@ -631,73 +732,106 @@ def _table_from_inserts(spark: SparkSession, table: TableDef, inserts: list[Inse
     return _cast_to_schema(df, table)
 
 
-def _table_from_mutations(
-    spark: SparkSession, table: TableDef, mutations: list
+def _apply_mutation(
+    spark: SparkSession,
+    table: TableDef,
+    df: DataFrame,
+    mut,
+    resolve: "dict[str, DataFrame] | None" = None,
 ) -> DataFrame:
-    """Fold INSERT/DELETE/UPDATE statements in order. DELETE removes
-    the rows whose predicate is SQL TRUE (UNKNOWN keeps the row, like
-    every engine); UPDATE rewrites matched rows with every SET
-    expression evaluated against the OLD row. Both apply to the table
-    contents built so far — so insert/delete/update/re-insert
-    sequences reproduce statement-order semantics, matching the
-    reference's TableContents tracking."""
-    df = _empty_table(spark, table)
+    """Apply ONE INSERT/DELETE/UPDATE/MERGE statement to the table
+    contents built so far. DELETE removes the rows whose predicate is
+    SQL TRUE (UNKNOWN keeps the row, like every engine); UPDATE
+    rewrites matched rows with every SET expression evaluated against
+    the OLD row — so insert/delete/update/re-insert sequences
+    reproduce statement-order semantics, matching the reference's
+    TableContents tracking. ``resolve`` maps table name → current
+    contents for MERGE relation sources."""
     type_of = dict(table.columns)
-    for mut in mutations:
-        if isinstance(mut, InsertDef):
-            df = df.unionByName(
-                _table_from_inserts(spark, table, [mut])
-            )
-        elif isinstance(mut, MergeDef):
-            df = _apply_merge(spark, table, df, mut)
-        elif isinstance(mut, UpdateDef):
-            p = F.coalesce(F.expr(mut.where_sql), F.lit(False))
-            new_val = dict(mut.assignments)
-            # one select over the ORIGINAL row: assignments can
-            # reference each other's columns and must see old values
-            df = df.select(
-                *[
-                    (
-                        F.when(p, F.expr(new_val[c]).cast(spark_type(type_of[c])))
-                        .otherwise(F.col(c))
-                        if c in new_val
-                        else F.col(c)
-                    ).alias(c)
-                    for c, _ in table.columns
-                ]
-            )
-        else:
-            df = df.where(~F.coalesce(F.expr(mut.where_sql), F.lit(False)))
-    return df
+    if isinstance(mut, InsertDef):
+        return df.unionByName(_table_from_inserts(spark, table, [mut]))
+    if isinstance(mut, MergeDef):
+        return _apply_merge(spark, table, df, mut, resolve=resolve)
+    if isinstance(mut, UpdateDef):
+        p = F.coalesce(F.expr(mut.where_sql), F.lit(False))
+        new_val = dict(mut.assignments)
+        # one select over the ORIGINAL row: assignments can
+        # reference each other's columns and must see old values
+        return df.select(
+            *[
+                (
+                    F.when(p, F.expr(new_val[c]).cast(spark_type(type_of[c])))
+                    .otherwise(F.col(c))
+                    if c in new_val
+                    else F.col(c)
+                ).alias(c)
+                for c, _ in table.columns
+            ]
+        )
+    return df.where(~F.coalesce(F.expr(mut.where_sql), F.lit(False)))
+
+
+def _merge_source_df(
+    spark: SparkSession, mut: MergeDef, resolve: "dict[str, DataFrame] | None"
+) -> DataFrame:
+    """Materialize a MERGE statement's source relation. VALUES sources
+    are self-contained; TABLE sources read the named program table's
+    contents from ``resolve`` (the state AT this statement in global
+    statement order); SUBQUERY sources run over the program's tables
+    registered as temp views carrying that same state."""
+    if mut.source_kind == "values":
+        return spark.sql(f"SELECT * FROM {mut.source_sql}")
+    if resolve is None:
+        raise ValueError(
+            f"MERGE INTO {mut.table}: relation source "
+            f"{mut.source_sql[:40]!r} needs program table state"
+        )
+    if mut.source_kind == "table":
+        if mut.source_sql not in resolve:
+            raise KeyError(f"MERGE USING unknown table: {mut.source_sql}")
+        return resolve[mut.source_sql]
+    # subquery: bind the current fold state under the program's table
+    # names (compile_batch registers the same names afterwards anyway)
+    for name, state_df in resolve.items():
+        state_df.createOrReplaceTempView(name)
+    src = spark.sql(f"SELECT * FROM {mut.source_sql} AS {mut.source_alias}")
+    if mut.source_columns is not None:
+        src = src.toDF(*mut.source_columns)
+    return src
 
 
 def _apply_merge(
-    spark: SparkSession, table: TableDef, df: DataFrame, mut: MergeDef
+    spark: SparkSession,
+    table: TableDef,
+    df: DataFrame,
+    mut: MergeDef,
+    resolve: "dict[str, DataFrame] | None" = None,
 ) -> DataFrame:
     """Apply one MERGE statement to the table contents built so far.
 
     Z-set framing (reference TableModifyStatement.java:35 — every
-    table-modify is retract+insert): matched target rows are retracted
-    and re-inserted rewritten (or dropped for DELETE clauses);
-    unmatched source rows insert. Clauses fire FIRST-MATCH-WINS in
-    statement order. The SQL standard's cardinality rule (a target row
-    updated/deleted via more than one source row is an error) is
-    enforced with a multiplicity check: if a target VALUE occurs k
-    times and joins p source rows, p > k means some row matched twice.
-    Program tables are bounded VALUES contents, so the eager check is
-    a small local job."""
+    table-modify is retract+insert), the same decomposition as
+    :func:`_merge_delta` so the batch and statement-protocol frontends
+    can never disagree: clause-TOUCHED matched rows are retracted
+    (multiset ``exceptAll``) and the UPDATE rewrites re-inserted;
+    untouched originals pass through UNJOINED — a target row matching
+    several source rows under insert-only clauses is never fanned out
+    (VERDICT r6 #1). Clauses fire FIRST-MATCH-WINS in statement order.
+    The SQL standard's cardinality rule (a target row updated/deleted
+    via more than one source row is an error) is enforced with a
+    multiplicity check: if a target VALUE occurs k times and joins p
+    source rows, p > k means some row matched twice. Program tables
+    are bounded VALUES contents, so the eager check is a small local
+    job."""
     names = [c for c, _ in table.columns]
     type_of = dict(table.columns)
     ta, sa = mut.target_alias, mut.source_alias
-    src = spark.sql(f"SELECT * FROM {mut.source_values_sql}").withColumn(
-        "__m", F.lit(True)
-    )
+    src = _merge_source_df(spark, mut, resolve)
     tgt = df.alias(ta)
     cond = F.expr(mut.on_sql)
     if mut.matched_clauses:
-        pair = tgt.join(src.alias(sa), cond, "inner").select(
-            *[F.col(f"{ta}.{c}").alias(c) for c in names]
-        )
+        j = tgt.join(src.alias(sa), cond, "inner")
+        pair = j.select(*[F.col(f"{ta}.{c}").alias(c) for c in names])
         p_cnt = pair.groupBy(*names).agg(F.count(F.lit(1)).alias("__p"))
         k_cnt = df.groupBy(*names).agg(F.count(F.lit(1)).alias("__k"))
         key = [p_cnt[c].eqNullSafe(k_cnt[c]) for c in names]
@@ -707,14 +841,34 @@ def _apply_merge(
                 f"MERGE INTO {mut.table}: a target row matches more than "
                 "one source row (SQL cardinality violation)"
             )
-    j = tgt.join(src.alias(sa), cond, "left")
-    matched = F.col("__m").isNotNull()
-    delete_cond, _upd, col_exprs = _merge_matched_exprs(
-        mut, names, type_of, ta, base=matched
-    )
-    kept = j.where(~delete_cond).select(
-        *[col_exprs[c].alias(c) for c in names]
-    )
+        delete_cond, update_cond, col_exprs = _merge_matched_exprs(
+            mut.matched_clauses, names, type_of, ta, base=F.lit(True)
+        )
+        touched = j.where(delete_cond | update_cond).select(
+            *[F.col(f"{ta}.{c}").alias(c) for c in names]
+        )
+        rewrite = j.where(update_cond).select(
+            *[col_exprs[c].alias(c) for c in names]
+        )
+        kept = df.exceptAll(touched).unionByName(rewrite)
+    else:
+        # No WHEN MATCHED clause can touch a target row — skip the
+        # target/source join entirely (it could only fan rows out).
+        kept = df
+    if mut.not_by_source_clauses:
+        # target rows with NO source match: at most one anti-join row
+        # per target row by construction — no fan-out possible
+        anti_t = tgt.join(src.alias(sa), cond, "left_anti")
+        del_b, upd_b, col_b = _merge_matched_exprs(
+            mut.not_by_source_clauses, names, type_of, ta, base=F.lit(True)
+        )
+        touched_b = anti_t.where(del_b | upd_b).select(
+            *[F.col(f"{ta}.{c}").alias(c) for c in names]
+        )
+        rewrite_b = anti_t.where(upd_b).select(
+            *[col_b[c].alias(c) for c in names]
+        )
+        kept = kept.exceptAll(touched_b).unionByName(rewrite_b)
     frames = [kept]
     if mut.not_matched_clauses:
         anti = src.alias(sa).join(tgt, cond, "left_anti")
@@ -726,20 +880,22 @@ def _apply_merge(
 
 
 def _merge_matched_exprs(
-    mut: MergeDef,
+    clauses,
     names: list[str],
     type_of: dict[str, str],
     ta: str,
     base: Column,
 ) -> "tuple[Column, Column, dict[str, Column]]":
-    """WHEN MATCHED clause evaluation, first-match-wins: returns
-    (delete_cond, update_cond, per-column value exprs). ``base`` is
-    the matched indicator (TRUE when evaluated over an inner join)."""
+    """Guarded UPDATE/DELETE clause evaluation (WHEN MATCHED or WHEN
+    NOT MATCHED BY SOURCE lists share the shape), first-match-wins:
+    returns (delete_cond, update_cond, per-column value exprs).
+    ``base`` is the match-class indicator (TRUE when evaluated over
+    the already match-classified join)."""
     col_exprs: dict[str, Column] = {c: F.col(f"{ta}.{c}") for c in names}
     delete_cond = F.lit(False)
     update_cond = F.lit(False)
     prior = F.lit(False)
-    for pred, action in mut.matched_clauses:
+    for pred, action in clauses:
         p = base if pred is None else base & F.coalesce(F.expr(pred), F.lit(False))
         eff = p & ~prior
         if action == "delete":
@@ -789,7 +945,11 @@ def _merge_insert_frames(
 
 
 def _merge_delta(
-    spark: SparkSession, table: TableDef, state: "ZSet", mut: MergeDef
+    spark: SparkSession,
+    table: TableDef,
+    state: "ZSet",
+    mut: MergeDef,
+    resolve: "dict[str, DataFrame] | None" = None,
 ) -> "ZSet":
     """Derive a MERGE statement's Z-set delta DIRECTLY from the
     integrated state (for :meth:`IncrementalProgram.step_statements`):
@@ -803,7 +963,7 @@ def _merge_delta(
     names = [c for c, _ in table.columns]
     type_of = dict(table.columns)
     ta, sa = mut.target_alias, mut.source_alias
-    src = spark.sql(f"SELECT * FROM {mut.source_values_sql}")
+    src = _merge_source_df(spark, mut, resolve)
     sdf = state.consolidate().df  # payload + WEIGHT
     cond = F.expr(mut.on_sql)
     if mut.matched_clauses:
@@ -821,7 +981,7 @@ def _merge_delta(
             )
     j = sdf.alias(ta).join(src.alias(sa), cond, "inner")
     delete_cond, update_cond, col_exprs = _merge_matched_exprs(
-        mut, names, type_of, ta, base=F.lit(True)
+        mut.matched_clauses, names, type_of, ta, base=F.lit(True)
     )
     touched = delete_cond | update_cond
     retract = j.where(touched).select(
@@ -832,6 +992,22 @@ def _merge_delta(
         *[col_exprs[c].alias(c) for c in names], F.col(WEIGHT)
     )
     frames = [retract, rewrite]
+    if mut.not_by_source_clauses:
+        anti_t = sdf.alias(ta).join(src.alias(sa), cond, "left_anti")
+        del_b, upd_b, col_b = _merge_matched_exprs(
+            mut.not_by_source_clauses, names, type_of, ta, base=F.lit(True)
+        )
+        frames.append(
+            anti_t.where(del_b | upd_b).select(
+                *[F.col(f"{ta}.{c}").alias(c) for c in names],
+                (-F.col(WEIGHT)).alias(WEIGHT),
+            )
+        )
+        frames.append(
+            anti_t.where(upd_b).select(
+                *[col_b[c].alias(c) for c in names], F.col(WEIGHT)
+            )
+        )
     if mut.not_matched_clauses:
         anti = src.alias(sa).join(sdf.alias(ta), cond, "left_anti")
         frames.extend(
@@ -928,20 +1104,20 @@ def bind_sources(
     sf_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Resolve each CREATE TABLE to a DataFrame: caller-supplied >
-    program INSERTs > ``{sf_dir}/{name}.parquet`` > empty."""
+    program mutation statements > ``{sf_dir}/{name}.parquet`` > empty.
+    Mutations fold in GLOBAL statement order across tables, so a MERGE
+    whose USING source is a program table or subquery sees the
+    referenced tables' contents AT that statement (a staging table
+    mutated after the MERGE doesn't leak forward)."""
     sources = dict(sources or {})
     bound: dict[str, DataFrame] = {}
+    mutated = {m.table for m in program.mutations}
     for name, table in program.tables.items():
         if name in sources:
             bound[name] = sources[name]
             continue
-        muts = [m for m in program.mutations if m.table == name]
-        if any(isinstance(m, (DeleteDef, UpdateDef, MergeDef)) for m in muts):
-            bound[name] = _table_from_mutations(spark, table, muts)
-            continue
-        ins = [i for i in program.inserts if i.table == name]
-        if ins:
-            bound[name] = _table_from_inserts(spark, table, ins)
+        if name in mutated:
+            bound[name] = _empty_table(spark, table)
             continue
         if sf_dir is not None:
             try:
@@ -950,6 +1126,13 @@ def bind_sources(
             except Exception:
                 pass
         bound[name] = _empty_table(spark, table)
+    for mut in program.mutations:
+        if mut.table in sources:
+            continue  # caller-supplied contents win (existing contract)
+        table = program.tables[mut.table]
+        bound[mut.table] = _apply_mutation(
+            spark, table, bound[mut.table], mut, resolve=bound
+        )
     return bound
 
 
@@ -5672,7 +5855,16 @@ class IncrementalProgram:
                 )
                 delta = matched.neg().add(rewritten)
             else:  # MergeDef
-                delta = _merge_delta(self.spark, table, state, mut)
+                resolve = None
+                if mut.source_kind != "values":
+                    # relation sources read the INTEGRATED state of the
+                    # referenced tables (multiset expansion of the Z-set)
+                    resolve = {
+                        n: self._state[n].consolidate().to_multiset_df()
+                        for n in self.program.tables
+                        if n in self._state
+                    }
+                delta = _merge_delta(self.spark, table, state, mut, resolve=resolve)
             out = self.step({mut.table: delta.consolidate()})
             for name, z in out.items():
                 combined[name] = combined[name].add(z) if name in combined else z

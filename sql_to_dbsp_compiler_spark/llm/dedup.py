@@ -244,7 +244,8 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle").select(id_col, "shingle")
-    sh = sh.persist()
+    # lazy localCheckpoint, not persist(): see prefix_filtered_jaccard_pairs
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -943,7 +944,8 @@ def ngram_containment_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle").select(id_col, "shingle")
-    sh = sh.persist()
+    # lazy localCheckpoint, not persist(): see prefix_filtered_jaccard_pairs
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -967,6 +969,56 @@ def ngram_containment_pairs(
             "id_b",
             F.round(c_ab, 9).alias("cont_a_in_b"),
             F.round(c_ba, 9).alias("cont_b_in_a"),
+        )
+        .where(
+            (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
+        )
+    )
+
+
+def containment_verify_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT restricted to candidate pairs — the
+    composition VERDICT r6 item 8 names as the registry default at
+    scale: :func:`ngram_containment_pairs` standalone must verify
+    every shingle-sharing pair (its 100× residual is output-bound
+    verify cost), while this verifies ONLY the LSH candidate set, so
+    total cost is linear in ``|candidates|``. Same per-pair math as
+    the standalone op (C(A→B) = |A∩B| / |A| over distinct shingle
+    sets, both directions, max clears ``threshold``); exact ON the
+    candidate set — pairs the banding misses are the LSH recall
+    trade-off, tuned by the signature geometry upstream."""
+    cand_ids = candidates.select(id_a, id_b).localCheckpoint(eager=False)
+    needed = (
+        cand_ids.select(F.col(id_a).alias(id_col))
+        .union(cand_ids.select(F.col(id_b).alias(id_col)))
+        .distinct()
+    )
+    sets = df.join(needed, id_col, "leftsemi").select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("__set")
+    )
+    a = sets.select(F.col(id_col).alias(id_a), F.col("__set").alias("__sa"))
+    b = sets.select(F.col(id_col).alias(id_b), F.col("__set").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    c_ab = F.round(inter / F.size("__sa").cast("double"), 9)
+    c_ba = F.round(inter / F.size("__sb").cast("double"), 9)
+    return (
+        cand_ids.join(a, id_a)
+        .join(b, id_b)
+        .where((F.size("__sa") > 0) & (F.size("__sb") > 0))
+        .select(
+            id_a,
+            id_b,
+            c_ab.alias("cont_a_in_b"),
+            c_ba.alias("cont_b_in_a"),
         )
         .where(
             (F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold)
@@ -1007,9 +1059,13 @@ def prefix_filtered_jaccard_pairs(
     anywhere; the +1 slack on the prefix bound guards the float ceil
     (a superset of candidates can only cost time, never correctness).
     """
+    # lazy localCheckpoint, not persist(): the token table is reused
+    # five times below; checkpoint blocks are cleaned when the plan is
+    # GC'd, while an unpersisted cache leaks across repeated calls
+    # (ADVICE r6 — the best-of-N bench loop grew cached blocks)
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("tok")
-    ).persist()
+    ).localCheckpoint(eager=False)
     dfreq = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     from pyspark.sql import Window
 

@@ -206,11 +206,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_pairs_int64(sigs, "doc_id", "simhash", band_bits=15)
 
 
-# Shared DuckDB CTE prefix for the full near-dup cascade: md5-MinHash
-# signatures → LSH banding (with the engine's max_bucket cap) → exact
-# Jaccard verify on candidates → recursive min-label components.
-_CANONICAL_CASCADE_CTES = f"""
-    WITH RECURSIVE w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+# Shared DuckDB CTE body for the LSH candidate stage + exact verify
+# inputs: md5-MinHash signatures → LSH banding (with the engine's
+# max_bucket cap) → candidate pairs → per-pair shingle intersections
+# and set sizes. y_dedup_containment_lsh consumes it directly;
+# _CANONICAL_CASCADE_CTES extends it with the Jaccard threshold and
+# recursive min-label components.
+_LSH_VERIFY_CTES = f"""
+    w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     sh AS (
         SELECT DISTINCT doc_id,
                unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
@@ -251,7 +254,13 @@ _CANONICAL_CASCADE_CTES = f"""
         JOIN sh a ON a.doc_id = cand.id_a
         JOIN sh b2 ON b2.doc_id = cand.id_b AND b2.shingle = a.shingle
         GROUP BY 1, 2
-    ),
+    )
+"""
+
+_CANONICAL_CASCADE_CTES = (
+    "\n    WITH RECURSIVE "
+    + _LSH_VERIFY_CTES.strip()
+    + """,
     pairs AS (
         SELECT i.id_a, i.id_b
         FROM inter i
@@ -268,6 +277,7 @@ _CANONICAL_CASCADE_CTES = f"""
     ),
     comp AS (SELECT id, MIN(lab) AS component FROM reach GROUP BY id)
 """
+)
 
 
 @query(
@@ -1394,6 +1404,128 @@ def y_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ngram_containment_pairs(
         d, "doc_id", "text", n=3, threshold=0.4, max_df=32
+    )
+
+
+@query(
+    "y_dedup_containment_lsh",
+    oracle="WITH "
+    + _LSH_VERIFY_CTES.strip()
+    + """
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / sa.sz, 9) AS cont_a_in_b,
+           round(CAST(n_inter AS DOUBLE) / sb.sz, 9) AS cont_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(n_inter AS DOUBLE) / sa.sz, 9) >= 0.4
+       OR round(CAST(n_inter AS DOUBLE) / sb.sz, 9) >= 0.4
+    """,
+    tags=("llm", "dedup"),
+)
+def y_dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment verify composed ONTO MinHash-LSH candidates (r7,
+    VERDICT r6 item 8 — the registry default at scale): the standalone
+    `y_dedup_containment` verifies EVERY shingle-sharing pair, so its
+    100× residual is output-bound verify cost (18.3× wall with the
+    max_df guard); here the md5-MinHash(16)+LSH(4×4) banding proposes
+    candidates with a LINEAR banded equi-join and the exact
+    containment math (llm/dedup.py::containment_verify_candidates)
+    runs on candidates only — total verify cost ∝ |candidates|, not
+    |shingle-coincident pairs|. Exact on the candidate set; pairs the
+    banding misses are the LSH recall trade-off tuned upstream (the
+    Jaccard-tuned geometry keeps high-overlap pairs; an
+    asymmetric-sketch geometry would raise short-in-long recall). The
+    DuckDB oracle reproduces the identical cascade (same md5 hash
+    family, banding, bucket cap) through the shared CTE body."""
+    d = load_table(spark, sf_dir, "documents")
+    from sql_to_dbsp_compiler_spark.llm.dedup import (
+        containment_verify_candidates,
+        lsh_candidate_pairs_md5,
+        minhash_signatures_md5,
+    )
+
+    sigs = minhash_signatures_md5(d, "doc_id", "text", 16, 3)
+    cands = lsh_candidate_pairs_md5(sigs, "doc_id", "sig", bands=4)
+    return containment_verify_candidates(
+        d, cands, "doc_id", "text", n=3, threshold=0.4
+    )
+
+
+@query(
+    "y_minhash_estimate",
+    oracle="WITH "
+    + _LSH_VERIFY_CTES.strip()
+    + """,
+    match AS (
+        SELECT c.id_a, c.id_b,
+               COUNT(*) FILTER (WHERE sa.sig[r.i] = sb.sig[r.i]) AS m
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+        CROSS JOIN range(1, 17) r(i)
+        GROUP BY 1, 2
+    )
+    SELECT mt.id_a, mt.id_b,
+           round(CAST(mt.m AS DOUBLE) / 16.0, 9) AS est_jaccard,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 9) AS exact_jaccard,
+           round(abs(round(CAST(mt.m AS DOUBLE) / 16.0, 9)
+                     - round(CAST(i.n_inter AS DOUBLE)
+                             / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 9)), 9)
+               AS abs_err
+    FROM match mt
+    JOIN inter i ON i.id_a = mt.id_a AND i.id_b = mt.id_b
+    JOIN sizes sa ON sa.doc_id = mt.id_a
+    JOIN sizes sb ON sb.doc_id = mt.id_b
+    """,
+    tags=("llm", "dedup", "sketch"),
+)
+def y_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration audit (r7): for every LSH candidate pair,
+    the sketch's Jaccard ESTIMATE (matching signature positions / 16 —
+    the unbiased MinHash estimator, Broder '97) beside the EXACT
+    Jaccard and the absolute error. This is the production health
+    check for a sketch-based dedup pipeline: estimator drift (bad hash
+    family, wrong shingle n, corpus shift) shows up as rising abs_err
+    before it silently moves the dedup threshold. Estimate is exact
+    binary arithmetic (m/16); exact Jaccard and the error are
+    round-9-pinned doubles; the md5 signature family makes the DuckDB
+    oracle reproduce every signature position bit-for-bit. Cost: the
+    signature join is |candidates|-bound; the exact verify reuses the
+    candidate-only plan class (never all pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    from sql_to_dbsp_compiler_spark.llm.dedup import (
+        jaccard_verify_candidates,
+        lsh_candidate_pairs_md5,
+        minhash_signatures_md5,
+    )
+
+    sigs = minhash_signatures_md5(d, "doc_id", "text", 16, 3)
+    cands = lsh_candidate_pairs_md5(sigs, "doc_id", "sig", bands=4)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("__siga"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("__sigb"))
+    m = F.size(
+        F.filter(
+            F.zip_with("__siga", "__sigb", lambda x, y: x == y), lambda t: t
+        )
+    )
+    est = cands.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a",
+        "id_b",
+        F.round(m.cast("double") / F.lit(16.0), 9).alias("est_jaccard"),
+    )
+    exact = jaccard_verify_candidates(
+        d, cands, "doc_id", "text", n=3, threshold=0.0
+    ).select("id_a", "id_b", F.round(F.col("jaccard"), 9).alias("exact_jaccard"))
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "exact_jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 9).alias(
+            "abs_err"
+        ),
     )
 
 

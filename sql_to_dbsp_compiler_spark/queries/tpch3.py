@@ -413,43 +413,50 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q21: suppliers who were the ONLY late shipper on a multi-supplier
     order ('late' = shipped >60 days after order date, standing in for
-    receipt-vs-commit which the trimmed schema lacks). EXISTS → semi
-    join, NOT EXISTS → anti join, both on orderkey with extra
-    conditions referencing the left side."""
-    l1 = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    receipt-vs-commit which the trimmed schema lacks).
+
+    SINGLE-SCAN rewrite (r7, VERDICT r6 item 7 — the prior spelling
+    scanned lineitem three times through three sort-merge joins): the
+    EXISTS/NOT EXISTS pair over same-order lineitems is a per-order
+    property, so ONE lineitem⋈orders SMJ computes an is_late flag and
+    a window over l_orderkey — which REUSES the join's orderkey
+    partitioning and sort, no extra Exchange — derives the distinct
+    supplier count and distinct LATE-supplier count per order
+    (collect_set state is bounded by suppliers-per-order, ~7). A late
+    row qualifies iff the order has ≥2 suppliers (EXISTS another
+    supplier) and exactly 1 late supplier — necessarily this row's
+    (NOT EXISTS another late one). Row multiplicity matches the
+    standard spelling: every qualifying late l1 row counts once. The
+    l2/l3 subqueries need no order-status filter of their own because
+    they share l1's orderkey, whose order is already status 'F'."""
+    l1 = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_6")
     sn = dim_join(s, n, F.col("s_nationkey") == F.col("n_nationkey"))
 
     late_cutoff = F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
-    base = (
-        # all three lineitem occurrences and orders are facts: every
-        # join among them is pinned sort-merge (see tpch_q5)
-        l1.join(o.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
-        .where(F.col("l_shipdate") > late_cutoff)
+    # fact-fact join pinned sort-merge (see tpch_q5)
+    joined = l1.join(
+        o.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey")
+    ).withColumn("__late", F.col("l_shipdate") > late_cutoff)
+    w = Window.partitionBy("l_orderkey")
+    stats = joined.select(
+        "l_orderkey",
+        "l_suppkey",
+        "__late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("__n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("__late"), F.col("l_suppkey"))).over(w)
+        ).alias("__n_late"),
+    )
+    base = stats.where(
+        F.col("__late") & (F.col("__n_supp") >= 2) & (F.col("__n_late") == 1)
     )
     base = dim_join(base, sn, F.col("s_suppkey") == F.col("l_suppkey"))
-
-    l2 = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("__k2"), F.col("l_suppkey").alias("__s2")
-    )
-    base = base.join(
-        l2.hint("merge"),
-        (F.col("__k2") == F.col("l_orderkey")) & (F.col("__s2") != F.col("l_suppkey")),
-        "left_semi",
-    )
-    l3 = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("__k3"),
-        F.col("l_suppkey").alias("__s3"),
-        F.col("l_shipdate").alias("__ship3"),
-    )
-    base = base.join(
-        l3.hint("merge"),
-        (F.col("__k3") == F.col("l_orderkey"))
-        & (F.col("__s3") != F.col("l_suppkey"))
-        & (F.col("__ship3") > late_cutoff),
-        "left_anti",
-    )
     agg = base.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
     return topk_global(agg, [F.col("numwait").desc(), F.col("s_name")], 20)

@@ -1240,3 +1240,64 @@ def y_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.count(F.lit(1)), 9
         ).alias("mean_chars_kept"),
     )
+
+
+@query(
+    "y_temperature_mix",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_docs) AS total FROM counts),
+    base AS (
+        SELECT lang, n_docs,
+               round(CAST(n_docs AS DOUBLE) / total, 9) AS p,
+               CAST(round(pow(CAST(n_docs AS DOUBLE) / total, 0.3), 9)
+                    AS DECIMAL(20,9)) AS w
+        FROM counts, tot
+    ),
+    norm AS (SELECT SUM(w) AS wsum FROM base)
+    SELECT lang, n_docs, p,
+           round(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 9) AS q,
+           round(round(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 9) / p, 9)
+               AS repeat_factor
+    FROM base, norm
+    """,
+    tags=("llm", "curation", "mixture"),
+)
+def y_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling weights (r7; the
+    multilingual-LM standard — Conneau & Lample NeurIPS'19 XLM §3.1,
+    mT5's alpha-sampling): q_l proportional to p_l^alpha with
+    alpha=0.3 upweights low-resource languages without flattening the
+    mixture; repeat_factor = q/p is each language's epoch
+    over/under-sampling. Determinism design: counts are exact BIGINTs;
+    p is a correctly-rounded IEEE division; pow() is the one
+    libm-divergence risk, so p^alpha rounds to 9 dp and WIDENS TO
+    DECIMAL(20,9) before the normalizing sum — the sum is exact
+    decimal arithmetic, so normalization is partition-order-stable at
+    any parallelism (the established round-then-exact-fold pattern,
+    cf. x_unigram_logprob). One tiny groupBy + two broadcast scalar
+    joins."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 9).alias("p"),
+        F.round(
+            F.pow(F.col("n_docs").cast("double") / F.col("total"), F.lit(0.3)), 9
+        )
+        .cast("decimal(20,9)")
+        .alias("w"),
+    )
+    norm = base.agg(F.sum("w").alias("wsum"))
+    q = F.round(F.col("w").cast("double") / F.col("wsum").cast("double"), 9)
+    return base.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "n_docs",
+        "p",
+        q.alias("q"),
+        F.round(q / F.col("p"), 9).alias("repeat_factor"),
+    )

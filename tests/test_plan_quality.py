@@ -32,6 +32,17 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
     assert "SortMergeJoin" in plan, "orders⋈lineitem must not broadcast a fact table"
 
 
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    """q21 single-scan rewrite (r7): ONE lineitem scan through one
+    sort-merge join; the per-order EXISTS/NOT EXISTS pair folds into a
+    window over the join's orderkey partitioning — the plan must not
+    re-scan lineitem for the subqueries (the old spelling scanned it
+    three times through three SMJs, 2.2x at 10x data)."""
+    plan = _plan(spark, sf_dir, "tpch_q21_waiting_suppliers")
+    assert plan.count("lineitem.parquet") == 1, "lineitem must be scanned once"
+    assert "SortMergeJoin" in plan, "fact-fact join must be sort-merge"
+
+
 def test_topk_uses_window_group_limit(spark, sf_dir):
     plan = _plan(spark, sf_dir, "topk_per_group")
     assert "WindowGroupLimit" in plan, "per-group topK must prune before the shuffle"
@@ -445,14 +456,23 @@ def test_vocab_coverage_take_ordered_broadcast_ks(spark, sf_dir):
 
 
 def test_window_distinct_count_no_self_join(spark, sf_dir):
-    """y_window_distinct_count: both frames evaluate in ONE Window
-    node over one user_id exchange — no join, no expand, no Python."""
+    """y_window_distinct_count: no join, no Python; the RUNNING frame
+    is the LINEAR-state spelling (first-occurrence flag -> running
+    SUM, VERDICT r6 #2) so no unbounded collect_list exists anywhere
+    in the plan — only the bounded 5-row frame may collect. Exchanges:
+    one on (user_id, event_type) for the flag, one on (user_id) shared
+    by both remaining window specs."""
     plan = _plan(spark, sf_dir, "y_window_distinct_count")
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # one partitioning exchange for the partition key (plus the
-    # initial scan round-robin if any); both window specs share it
-    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+    # the quadratic spelling (collect_list over unboundedpreceding)
+    # must never return: every collect_list window frame in the plan
+    # is the bounded ROWS 4-preceding frame
+    import re as _re
+
+    for frame in _re.findall(r"collect_list[^\]]*?specifiedwindowframe\(RowFrame, ([^,]+),", plan):
+        assert "unboundedpreceding" not in frame.lower(), plan
 
 
 def test_tokenizer_fertility_single_aggregate(spark, sf_dir):

@@ -2822,6 +2822,67 @@ def test_merge_cardinality_violation_raises(spark):
         compile_batch(spark, prog)["out"].collect()
 
 
+def test_merge_insert_only_multi_match_does_not_fan_out(spark):
+    """VERDICT r6 #1 regression: a MERGE with ONLY NOT MATCHED clauses
+    whose target row matches >1 source rows must keep exactly one copy
+    of the target row (the standard's semantics; DuckDB 1.0 has no
+    MERGE, so the expected multiset is pinned by hand). The batch
+    frontend previously fanned the row out through a left join; the
+    fix shares _merge_delta's decomposition, so BOTH paths are
+    asserted here — and asserted EQUAL."""
+    from sql_to_dbsp_compiler_spark.compiler.program import (
+        IncrementalProgram,
+        compile_batch,
+    )
+
+    ddl = """
+    CREATE TABLE t(k INTEGER, v INTEGER);
+    CREATE VIEW out AS SELECT k, v FROM t;
+    """
+    merge = (
+        "MERGE INTO t USING (VALUES (1, 111), (1, 222), (3, 333)) "
+        "AS s(k, v) ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v)"
+    )
+    want = [(1, 10), (2, 20), (3, 333)]
+
+    batch = compile_batch(
+        spark, ddl + "INSERT INTO t VALUES (1, 10), (2, 20);" + merge + ";"
+    )
+    got_batch = sorted(tuple(r) for r in batch["out"].collect())
+    assert got_batch == want, got_batch
+
+    inc = IncrementalProgram(spark, ddl)
+    inc.step_statements("INSERT INTO t VALUES (1, 10), (2, 20);")
+    inc.step_statements(merge + ";")
+    got_inc = sorted(
+        tuple(r) for r in inc.snapshot("out").to_multiset_df().collect()
+    )
+    assert got_inc == want, got_inc
+    assert got_batch == got_inc
+
+
+def test_merge_multi_match_insert_only_with_matched_guard(spark):
+    """The general decomposition: matched rows where NO clause fires
+    pass through untouched exactly once even when multi-matched is
+    impossible (cardinality rule raises for >1 matches when matched
+    clauses exist) — and a guarded UPDATE that never fires leaves the
+    row a single copy."""
+    from sql_to_dbsp_compiler_spark.compiler.program import compile_batch
+
+    prog = """
+    CREATE TABLE t(k INTEGER, v INTEGER);
+    CREATE VIEW out AS SELECT k, v FROM t;
+    INSERT INTO t VALUES (1, 10), (2, 20);
+    MERGE INTO t USING (VALUES (1, 111), (3, 333)) AS s(k, v)
+        ON t.k = s.k
+        WHEN MATCHED AND s.v < 0 THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.v);
+    """
+    got = sorted(tuple(r) for r in compile_batch(spark, prog)["out"].collect())
+    assert got == [(1, 10), (2, 20), (3, 333)]
+
+
 def test_merge_literals_do_not_shear_clauses(spark):
     """Clause keywords inside string literals (WHEN/THEN/ON in VALUES
     data or predicates) must not split the statement — the scanner is
@@ -2844,22 +2905,103 @@ def test_merge_literals_do_not_shear_clauses(spark):
     assert got == [(1, "WHEN THEN ON"), (2, "x, ON y")]
 
 
-def test_merge_rejects_table_source(spark):
-    """v1 scope: USING must be an inline VALUES relation (the
-    frontend's mutation statements are self-contained, matching the
-    reference's TableContents model — no cross-table statement
-    state)."""
-    import pytest as _pytest
+def test_merge_table_source_sees_statement_order_state(spark):
+    """MERGE USING <table> (r7, VERDICT r6 item 4): the source table's
+    contents are read AT the merge statement's position in the GLOBAL
+    statement order — a staging insert AFTER the merge must not leak
+    backward into it."""
+    from sql_to_dbsp_compiler_spark.compiler.program import compile_batch
 
-    from sql_to_dbsp_compiler_spark.compiler.program import SqlProgram
+    prog = """
+    CREATE TABLE t(id INTEGER, v INTEGER);
+    CREATE TABLE s(id INTEGER, v INTEGER);
+    CREATE VIEW out AS SELECT id, v FROM t;
+    INSERT INTO t VALUES (1, 10);
+    INSERT INTO s VALUES (1, 11), (2, 22);
+    MERGE INTO t USING s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.v);
+    INSERT INTO s VALUES (3, 33);
+    """
+    got = sorted(tuple(r) for r in compile_batch(spark, prog)["out"].collect())
+    # (3,33) lands in s AFTER the merge — must not appear in t
+    assert got == [(1, 11), (2, 22)]
 
-    with _pytest.raises(ValueError, match="VALUES"):
-        SqlProgram.parse(
-            "CREATE TABLE t(id INTEGER);\n"
-            "CREATE TABLE s(id INTEGER);\n"
-            "MERGE INTO t USING s ON t.id = s.id "
-            "WHEN MATCHED THEN DELETE;"
-        )
+
+def test_merge_subquery_source_dedupes_staging(spark):
+    """MERGE USING (SELECT …) AS s: the canonical CDC dedup — a
+    staging table with several versions per key, merged through a
+    groupwise-max subquery (the raw table would trip the cardinality
+    rule)."""
+    from sql_to_dbsp_compiler_spark.compiler.program import compile_batch
+
+    prog = """
+    CREATE TABLE t(id INTEGER, v INTEGER);
+    CREATE TABLE s(id INTEGER, v INTEGER);
+    CREATE VIEW out AS SELECT id, v FROM t;
+    INSERT INTO t VALUES (1, 10), (2, 20);
+    INSERT INTO s VALUES (1, 100), (1, 111), (3, 33);
+    MERGE INTO t USING (SELECT id, MAX(v) AS v FROM s GROUP BY id) AS m
+        ON t.id = m.id
+        WHEN MATCHED THEN UPDATE SET v = m.v
+        WHEN NOT MATCHED THEN INSERT VALUES (m.id, m.v);
+    """
+    got = sorted(tuple(r) for r in compile_batch(spark, prog)["out"].collect())
+    assert got == [(1, 111), (2, 20), (3, 33)]
+
+
+def test_merge_not_matched_by_source_both_paths(spark):
+    """WHEN NOT MATCHED BY SOURCE (full-sync CDC): source-absent
+    target rows update or delete, first-match-wins within the class;
+    batch and step_statements agree."""
+    from sql_to_dbsp_compiler_spark.compiler.program import (
+        IncrementalProgram,
+        compile_batch,
+    )
+
+    ddl = """
+    CREATE TABLE t(id INTEGER, v INTEGER, st VARCHAR(8));
+    CREATE VIEW out AS SELECT id, v, st FROM t;
+    """
+    stmts = """
+    INSERT INTO t VALUES (1, 10, 'live'), (2, 20, 'live'), (3, 30, 'hold');
+    MERGE INTO t USING (VALUES (1, 11)) AS s(id, v)
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED BY SOURCE AND t.st = 'live' THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET st = 'stale';
+    """
+    want = [(1, 11, "live"), (3, 30, "stale")]
+    got_b = sorted(
+        tuple(r) for r in compile_batch(spark, ddl + stmts)["out"].collect()
+    )
+    assert got_b == want, got_b
+    inc = IncrementalProgram(spark, ddl)
+    inc.step_statements(stmts)
+    got_i = sorted(
+        tuple(r) for r in inc.snapshot("out").to_multiset_df().collect()
+    )
+    assert got_i == want, got_i
+
+
+def test_merge_case_when_and_quoted_idents_do_not_shear(spark):
+    """ADVICE r6: an unparenthesized top-level CASE WHEN in a clause
+    predicate, and a double-quoted identifier, must not split the
+    statement at the wrong WHEN/ON."""
+    from sql_to_dbsp_compiler_spark.compiler.program import compile_batch
+
+    prog = """
+    CREATE TABLE t(id INTEGER, v INTEGER);
+    CREATE VIEW out AS SELECT id, v FROM t;
+    INSERT INTO t VALUES (1, 10), (2, 20);
+    MERGE INTO t USING (VALUES (1, 5), (2, -5)) AS s(id, d)
+        ON t.id = s.id
+        WHEN MATCHED AND CASE WHEN s.d > 0 THEN TRUE ELSE FALSE END
+            THEN UPDATE SET "v" = t.v + s.d
+        WHEN MATCHED THEN DELETE;
+    """
+    got = sorted(tuple(r) for r in compile_batch(spark, prog)["out"].collect())
+    assert got == [(1, 15)]
 
 
 def test_step_statements_drives_circuits(spark):
