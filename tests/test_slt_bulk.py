@@ -353,3 +353,90 @@ def test_slt_statements_maintained_through_statement_protocol(spark):
             fails.append(f"{name} ({sql[:60]}...): spark={got[:3]} duck={want[:3]}")
     con.close()
     assert not fails, f"{len(fails)} divergences:\n" + "\n".join(fails[:8])
+
+
+def test_slt_statement_protocol_merge_subquery_and_by_source(spark):
+    """The r7 MERGE surface through the statement-protocol × SLT gate:
+    a SUBQUERY source over another program table (groupwise-max CDC
+    dedup) with guarded matched UPDATE/DELETE, guarded NOT MATCHED
+    insert, and BOTH NOT MATCHED BY SOURCE clause kinds. DuckDB 1.0
+    has no MERGE; the mirror executes the standard's decomposition
+    natively against a PRE-state snapshot (matched clauses first-match
+    -wins, by-source classes key-disjoint from matched, inserts
+    anti-joined against pre-merge contents), and every generated SLT
+    view snapshot is re-compared afterwards."""
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+    from sql_to_dbsp_compiler_spark.compiler.slt import _row_key
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+
+    con = duckdb.connect()
+    make_fixture(spark, con)
+    stmts = slt_statements(seed=23)
+    views = {f"v{i}": sql for i, sql in enumerate(stmts)}
+    ddl = (
+        "CREATE TABLE t(id INTEGER, a INTEGER, b INTEGER, s VARCHAR(20), "
+        "d DOUBLE, ts TIMESTAMP);\n"
+        "CREATE TABLE u(k INTEGER, v INTEGER, tag VARCHAR(5));\n"
+        + "\n".join(
+            f"CREATE VIEW {n} AS {to_spark_dialect(sql)};" for n, sql in views.items()
+        )
+    )
+    inc = IncrementalProgram(spark, ddl, optimize=True, checkpoint_every=1)
+    t_schema = "id int, a int, b int, s string, d double, ts timestamp, __weight long"
+    u_schema = "k int, v int, tag string, __weight long"
+    inc.step({
+        "t": ZSet(spark.createDataFrame([(*r, 1) for r in T_ROWS], t_schema)),
+        "u": ZSet(spark.createDataFrame([(*r, 1) for r in U_ROWS], u_schema)),
+    })
+
+    inc.step_statements(
+        "MERGE INTO u USING (SELECT id AS k2, MAX(a) AS a2 FROM t "
+        "WHERE id <= 4 GROUP BY id) AS s "
+        "ON u.k = s.k2 "
+        "WHEN MATCHED AND s.a2 > 0 THEN UPDATE SET v = u.v + s.a2 "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED AND s.k2 % 2 = 0 THEN INSERT VALUES (s.k2, s.a2, 'n') "
+        "WHEN NOT MATCHED BY SOURCE AND u.tag = 'x' THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'st';"
+    )
+    con.execute(
+        "CREATE TEMP TABLE s_src AS SELECT id AS k2, MAX(a) AS a2 FROM t "
+        "WHERE id <= 4 GROUP BY id"
+    )
+    con.execute("CREATE TEMP TABLE pre AS SELECT * FROM u")
+    con.execute(
+        "UPDATE u SET v = u.v + s.a2 FROM s_src s "
+        "WHERE u.k = s.k2 AND s.a2 > 0"
+    )
+    con.execute(
+        "DELETE FROM u USING s_src s "
+        "WHERE u.k = s.k2 AND (s.a2 IS NULL OR s.a2 <= 0)"
+    )
+    con.execute(
+        "DELETE FROM u WHERE u.tag = 'x' "
+        "AND NOT EXISTS (SELECT 1 FROM s_src s WHERE s.k2 = u.k)"
+    )
+    con.execute(
+        "UPDATE u SET tag = 'st' "
+        "WHERE NOT EXISTS (SELECT 1 FROM s_src s WHERE s.k2 = u.k)"
+    )
+    con.execute(
+        "INSERT INTO u SELECT k2, a2, 'n' FROM s_src s "
+        "WHERE s.k2 % 2 = 0 "
+        "AND NOT EXISTS (SELECT 1 FROM pre p WHERE p.k = s.k2)"
+    )
+
+    fails = []
+    for name, sql in views.items():
+        got = sorted(
+            (tuple(r) for r in inc.snapshot(name).to_multiset_df().collect()),
+            key=_row_key,
+        )
+        want = sorted(
+            (tuple(r) for r in con.execute(to_duck_dialect(sql)).fetchall()),
+            key=_row_key,
+        )
+        if got != want:
+            fails.append(f"{name} ({sql[:60]}...): spark={got[:3]} duck={want[:3]}")
+    con.close()
+    assert not fails, f"{len(fails)} divergences:\n" + "\n".join(fails[:8])
