@@ -16,10 +16,12 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -168,5 +170,89 @@ def streaming_lsh_neardup(
         outputStructType=LSH_PAIR_SCHEMA,
         stateStructType=LSH_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra–Gries heavy-hitter summary
+# ---------------------------------------------------------------------------
+
+MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("step", LongType()),
+        StructField("key", StringType()),
+        StructField("lower_bound", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("step", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("keys", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def streaming_misra_gries(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Streaming twin of operators/heavy_hitters.py: a Misra–Gries
+    summary maintained ACROSS micro-batches with the same MERGE rule
+    the batch operator applies across Arrow batches (add counts; when
+    over k survivors, subtract the (k+1)-th largest and drop
+    non-positives — Agarwal et al. PODS'12 mergeable summaries).
+    Emits the full current summary each batch, tagged with a step
+    number so the latest snapshot is selectable; ``lower_bound`` is
+    the MG counter (true count ≥ lower_bound, undercount ≤
+    (n_seen − Σ lower_bound)/(k+1)). Exact counts come from composing
+    a recount over the candidate set, exactly like the batch phase 2.
+
+    Scale note: this twin folds the whole stream through ONE state
+    group to pin the merge-rule semantics (maintained == batch); the
+    production streaming layout keeps one summary per shard — MG
+    summaries are mergeable by construction, so shard summaries merge
+    at query time with the identical rule."""
+    import pandas as _pd
+
+    def fold(
+        key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+    ) -> "Iterator[pd.DataFrame]":
+        if state.exists:
+            step, n_seen, keys, counts = state.get
+            counters = dict(zip(keys, counts))
+        else:
+            step, n_seen, counters = 0, 0, {}
+        for pdf in pdfs:
+            vc = pdf["key"].dropna().value_counts()
+            n_seen += int(vc.sum())
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                d = sorted(counters.values(), reverse=True)[k]
+                counters = {v: c - d for v, c in counters.items() if c > d}
+        step += 1
+        state.update(
+            (step, n_seen, list(counters.keys()),
+             [int(c) for c in counters.values()])
+        )
+        yield _pd.DataFrame(
+            {
+                "step": step,
+                "key": list(counters.keys()),
+                "lower_bound": [int(c) for c in counters.values()],
+                "n_seen": n_seen,
+            }
+        )
+
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("key"), F.lit(1).alias("__g")
+    )
+    return keyed.groupBy("__g").applyInPandasWithState(
+        fold,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

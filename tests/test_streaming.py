@@ -1080,3 +1080,92 @@ def test_streaming_rate_anomaly_matches_batch(spark, tmp_path_factory):
     ).collect()))
     assert stream_out == batch_out
     assert len(stream_out) > 100
+
+
+def test_streaming_misra_gries_matches_batch(spark, tmp_path_factory):
+    """Streaming twin of the exact heavy-hitters operator (r7): the
+    Misra–Gries summary maintained across UNORDERED micro-batches via
+    applyInPandasWithState, then composed with the batch recount —
+    the streamed candidates must be a superset of every key with
+    global frequency ≥ N/k (the MG completeness guarantee survives
+    the batch-merge rule), the per-key undercount must respect the
+    (N − Σcounters)/(k+1) bound, and the recounted result must equal
+    the batch heavy_hitters output exactly."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from sql_to_dbsp_compiler_spark.operators.heavy_hitters import heavy_hitters
+    from sql_to_dbsp_compiler_spark.streaming.stateful import streaming_misra_gries
+
+    K = 4
+    events = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "user_id", "event_type"
+    )
+    batch_out = sorted(
+        map(tuple, heavy_hitters(events, "event_type", K).collect())
+    )
+
+    base = str(tmp_path_factory.mktemp("mg_stream"))
+    files_dir = str(tmp_path_factory.mktemp("mg_files"))
+    for i in range(3):
+        part = events.where(F.col("user_id") % 3 == i)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(base, f"b{i}")
+        )
+        src = _glob.glob(_os.path.join(base, f"b{i}", "*.parquet"))[0]
+        _shutil.copy(src, _os.path.join(files_dir, f"batch_{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(files_dir)
+    )
+    q = (
+        streaming_misra_gries(stream, "event_type", K)
+        .writeStream.format("memory")
+        .queryName("mg_summary")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination()
+
+    summ = spark.table("mg_summary")
+    last = summ.agg(F.max("step")).collect()[0][0]
+    final = {
+        r["key"]: (r["lower_bound"], r["n_seen"])
+        for r in summ.where(F.col("step") == last).collect()
+    }
+    assert final, "no summary emitted"
+    n_seen = next(iter(final.values()))[1]
+
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = sum(exact.values())
+    assert n_seen == n
+    # completeness: every key with freq >= N/K survives in the summary
+    for key, cnt in exact.items():
+        if cnt >= n / K:
+            assert key in final, f"{key} (cnt={cnt}) evicted"
+    # undercount bound: true - lower <= (N - sum(counters)) / (K + 1)
+    slack = (n - sum(lb for lb, _ in final.values())) / (K + 1)
+    for key, (lb, _) in final.items():
+        assert lb <= exact[key] <= lb + slack + 1e-9, (key, lb, exact[key])
+
+    # phase 2: exact recount over the streamed candidate set == batch
+    cand = spark.createDataFrame(
+        [(k,) for k in final], "event_type string"
+    )
+    recount = (
+        events.join(F.broadcast(cand), "event_type", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= (n // K) + 1)
+    )
+    assert sorted(map(tuple, recount.collect())) == batch_out
