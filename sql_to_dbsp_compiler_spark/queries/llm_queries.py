@@ -321,6 +321,64 @@ def dedup_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_groups(d, verified)
 
 
+@query(
+    "y_dedup_savings",
+    oracle=_CANONICAL_CASCADE_CTES + """
+    , grp AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id,
+               d.n_chars
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    )
+    SELECT canonical_id, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE doc_id <> canonical_id) AS n_dropped,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(COALESCE(SUM(n_chars) FILTER (WHERE doc_id <> canonical_id),
+                         0) AS BIGINT) AS chars_saved
+    FROM grp GROUP BY canonical_id HAVING COUNT(*) > 1
+    """,
+    tags=("llm", "dedup", "report"),
+)
+def y_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report (r7): per duplicate component, how many
+    docs collapse into the canonical and how many characters the
+    pipeline saves — the number a curation run actually reports
+    upstream ('dedup removed X% of the corpus'). Composes the
+    production cascade (md5-LSH candidates → Jaccard verify →
+    star connected components, the dedup_canonical_groups plan)
+    with one n_chars join and a grouped aggregate; only
+    multi-document components survive. Exact integer sums; the
+    DuckDB oracle replays the identical cascade through the shared
+    recursive CTEs."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import (
+        dedup_groups,
+        jaccard_verify_candidates,
+        lsh_candidate_pairs_md5,
+        minhash_signatures_md5,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_md5(d, "doc_id", "text", 16, 3)
+    cands = lsh_candidate_pairs_md5(sigs, "doc_id", "sig", bands=4)
+    verified = jaccard_verify_candidates(
+        d, cands, "doc_id", "text", n=3, threshold=0.5
+    ).localCheckpoint(eager=False)
+    groups = dedup_groups(d, verified)
+    j = groups.join(d.select("doc_id", "n_chars"), "doc_id")
+    dropped = ~F.col("is_canonical")
+    return (
+        j.groupBy("canonical_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(dropped).alias("n_dropped"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.coalesce(
+                F.sum(F.when(dropped, F.col("n_chars"))), F.lit(0)
+            ).cast("bigint").alias("chars_saved"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
 @query("embedding_lsh_neardup", tags=("llm", "dedup", "similarity", "rows-only"))
 def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via signed-random-projection LSH (candidate
