@@ -527,3 +527,36 @@ def test_knn_hubness_group_limit_and_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "y_knn_hubness")
     assert "WindowGroupLimit" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_containment_lsh_equi_joins_only(spark, sf_dir):
+    """y_dedup_containment_lsh: candidates come from the banded
+    equi-join; verify joins only candidate ids — no cartesian, no
+    Python anywhere."""
+    plan = _plan(spark, sf_dir, "y_dedup_containment_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_estimate_candidate_bound(spark, sf_dir):
+    """y_minhash_estimate: signature compare and exact verify both
+    join on candidate ids — no cartesian, no Python."""
+    plan = _plan(spark, sf_dir, "y_minhash_estimate")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_mix_broadcast_scalars(spark, sf_dir):
+    """y_temperature_mix: the two normalizing scalars join broadcast
+    (tiny frames) — the only exchanges are the language aggregate's."""
+    plan = _plan(spark, sf_dir, "y_temperature_mix")
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_savings_single_aggregate_over_cascade(spark, sf_dir):
+    """y_dedup_savings: one grouped aggregate over the cascade's
+    group assignment + an n_chars equi-join — no cartesian, no
+    quadratic pair work outside the guarded cascade."""
+    plan = _plan(spark, sf_dir, "y_dedup_savings")
+    assert "CartesianProduct" not in plan
