@@ -833,7 +833,15 @@ def _apply_merge(
         j = tgt.join(src.alias(sa), cond, "inner")
         pair = j.select(*[F.col(f"{ta}.{c}").alias(c) for c in names])
         p_cnt = pair.groupBy(*names).agg(F.count(F.lit(1)).alias("__p"))
-        k_cnt = df.groupBy(*names).agg(F.count(F.lit(1)).alias("__k"))
+        # k over the MATCHED slice only (semi join): rows matching no
+        # source row can't violate cardinality, and grouping the full
+        # table would shuffle every distinct row at scale
+        k_cnt = (
+            df.alias(ta)
+            .join(src.alias(sa), cond, "left_semi")
+            .groupBy(*names)
+            .agg(F.count(F.lit(1)).alias("__k"))
+        )
         key = [p_cnt[c].eqNullSafe(k_cnt[c]) for c in names]
         bad = p_cnt.join(k_cnt, key).where(F.col("__p") > F.col("__k"))
         if bad.limit(1).count() > 0:
@@ -971,7 +979,13 @@ def _merge_delta(
             *[F.col(f"{ta}.{c}").alias(c) for c in names], F.col(WEIGHT)
         )
         p_cnt = pair.groupBy(*names).agg(F.sum(WEIGHT).alias("__p"))
-        k_cnt = sdf.groupBy(*names).agg(F.sum(WEIGHT).alias("__k"))
+        # matched slice only — see _apply_merge's cardinality note
+        k_cnt = (
+            sdf.alias(ta)
+            .join(src.alias(sa), cond, "left_semi")
+            .groupBy(*names)
+            .agg(F.sum(WEIGHT).alias("__k"))
+        )
         key = [p_cnt[c].eqNullSafe(k_cnt[c]) for c in names]
         bad = p_cnt.join(k_cnt, key).where(F.col("__p") > F.col("__k"))
         if bad.limit(1).count() > 0:
