@@ -379,6 +379,68 @@ def y_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "y_ngram_novelty",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM w
+    ),
+    firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(*) FILTER (WHERE f.first_doc = s.doc_id) AS n_novel,
+           round(CAST(COUNT(*) FILTER (WHERE f.first_doc = s.doc_id) AS DOUBLE)
+                 / COUNT(*), 9) AS novelty
+    FROM sh s JOIN firsts f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def y_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY score (r7): the fraction of a doc's
+    distinct 3-grams whose FIRST occurrence (min doc_id — any stable
+    corpus order works; ingestion order in production) is the doc
+    itself. Low novelty = the doc is mostly re-used text — the
+    streaming-ingest complement to pairwise dedup (a doc can be 90%
+    recycled from MANY sources without any single pair clearing a
+    Jaccard threshold) and the standard memorization/duplication
+    proxy for training-data audits (cf. Lee et al. 2022 §4's
+    train-set overlap fractions). Plan: one shingle explode → one
+    (shingle → min doc_id) hash aggregate with map-side partials →
+    equi-join back → per-doc aggregate. No self-join, no pair
+    enumeration — cost is linear in total shingle volume, the same
+    class as x_passage_dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    from sql_to_dbsp_compiler_spark.llm.dedup import shingles
+
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        d.repartition(par, F.col("doc_id"))
+        .select(
+            "doc_id", F.explode(shingles(F.col("text"), 3)).alias("shingle")
+        )
+        .distinct()
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias("n_novel"),
+            F.round(
+                F.count_if(F.col("first_doc") == F.col("doc_id")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("novelty"),
+        )
+    )
+
+
 @query("embedding_lsh_neardup", tags=("llm", "dedup", "similarity", "rows-only"))
 def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via signed-random-projection LSH (candidate

@@ -1301,3 +1301,60 @@ def y_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.alias("q"),
         F.round(q / F.col("p"), 9).alias("repeat_factor"),
     )
+
+
+@query(
+    "y_hash_bucket_balance",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)),
+                                       1, 15)) AS BIGINT) % 16 AS bucket
+        FROM documents
+    ),
+    counts AS (
+        SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS k FROM counts)
+    SELECT CAST(bucket AS INTEGER) AS bucket, n,
+           round(CAST(n AS DOUBLE) / total, 9) AS share,
+           round(CAST((n - CAST(total AS DOUBLE) / 16)
+                      * (n - CAST(total AS DOUBLE) / 16) AS DOUBLE)
+                 / (CAST(total AS DOUBLE) / 16), 9) AS chi2_term
+    FROM counts, tot
+    """,
+    tags=("llm", "curation", "layout"),
+)
+def y_hash_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket balance audit (r7): per-bucket counts, shares, and
+    chi-square terms for the SAME salted-md5 bucketing the split and
+    sharding operators use (`x_split_train_eval`'s hash family, mod 16
+    here). A skewed hash layout silently unbalances shards, samplers,
+    and salted joins long before anything errors — this is the
+    one-aggregate health check a pipeline runs after changing a salt
+    or key domain (Σ chi2_term ≫ k-1 flags non-uniformity). Exact
+    integer counts; expected-count arithmetic in doubles rounded to 9
+    (identical expression both engines). One map-side-combined
+    aggregate over a pure projection — scan-bound at any corpus
+    size."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 16
+    )
+    counts = d.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    e = F.col("total").cast("double") / F.lit(16)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 9).alias("share"),
+        F.round((F.col("n") - e) * (F.col("n") - e) / e, 9).alias("chi2_term"),
+    )
