@@ -560,3 +560,20 @@ def test_dedup_savings_single_aggregate_over_cascade(spark, sf_dir):
     quadratic pair work outside the guarded cascade."""
     plan = _plan(spark, sf_dir, "y_dedup_savings")
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_no_pair_enumeration(spark, sf_dir):
+    """y_ngram_novelty: shingle -> min(doc_id) aggregate + join back —
+    no self-join pair enumeration, no cartesian, no Python."""
+    plan = _plan(spark, sf_dir, "y_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_min" in plan or "partial" in plan
+
+
+def test_hash_bucket_balance_scan_bound(spark, sf_dir):
+    """y_hash_bucket_balance: one map-side-combined aggregate over a
+    projection; the totals row joins broadcast."""
+    plan = _plan(spark, sf_dir, "y_hash_bucket_balance")
+    assert "partial_count" in plan or "partial" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
