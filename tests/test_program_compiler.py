@@ -3075,3 +3075,137 @@ def test_step_statements_multi_statement_transaction(spark):
         (((2, 20)), -1),
         (((2, 21)), 1),
     ]
+
+
+def test_merge_randomized_against_python_reference(spark):
+    """Seeded-random MERGE property test (r7): random target
+    multisets, random VALUES sources (multi-matching rows allowed
+    only for insert-only statements — otherwise the cardinality rule
+    must raise in BOTH frontends), and random guarded clause
+    combinations drawn from a pool whose SQL and Python spellings are
+    generated together. compile_batch, step_statements, and the
+    20-line Python reference implementation of SQL:2003 MERGE
+    semantics must agree exactly on every case."""
+    import random
+
+    from sql_to_dbsp_compiler_spark.compiler.program import (
+        IncrementalProgram,
+        compile_batch,
+    )
+
+    # clause pools: (sql_fragment, python_mirror)
+    MATCHED = [
+        ("WHEN MATCHED AND t.v + s.d > 10 THEN UPDATE SET v = t.v + s.d",
+         lambda tv, d: ("upd", tv + d) if tv + d > 10 else None),
+        ("WHEN MATCHED AND s.d < 0 THEN DELETE",
+         lambda tv, d: ("del", None) if d < 0 else None),
+        ("WHEN MATCHED THEN UPDATE SET v = s.d",
+         lambda tv, d: ("upd", d)),
+    ]
+    NOT_MATCHED = [
+        ("WHEN NOT MATCHED AND s.d > 0 THEN INSERT VALUES (s.k, s.d)",
+         lambda k, d: (k, d) if d > 0 else None),
+        ("WHEN NOT MATCHED THEN INSERT VALUES (s.k, 0)",
+         lambda k, d: (k, 0)),
+    ]
+    BY_SOURCE = [
+        ("WHEN NOT MATCHED BY SOURCE AND t.v > 5 THEN DELETE",
+         lambda tv: ("del", None) if tv > 5 else None),
+        ("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0 - 1",
+         lambda tv: ("upd", -1)),
+    ]
+
+    def reference(target, source, m_cl, nm_cl, bs_cl):
+        src_by_k: dict = {}
+        for k, d in source:
+            src_by_k.setdefault(k, []).append(d)
+        out = []
+        for tk, tv in target:
+            if tk in src_by_k:
+                if m_cl:
+                    if len(src_by_k[tk]) > 1:
+                        raise ValueError("cardinality")
+                    d = src_by_k[tk][0]
+                    act = next(
+                        (a for a in (f(tv, d) for _, f in m_cl) if a), None
+                    )
+                    if act is None:
+                        out.append((tk, tv))
+                    elif act[0] == "upd":
+                        out.append((tk, act[1]))
+                else:
+                    out.append((tk, tv))
+            else:
+                act = next((a for a in (f(tv) for _, f in bs_cl) if a), None)
+                if act is None:
+                    out.append((tk, tv))
+                elif act[0] == "upd":
+                    out.append((tk, act[1]))
+        tkeys = {k for k, _ in target}
+        for k, ds in src_by_k.items():
+            if k in tkeys:
+                continue
+            for d in ds:
+                ins = next((i for i in (f(k, d) for _, f in nm_cl) if i), None)
+                if ins is not None:
+                    out.append(ins)
+        return sorted(out)
+
+    rng = random.Random(77)
+    for case in range(8):
+        target = [
+            (rng.randint(1, 6), rng.randint(0, 12)) for _ in range(rng.randint(2, 6))
+        ]
+        m_cl = rng.sample(MATCHED, rng.randint(0, 2))
+        nm_cl = rng.sample(NOT_MATCHED, rng.randint(0, 2))
+        bs_cl = rng.sample(BY_SOURCE, rng.randint(0, 2))
+        if not (m_cl or nm_cl or bs_cl):
+            nm_cl = [NOT_MATCHED[1]]
+        # multi-matching source keys only when no matched clauses
+        n_src = rng.randint(1, 5)
+        if m_cl:
+            ks = rng.sample(range(1, 10), n_src)
+            source = [(k, rng.randint(-5, 15)) for k in ks]
+        else:
+            source = [
+                (rng.randint(1, 9), rng.randint(-5, 15)) for _ in range(n_src)
+            ]
+
+        tgt_vals = ", ".join(f"({k}, {v})" for k, v in target)
+        src_vals = ", ".join(f"({k}, {d})" for k, d in source)
+        clauses = " ".join(sql for sql, _ in m_cl + nm_cl + bs_cl)
+        merge = (
+            f"MERGE INTO t USING (VALUES {src_vals}) AS s(k, d) "
+            f"ON t.k = s.k {clauses}"
+        )
+        ddl = "CREATE TABLE t(k INTEGER, v INTEGER);\nCREATE VIEW o AS SELECT k, v FROM t;\n"
+        stmts = f"INSERT INTO t VALUES {tgt_vals};\n{merge};"
+
+        try:
+            want = reference(target, source, m_cl, nm_cl, bs_cl)
+        except ValueError:
+            want = None  # cardinality violation expected
+
+        for label, run in (
+            ("batch", lambda: sorted(
+                tuple(r) for r in compile_batch(spark, ddl + stmts)["o"].collect()
+            )),
+            ("stmts", lambda: _run_stmts(spark, IncrementalProgram, ddl, stmts)),
+        ):
+            if want is None:
+                import pytest as _pytest
+
+                with _pytest.raises(ValueError, match="cardinality"):
+                    run()
+            else:
+                got = run()
+                assert got == want, (
+                    f"case {case} [{label}]\nmerge={merge}\n"
+                    f"target={sorted(target)}\ngot={got}\nwant={want}"
+                )
+
+
+def _run_stmts(spark, IncrementalProgram, ddl, stmts):
+    inc = IncrementalProgram(spark, ddl)
+    inc.step_statements(stmts)
+    return sorted(tuple(r) for r in inc.snapshot("o").to_multiset_df().collect())
