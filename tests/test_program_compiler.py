@@ -3209,3 +3209,39 @@ def _run_stmts(spark, IncrementalProgram, ddl, stmts):
     inc = IncrementalProgram(spark, ddl)
     inc.step_statements(stmts)
     return sorted(tuple(r) for r in inc.snapshot("o").to_multiset_df().collect())
+
+
+def test_merge_self_referencing_subquery_sees_pre_state(spark):
+    """A MERGE whose USING subquery reads the TARGET table itself must
+    evaluate the source against the PRE-statement state (the standard:
+    source and match classes are computed before any mutation). The
+    shifted-key self-merge would feed on its own inserts otherwise."""
+    from sql_to_dbsp_compiler_spark.compiler.program import (
+        IncrementalProgram,
+        compile_batch,
+    )
+
+    ddl = """
+    CREATE TABLE t(k INTEGER, v INTEGER);
+    CREATE VIEW o AS SELECT k, v FROM t;
+    """
+    stmts = """
+    INSERT INTO t VALUES (1, 10), (2, 20);
+    MERGE INTO t USING (SELECT k + 10 AS k2, v FROM t) AS s
+        ON t.k = s.k2
+        WHEN NOT MATCHED THEN INSERT VALUES (s.k2, s.v);
+    """
+    # pre-state source = {(11,10),(12,20)}; neither matches k in {1,2}
+    # -> both insert. If the source saw post-insert state, (21,10)/(22,20)
+    # would cascade in.
+    want = [(1, 10), (2, 20), (11, 10), (12, 20)]
+    got_b = sorted(
+        tuple(r) for r in compile_batch(spark, ddl + stmts)["o"].collect()
+    )
+    assert got_b == want, got_b
+    inc = IncrementalProgram(spark, ddl)
+    inc.step_statements(stmts)
+    got_i = sorted(
+        tuple(r) for r in inc.snapshot("o").to_multiset_df().collect()
+    )
+    assert got_i == want, got_i
