@@ -38,9 +38,15 @@ def test_q21_single_lineitem_scan(spark, sf_dir):
     window over the join's orderkey partitioning — the plan must not
     re-scan lineitem for the subqueries (the old spelling scanned it
     three times through three SMJs, 2.2x at 10x data)."""
+    import re
+
     plan = _plan(spark, sf_dir, "tpch_q21_waiting_suppliers")
     assert plan.count("lineitem.parquet") == 1, "lineitem must be scanned once"
     assert "SortMergeJoin" in plan, "fact-fact join must be sort-merge"
+    # the window reuses the SMJ's orderkey partitioning and sort: only
+    # three exchanges exist (two SMJ inputs + the final aggregate) —
+    # none between the join and the Window node
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
 
 
 def test_topk_uses_window_group_limit(spark, sf_dir):
