@@ -1358,3 +1358,89 @@ def y_hash_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("total"), 9).alias("share"),
         F.round((F.col("n") - e) * (F.col("n") - e) / e, 9).alias("chi2_term"),
     )
+
+
+@query(
+    "y_source_drift_psi",
+    oracle="""
+    WITH b AS (
+        -- FLOOR explicitly: DuckDB CAST(double AS BIGINT) rounds,
+        -- Spark truncates
+        SELECT source,
+               LEAST(CAST(FLOOR(n_chars / 200.0) AS BIGINT), 9) AS bucket
+        FROM documents
+    ),
+    sb AS (SELECT source, bucket, COUNT(*) AS n FROM b GROUP BY source, bucket),
+    grid AS (
+        SELECT s.source, g.bucket, COALESCE(sb.n, 0) AS n
+        FROM (SELECT DISTINCT source FROM b) s
+        CROSS JOIN range(10) g(bucket)
+        LEFT JOIN sb ON sb.source = s.source AND sb.bucket = g.bucket
+    ),
+    st AS (SELECT source, SUM(n) AS n_src FROM grid GROUP BY source),
+    cb AS (SELECT bucket, SUM(n) AS n_all FROM grid GROUP BY bucket),
+    tot AS (SELECT SUM(n) AS n_corpus FROM grid)
+    SELECT g.source, CAST(g.bucket AS INTEGER) AS bucket,
+           g.n AS n_docs,
+           round((g.n + 1.0) / (st.n_src + 10.0), 9) AS p,
+           round((cb.n_all + 1.0) / (tot.n_corpus + 10.0), 9) AS q,
+           round((round((g.n + 1.0) / (st.n_src + 10.0), 9)
+                  - round((cb.n_all + 1.0) / (tot.n_corpus + 10.0), 9))
+                 * round(ln(round((g.n + 1.0) / (st.n_src + 10.0), 9)
+                            / round((cb.n_all + 1.0) / (tot.n_corpus + 10.0), 9)),
+                         9), 9) AS psi_term
+    FROM grid g
+    JOIN st ON st.source = g.source
+    JOIN cb ON cb.bucket = g.bucket
+    CROSS JOIN tot
+    """,
+    tags=("llm", "curation", "drift"),
+)
+def y_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source (r7): each source's
+    document-length distribution (10 fixed 200-char bands, top band
+    open) against the corpus-wide distribution, Laplace-smoothed —
+    Σ psi_term per source > 0.25 is the standard drifted-feed alarm.
+    This is the ingestion-monitoring primitive a 100 TB pipeline runs
+    per crawl snapshot: a feed whose length profile shifts (truncated
+    fetches, boilerplate change, encoding bug) flags here before it
+    poisons the mixture. Determinism: all counts are exact BIGINTs
+    over a dense source×bucket grid (empty cells kept — drift IS
+    mass vanishing from a band); smoothed shares are IEEE divisions
+    rounded to 9; the one libm call (ln of a ratio of rounded shares)
+    rounds to 9 in both engines before the final product. Two tiny
+    grouped aggregates + broadcast joins — scan-bound."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "source",
+        F.least(
+            F.floor(F.col("n_chars") / 200.0).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bucket"),
+    )
+    sb = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        b.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(10).withColumnRenamed("id", "bucket")))
+        .join(sb, ["source", "bucket"], "left")
+        .select("source", "bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    st = grid.groupBy("source").agg(F.sum("n").alias("n_src"))
+    cb = grid.groupBy("bucket").agg(F.sum("n").alias("n_all"))
+    tot = grid.agg(F.sum("n").alias("n_corpus"))
+    p = F.round((F.col("n") + 1.0) / (F.col("n_src") + 10.0), 9)
+    q = F.round((F.col("n_all") + 1.0) / (F.col("n_corpus") + 10.0), 9)
+    return (
+        grid.join(st, "source")
+        .join(F.broadcast(cb), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n").alias("n_docs"),
+            p.alias("p"),
+            q.alias("q"),
+            F.round((p - q) * F.round(F.log(p / q), 9), 9).alias("psi_term"),
+        )
+    )

@@ -583,3 +583,12 @@ def test_hash_bucket_balance_scan_bound(spark, sf_dir):
     plan = _plan(spark, sf_dir, "y_hash_bucket_balance")
     assert "partial_count" in plan or "partial" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_drift_psi_scan_bound(spark, sf_dir):
+    """y_source_drift_psi: two grouped aggregates + broadcast grid
+    joins; no cartesian blowup beyond the 10-row bucket grid, no
+    Python."""
+    plan = _plan(spark, sf_dir, "y_source_drift_psi")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial" in plan
