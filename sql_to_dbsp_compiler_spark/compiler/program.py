@@ -350,7 +350,11 @@ _MERGE_TABLE_SRC_RE = re.compile(
     re.IGNORECASE,
 )
 _MERGE_SUBQ_TAIL_RE = re.compile(
-    r"^\s*(?:AS\s+)?(?P<salias>\w+)\s*(?:\(\s*(?P<scols>[\w\s,\"]+?)\s*\))?\s*",
+    # (?!ON\b) mirrors _MERGE_TABLE_SRC_RE: an alias-less
+    # `USING (SELECT …) ON …` must fail THIS match so the caller can
+    # raise the specific "needs AS alias" error, not swallow ON as
+    # the alias and fall through to a generic parse failure.
+    r"^\s*(?:AS\s+)?(?P<salias>(?!ON\b)\w+)\s*(?:\(\s*(?P<scols>[\w\s,\"]+?)\s*\))?\s*",
     re.IGNORECASE,
 )
 
@@ -791,10 +795,39 @@ def _merge_source_df(
             raise KeyError(f"MERGE USING unknown table: {mut.source_sql}")
         return resolve[mut.source_sql]
     # subquery: bind the current fold state under the program's table
-    # names (compile_batch registers the same names afterwards anyway)
-    for name, state_df in resolve.items():
+    # names — but ONLY the names the subquery text references, and
+    # snapshot/restore any same-named temp view a caller registered in
+    # the shared SparkSession (ADVICE r7: registering every program
+    # table unconditionally clobbered caller views and leaked ours).
+    # The token scan over-approximates (a name inside a string literal
+    # also binds), which is harmless: the view is restored or dropped
+    # in the finally block either way.
+    referenced = {
+        name: state_df
+        for name, state_df in resolve.items()
+        if re.search(rf"(?<!\w){re.escape(name)}(?!\w)", mut.source_sql, re.IGNORECASE)
+    }
+    saved: dict[str, DataFrame | None] = {}
+    for name, state_df in referenced.items():
+        prev = None
+        try:
+            meta = spark.catalog.getTable(name)
+            # only snapshot TEMP views: a catalog table is merely
+            # shadowed by ours and reappears on dropTempView
+            if meta.isTemporary:
+                prev = spark.table(name)
+        except Exception:
+            prev = None
+        saved[name] = prev
         state_df.createOrReplaceTempView(name)
-    src = spark.sql(f"SELECT * FROM {mut.source_sql} AS {mut.source_alias}")
+    try:
+        src = spark.sql(f"SELECT * FROM {mut.source_sql} AS {mut.source_alias}")
+    finally:
+        for name, prev in saved.items():
+            if prev is not None:
+                prev.createOrReplaceTempView(name)
+            else:
+                spark.catalog.dropTempView(name)
     if mut.source_columns is not None:
         src = src.toDF(*mut.source_columns)
     return src
@@ -820,9 +853,15 @@ def _apply_merge(
     The SQL standard's cardinality rule (a target row updated/deleted
     via more than one source row is an error) is enforced with a
     multiplicity check: if a target VALUE occurs k times and joins p
-    source rows, p > k means some row matched twice. Program tables
-    are bounded VALUES contents, so the eager check is a small local
-    job."""
+    source rows, p > k means some row matched twice. The check is
+    LAZY (VERDICT r7 #6): the violating slice is folded into the
+    output plan as a zero-row ``raise_error`` branch, so pointing
+    MERGE at a large fact table costs zero extra Spark jobs —
+    detection rides the one pass that computes the result and
+    surfaces at action time as Spark's USER_RAISED_EXCEPTION carrying
+    the cardinality message (the statement-stepping frontend keeps
+    its eager ValueError: each step must fail AT the offending
+    statement, before later statements fold on top)."""
     names = [c for c, _ in table.columns]
     type_of = dict(table.columns)
     ta, sa = mut.target_alias, mut.source_alias
@@ -844,11 +883,21 @@ def _apply_merge(
         )
         key = [p_cnt[c].eqNullSafe(k_cnt[c]) for c in names]
         bad = p_cnt.join(k_cnt, key).where(F.col("__p") > F.col("__k"))
-        if bad.limit(1).count() > 0:
-            raise ValueError(
-                f"MERGE INTO {mut.table}: a target row matches more than "
-                "one source row (SQL cardinality violation)"
-            )
+        # zero rows when the rule holds; evaluating any violating row
+        # raises. Unioned into the output below so the check is free.
+        guard = bad.limit(1).select(
+            *[
+                F.raise_error(
+                    F.lit(
+                        f"MERGE INTO {mut.table}: a target row matches more "
+                        "than one source row (SQL cardinality violation)"
+                    )
+                )
+                .cast(spark_type(type_of[c]))
+                .alias(c)
+                for c in names
+            ]
+        )
         delete_cond, update_cond, col_exprs = _merge_matched_exprs(
             mut.matched_clauses, names, type_of, ta, base=F.lit(True)
         )
@@ -858,7 +907,7 @@ def _apply_merge(
         rewrite = j.where(update_cond).select(
             *[col_exprs[c].alias(c) for c in names]
         )
-        kept = df.exceptAll(touched).unionByName(rewrite)
+        kept = df.exceptAll(touched).unionByName(rewrite).unionByName(guard)
     else:
         # No WHEN MATCHED clause can touch a target row — skip the
         # target/source join entirely (it could only fan rows out).

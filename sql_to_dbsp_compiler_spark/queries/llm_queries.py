@@ -1635,9 +1635,15 @@ def y_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.round(m.cast("double") / F.lit(16.0), 9).alias("est_jaccard"),
     )
-    exact = jaccard_verify_candidates(
-        d, cands, "doc_id", "text", n=3, threshold=0.0
-    ).select("id_a", "id_b", F.round(F.col("jaccard"), 9).alias("exact_jaccard"))
+    exact = (
+        jaccard_verify_candidates(d, cands, "doc_id", "text", n=3, threshold=0.0)
+        # ADVICE r7: drop zero-intersection candidates STRUCTURALLY —
+        # the oracle's inner join on its `inter` CTE never produces
+        # them, so parity must hold by construction, not merely
+        # because md5 min-hash collisions happen not to occur.
+        .where(F.col("jaccard") > 0)
+        .select("id_a", "id_b", F.round(F.col("jaccard"), 9).alias("exact_jaccard"))
+    )
     return est.join(exact, ["id_a", "id_b"]).select(
         "id_a",
         "id_b",
