@@ -22,19 +22,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sql_to_dbsp_compiler_spark.queries import REGISTRY
 
 # Evidence rotation (VERDICT r2 #2, flipped to FRESHNESS in r7 per
-# VERDICT r6 item 3): the driver audits only the first 50 exported
-# names alphabetically. Rounds 1-6 rotated never-audited names into
-# the window until every oracled query had a green row (243/243 by
-# r6). From r7 the window re-exposes the 50 STALEST-green names —
-# ranked by the LAST round each name was driver-green (never-green
-# names first, then oldest green round, name tiebreak) — so driver
-# evidence stays fresh as the tree evolves instead of ossifying on
-# r1-r4 checks of code that has since changed. Window names export as
-# `a0_<name>` (sorts before every registry name), everything else as
-# `zz_<name>`; queries and oracles are byte-for-byte unchanged — only
-# the exported key rotates. The ranking derives from the
-# CORRECTNESS_r*.json files at import time, so the rotation advances
-# automatically every round with no manual list to maintain.
+# VERDICT r6 item 3, made CHURN-AWARE in r8 per VERDICT r7 item 1):
+# the driver audits only the first 50 exported names alphabetically.
+# Rounds 1-6 rotated never-audited names into the window until every
+# oracled query had a green row (243/243 by r6). From r7 the window
+# re-exposes the 50 stalest-green names. From r8 the ranking is:
+#   1. CHANGED queries first — names whose source fingerprint (the
+#      transitive closure hash from fingerprints.py, recorded at each
+#      name's last driver-green round in FINGERPRINTS.json) differs
+#      from the current tree's: these greens are evidence about OLD
+#      code, exactly the evidence most worth refreshing (r7 shipped
+#      the q21 single-scan rewrite on a two-rewrites-old green row).
+#      Among changed names: oldest green first, name tiebreak.
+#   2. Then never-green names, then stalest-green, name tiebreak —
+#      the r7 freshness ranking, draining the old-evidence backlog.
+# FINGERPRINTS.json is maintained by scripts/update_fingerprints.py,
+# run at ROUND START (when the tree still equals the previous round's
+# freeze, so just-greened names record exact fingerprints; older
+# rounds recover from git worktrees). A name whose green row is newer
+# than its recorded fingerprint round contributes no churn signal
+# (safe: it was just verified) — so a stale FINGERPRINTS.json
+# degrades to the pure r7 staleness ranking, never to wrong flags.
+# Window names export as `a0_<name>` (sorts before every registry
+# name), everything else as `zz_<name>`; queries and oracles are
+# byte-for-byte unchanged — only the exported key rotates. The
+# ranking derives from CORRECTNESS_r*.json + FINGERPRINTS.json at
+# import time, so the rotation advances automatically every round
+# with no manual list to maintain.
 # Four queries are pinned out of the window: they are rows-only BY
 # DESIGN (multimodal_decode: fake decode kernel, real libs absent;
 # approx_sketches: approximate by definition, property-tested bounds;
@@ -75,12 +89,47 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
+def _changed_since_green(last: dict[str, int]) -> set[str]:
+    """Names whose current source fingerprint differs from the one
+    recorded at their last driver-green round. Only names whose
+    record is AS FRESH as their latest green row count — an older
+    record can't tell churn from the re-green itself."""
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        recorded = json.load(open(os.path.join(here, "FINGERPRINTS.json")))[
+            "queries"
+        ]
+    except (OSError, ValueError, KeyError):  # pragma: no cover
+        return set()
+    from sql_to_dbsp_compiler_spark.fingerprints import fingerprint_registry
+
+    current = fingerprint_registry(REGISTRY)
+    return {
+        name
+        for name, rec in recorded.items()
+        if rec.get("fp")
+        and rec.get("round") == last.get(name)
+        and name in current
+        and current[name] != rec["fp"]
+    }
+
+
+def _rank(candidates: list[str], last: dict[str, int], changed: set[str]) -> list[str]:
+    """Churn-first ordering (VERDICT r7 #1): changed-since-green names
+    lead, then never-green, then stalest-green; name tiebreak."""
+    return sorted(
+        candidates, key=lambda n: (0 if n in changed else 1, last.get(n, -1), n)
+    )
+
+
 def _stale_window() -> set[str]:
     last = _last_green_round()
     candidates = [
         n for n, q in REGISTRY.items() if q.oracle and n not in _PINNED_NO_ORACLE
     ]
-    ranked = sorted(candidates, key=lambda n: (last.get(n, -1), n))
+    ranked = _rank(candidates, last, _changed_since_green(last))
     return set(ranked[:_WINDOW_SIZE])
 
 

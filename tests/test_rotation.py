@@ -37,17 +37,78 @@ def test_stale_ranking_prefers_never_green_then_oldest():
     m = _entry_mod()
     last = m._last_green_round()
     window = m._AUDIT_WINDOW
+    changed = m._changed_since_green(last)
     outside = {
         n
         for n, q in m.REGISTRY.items()
         if q.oracle and n not in m._PINNED_NO_ORACLE and n not in window
     }
-    # staleness dominance: every window name's last-green round is <=
-    # every outside name's (ties broken by name, checked loosely)
-    if window and outside:
-        max_in = max(last.get(n, -1) for n in window)
+    # churn dominance: every changed-since-green name is in the window
+    # (they rank above everything; fewer than the 50 slots exist)
+    if len(changed) <= len(window):
+        assert changed <= window, sorted(changed - window)
+    # staleness dominance among the UNCHANGED names: every unchanged
+    # window name's last-green round is <= every outside name's
+    unchanged_in = window - changed
+    if unchanged_in and outside:
+        max_in = max(last.get(n, -1) for n in unchanged_in)
         min_out = min(last.get(n, -1) for n in outside)
         assert max_in <= min_out
+
+
+def test_rank_puts_changed_first_then_never_green_then_stalest():
+    """Pure-function pin of the churn-first ordering (VERDICT r7 #1)."""
+    m = _entry_mod()
+    last = {"a_old": 1, "b_rewritten": 6, "c_fresh": 7, "d_rewritten_old": 2}
+    changed = {"b_rewritten", "d_rewritten_old"}
+    got = m._rank(
+        ["a_old", "b_rewritten", "c_fresh", "d_rewritten_old", "e_never"],
+        last,
+        changed,
+    )
+    # changed names lead (oldest green first), then never-green, then
+    # stalest-green, then freshest
+    assert got == ["d_rewritten_old", "b_rewritten", "e_never", "a_old", "c_fresh"]
+
+
+def test_fingerprints_json_is_fresh_and_covers_green_names():
+    """FINGERPRINTS.json must be maintained at round start
+    (scripts/update_fingerprints.py): every driver-green name needs a
+    record, and the file may lag the newest CORRECTNESS file by at
+    most one round (the driver writes CORRECTNESS_r{N} AFTER the
+    freeze, so the judge's run legitimately sees a one-round lag)."""
+    import json
+    import os
+
+    m = _entry_mod()
+    last = m._last_green_round()
+    data = json.load(open(os.path.join("/root/repo", "FINGERPRINTS.json")))
+    through = data["meta"]["through_round"]
+    max_round = max(last.values(), default=0)
+    assert through >= max_round - 1, (
+        f"FINGERPRINTS.json through_round={through} but CORRECTNESS files "
+        f"reach r{max_round}: run scripts/update_fingerprints.py"
+    )
+    missing = {n for n, r in last.items() if r <= through} - set(data["queries"])
+    assert not missing, f"green names without fingerprint record: {sorted(missing)}"
+
+
+def test_churned_r7_rewrites_are_in_the_r8_window():
+    """VERDICT r7 #1 'done' criterion: the three queries whose code
+    changed in r7 after their last driver-green round must lead the
+    next window. (This pin is evidence-data-dependent: once all three
+    re-green AND their fingerprints are re-recorded, churn clears and
+    the assertion body self-disables.)"""
+    m = _entry_mod()
+    last = m._last_green_round()
+    changed = m._changed_since_green(last)
+    for name in (
+        "tpch_q21_waiting_suppliers",
+        "y_window_distinct_count",
+        "y_program_merge",
+    ):
+        if name in changed:
+            assert name in m._AUDIT_WINDOW, name
 
 
 def test_export_prefix_strips_consistently():
