@@ -49,19 +49,19 @@ from sql_to_dbsp_compiler_spark.queries import REGISTRY
 # ranking derives from CORRECTNESS_r*.json + FINGERPRINTS.json at
 # import time, so the rotation advances automatically every round
 # with no manual list to maintain.
-# Four queries are pinned out of the window: they are rows-only BY
+# Three queries are pinned out of the window: they are rows-only BY
 # DESIGN (multimodal_decode: fake decode kernel, real libs absent;
 # approx_sketches: approximate by definition, property-tested bounds;
-# embedding_lsh_neardup: seeded float hyperplanes are engine-specific,
-# recall-tested vs the exact baseline; x_bpe_learn: iterative merge
-# loop, verified bit-exact against a pure-Python replica) — an audit
-# slot spent on them records `err: no_oracle` forever and displaces a
-# verifiable query.
+# x_bpe_learn: iterative merge loop, verified bit-exact against a
+# pure-Python replica) — an audit slot spent on them records
+# `err: no_oracle` forever and displaces a verifiable query.
+# embedding_lsh_neardup left this list in r8 (VERDICT r7 #3): its
+# hyperplanes are now persisted parquet and DuckDB recomputes the
+# full signature→band→Hamming→cosine cascade from them.
 
 _PINNED_NO_ORACLE = {
     "multimodal_decode",
     "approx_sketches",
-    "embedding_lsh_neardup",
     "x_bpe_learn",
 }
 _WINDOW_SIZE = 50
