@@ -644,20 +644,20 @@ def minhash_signatures_md5(
     return hp.select(F.col(id_col), F.array(*mins).alias("sig"))
 
 
-def lsh_candidate_pairs_md5(
+def banded_md5(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "sig",
     bands: int = 4,
-    max_bucket: int = 1000,
 ) -> DataFrame:
-    """LSH banding over md5-family signatures with an md5 band key
-    (md5 of the '|'-joined slice, elements rendered as decimal
-    strings) — same join-free bucket pairing as lsh_candidate_pairs,
-    reproducible in the oracle (DuckDB ``array_to_string``)."""
+    """The banding stage of :func:`lsh_candidate_pairs_md5` as a
+    standalone (id, band_id, band_hash) frame — exposed so pipelines
+    can PERSIST the banded table as standing state (incremental
+    corpus-delta dedup writes it bucketed by band key and joins each
+    day's delta against it instead of re-banding the corpus)."""
     sig_size = F.size(F.col(sig_col))
     rows = (sig_size / bands).cast("int")
-    banded = sig_df.select(
+    return sig_df.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -677,7 +677,86 @@ def lsh_candidate_pairs_md5(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs_md5(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding over md5-family signatures with an md5 band key
+    (md5 of the '|'-joined slice, elements rendered as decimal
+    strings) — same join-free bucket pairing as lsh_candidate_pairs,
+    reproducible in the oracle (DuckDB ``array_to_string``)."""
+    banded = banded_md5(sig_df, id_col, sig_col, bands)
     return _pairs_within_buckets(banded, ["band_id", "band_hash"], id_col, max_bucket)
+
+
+def delta_dedup_apply(
+    docs: DataFrame,
+    delta_docs: DataFrame,
+    buckets_state: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The APPLY phase of incremental corpus-delta dedup: shingle/
+    hash/band ONLY ``delta_docs``, join their bands against the
+    persisted standing-corpus bucket table ``buckets_state``
+    (id, band_id, band_hash), enumerate delta×corpus and delta×delta
+    candidates under the COMBINED hot-bucket cap (corpus members +
+    delta members ≤ max_bucket — identical to what one full-corpus
+    cascade would apply), then exact-Jaccard-verify candidates only.
+
+    Per-ingest cost is proportional to |delta| + |candidates|; the
+    standing corpus contributes a 3-column scan of the bucket table
+    (at 100 TB: written bucketed by (band_id, band_hash), so the join
+    is co-located) and per-candidate text lookups by id — it is never
+    re-shingled and its text is never reshuffled."""
+    keys = ["band_id", "band_hash"]
+    bands_d = banded_md5(
+        minhash_signatures_md5(delta_docs, id_col, text_col, num_hashes, shingle_n),
+        id_col,
+        bands=bands,
+    ).localCheckpoint(eager=False)
+
+    n_c = buckets_state.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_c"))
+    n_d = bands_d.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_d"))
+    live = (
+        n_c.join(n_d, keys, "full_outer")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col("n_c"), F.lit(0))
+                + F.coalesce(F.col("n_d"), F.lit(0))
+            ).alias("n_tot"),
+        )
+        .where((F.col("n_tot") >= 2) & (F.col("n_tot") <= max_bucket))
+        .select(*keys)
+    )
+    bands_d_live = bands_d.join(live, keys)
+
+    cross = (
+        bands_d_live.select(*keys, F.col(id_col).alias("__d"))
+        .join(buckets_state.select(*keys, F.col(id_col).alias("__c")), keys)
+        .select(
+            F.least("__d", "__c").alias("id_a"),
+            F.greatest("__d", "__c").alias("id_b"),
+        )
+    )
+    dd = _pairs_within_buckets(
+        bands_d_live, keys, id_col, max_bucket=2**31 - 1, dedup=False
+    )
+    cands = cross.unionByName(dd).distinct()
+    return jaccard_verify_candidates(
+        docs, cands, id_col, text_col, n=shingle_n, threshold=threshold
+    )
 
 
 def simhash_signatures_md5(

@@ -2036,3 +2036,127 @@ def y_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("in_degree")
     )
     return deg.orderBy(F.col("in_degree").desc(), "vec_id").limit(20)
+
+
+_DELTA_STATE_ROOT = "/root/repo/.artifacts/dedup_delta_state"
+
+
+@query(
+    "y_dedup_delta_apply",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM w
+    ),
+    hp AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % 2147483647 AS h1,
+               CAST(('0x' || substring(md5(shingle), 17, 15)) AS BIGINT)
+                   % 2147483647 AS h2
+        FROM sh
+    ),
+    hs AS (
+        SELECT doc_id, t.i, min((h1 + t.i * h2) % 2147483647) AS mn
+        FROM hp CROSS JOIN range(16) t(i)
+        GROUP BY doc_id, t.i
+    ),
+    sig AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM hs GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, b.b AS band_id,
+               md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '|')) AS band_hash
+        FROM sig CROSS JOIN range(4) b(b)
+        QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_hash) <= 1000
+    ),
+    -- the incremental apply must equal the FULL cascade restricted to
+    -- pairs touching a delta doc (doc_id % 8 = 0): corpus-vs-corpus
+    -- pairs were settled by the previous ingest
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM banded a JOIN banded c USING (band_id, band_hash)
+        WHERE a.doc_id < c.doc_id
+          AND (a.doc_id % 8 = 0 OR c.doc_id % 8 = 0)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(n_inter AS DOUBLE)
+               / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(n_inter AS DOUBLE)
+              / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def y_dedup_delta_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus-delta dedup (VERDICT r7 #7) — the production
+    ingest shape a daily crawl actually runs: new documents (the
+    delta, doc_id % 8 = 0 here) are deduped against a STANDING corpus
+    whose MinHash signatures and banded buckets were persisted by the
+    previous ingest. ONLY the delta is shingled/hashed/banded; the
+    corpus contributes a persisted (doc_id, band_id, band_hash) table
+    that the delta's bands equi-join. This is the batch complement of
+    streaming_lsh_neardup, and the 100 TB path: per-day compute is
+    proportional to |delta| plus the candidate set, while the corpus
+    costs one lean 3-column scan of the bucket table (at scale,
+    written BUCKETED BY (band_id, band_hash) so the join is
+    co-located and file-pruned — never re-shingled, never reshuffled).
+
+    Semantics pinned to the full cascade: the oracle runs the WHOLE
+    corpus through MinHash(16)+LSH(4x4, md5 family) + exact-Jaccard
+    verify at 0.5 and keeps pairs touching a delta doc — the
+    incremental apply must reproduce it exactly, including the
+    combined hot-bucket cap (corpus members + delta members <= 1000,
+    computed from the persisted bucket sizes without touching corpus
+    text). Standing state is built once per (sf_dir, corpus rowcount)
+    and reused across runs — rebuilding it every run would silently
+    re-pay the full-corpus cost this operator exists to avoid."""
+    import json as _json
+    import os as _os
+
+    from sql_to_dbsp_compiler_spark.llm.dedup import (
+        banded_md5,
+        delta_dedup_apply,
+        minhash_signatures_md5,
+    )
+    from sql_to_dbsp_compiler_spark.sources.tables import rowcount
+
+    d = load_table(spark, sf_dir, "documents")
+    is_delta = (F.col("doc_id") % 8) == 0
+    state_dir = f"{_DELTA_STATE_ROOT}/{_os.path.basename(sf_dir.rstrip('/'))}"
+    marker = f"{state_dir}/marker.json"
+
+    n_docs = rowcount(d)
+    fresh = False
+    try:
+        fresh = _json.load(open(marker))["n_docs"] == n_docs
+    except (OSError, ValueError, KeyError):
+        fresh = False
+    if not fresh:
+        # "previous ingest": signatures + banded buckets of the
+        # standing corpus, persisted. Signatures are written first and
+        # the bucket table derives from the PERSISTED sigs, so both
+        # state tables are consistent snapshots of one computation.
+        corpus = d.where(~is_delta)
+        sigs_c = minhash_signatures_md5(corpus, "doc_id", "text", 16, 3)
+        sigs_c.write.mode("overwrite").parquet(f"{state_dir}/sigs")
+        banded_md5(spark.read.parquet(f"{state_dir}/sigs")).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/buckets")
+        _os.makedirs(state_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            _json.dump({"n_docs": n_docs}, fh)
+
+    buckets_c = spark.read.parquet(f"{state_dir}/buckets")
+    return delta_dedup_apply(d, d.where(is_delta), buckets_c, threshold=0.5)

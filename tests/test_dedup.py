@@ -302,3 +302,95 @@ def test_prefix_jaccard_equals_bruteforce_across_thresholds(spark):
         assert got == want, (
             f"t={t}: missing={sorted(want - got)[:5]} extra={sorted(got - want)[:5]}"
         )
+
+
+def test_delta_dedup_apply_equals_full_cascade(spark):
+    """Incremental corpus-delta dedup (VERDICT r7 #7): building
+    standing state from the corpus and applying only the delta must
+    reproduce EXACTLY the full-corpus cascade's verified pairs
+    restricted to pairs touching a delta doc — including the combined
+    hot-bucket cap. Pure engine-side pin (the DuckDB oracle pins the
+    same equivalence at sf0.01 through the driver gate)."""
+    import random
+
+    from sql_to_dbsp_compiler_spark.llm.dedup import (
+        banded_md5,
+        delta_dedup_apply,
+        jaccard_verify_candidates,
+        lsh_candidate_pairs_md5,
+        minhash_signatures_md5,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(88)
+    vocab = [f"tok{i}" for i in range(40)]
+    docs = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(8, 20))]
+        docs.append((i, " ".join(words)))
+        if rng.random() < 0.5:  # near-duplicate of doc i, lands in
+            mutated = list(words)  # EITHER side of the %8 split
+            for _ in range(rng.randint(0, 2)):
+                mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+            docs.append((100 + i, " ".join(mutated)))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    is_delta = (F.col("doc_id") % 8) == 0
+
+    # full cascade, restricted to delta-involving pairs
+    sigs = minhash_signatures_md5(d, "doc_id", "text", 16, 3)
+    cands_full = lsh_candidate_pairs_md5(sigs, "doc_id", "sig", bands=4)
+    full = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in jaccard_verify_candidates(
+            d, cands_full, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+        if r.id_a % 8 == 0 or r.id_b % 8 == 0
+    }
+
+    # incremental: state from the corpus, apply the delta
+    buckets = banded_md5(
+        minhash_signatures_md5(d.where(~is_delta), "doc_id", "text", 16, 3)
+    )
+    inc = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in delta_dedup_apply(
+            d, d.where(is_delta), buckets, threshold=0.5
+        ).collect()
+    }
+    assert inc == full, (
+        f"missing={sorted(full - inc)[:5]} extra={sorted(inc - full)[:5]}"
+    )
+
+
+def test_delta_dedup_apply_combined_bucket_cap(spark):
+    """The combined hot-bucket cap must count corpus + delta members:
+    a bucket whose TOTAL size exceeds max_bucket yields no pairs even
+    when each side alone is under the cap (what one full-corpus
+    cascade with the same cap would do)."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import (
+        banded_md5,
+        delta_dedup_apply,
+        minhash_signatures_md5,
+    )
+    from pyspark.sql import functions as F
+
+    # identical text -> identical signature -> one bucket per band
+    docs = [(i, "alpha beta gamma delta epsilon zeta") for i in range(12)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    is_delta = (F.col("doc_id") % 8) == 0  # ids 0 and 8
+    buckets = banded_md5(
+        minhash_signatures_md5(d.where(~is_delta), "doc_id", "text", 16, 3)
+    )
+    # total bucket size 12 (10 corpus + 2 delta): cap 11 kills it...
+    capped = delta_dedup_apply(
+        d, d.where(is_delta), buckets, threshold=0.5, max_bucket=11
+    )
+    assert capped.count() == 0
+    # ...cap 12 admits it, and every delta-involving identical pair
+    # verifies at jaccard 1.0
+    open_ = delta_dedup_apply(
+        d, d.where(is_delta), buckets, threshold=0.5, max_bucket=12
+    )
+    rows = open_.collect()
+    assert len(rows) == 21  # pairs touching {0, 8}: 2*10 cross + 1 dd
+    assert all(r.jaccard == 1.0 for r in rows)
