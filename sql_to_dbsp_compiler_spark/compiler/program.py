@@ -359,6 +359,50 @@ _MERGE_SUBQ_TAIL_RE = re.compile(
 )
 
 
+def _dq_to_backtick(sql: str) -> str:
+    """SQL-standard double-quoted identifiers → Spark backticks, so
+    mutation expressions (MERGE ON conditions, clause guards, SET
+    values — VERDICT r7 #8) accept quoted identifiers: Spark's
+    default parser reads ``"k"`` as a STRING LITERAL, silently
+    comparing against the letter k instead of the column.
+    Single-quoted literals pass through verbatim (with ``''``
+    escapes); ``""`` inside a quoted identifier escapes one double
+    quote; backticks inside an identifier are doubled for Spark."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif c == '"':
+            j = i + 1
+            ident: list[str] = []
+            while j < n:
+                if sql[j] == '"' and j + 1 < n and sql[j + 1] == '"':
+                    ident.append('"')
+                    j += 2
+                    continue
+                if sql[j] == '"':
+                    break
+                ident.append(sql[j])
+                j += 1
+            out.append("`" + "".join(ident).replace("`", "``") + "`")
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _parse_set_items(sets_sql: str) -> tuple[tuple[str, str], ...]:
     assigns = []
     for item in _split_top_level_commas(sets_sql):
@@ -367,7 +411,9 @@ def _parse_set_items(sets_sql: str) -> tuple[tuple[str, str], ...]:
         )
         if not am:
             raise ValueError(f"malformed MERGE SET item: {item[:60]!r}")
-        assigns.append((_ident(am.group("col")), am.group("expr").strip()))
+        assigns.append(
+            (_ident(am.group("col")), _dq_to_backtick(am.group("expr").strip()))
+        )
     return tuple(assigns)
 
 
@@ -438,7 +484,7 @@ def _parse_merge(stmt: str) -> "MergeDef | None":
     when_positions = _keyword_positions(tail, "WHEN")
     if not on_positions or not when_positions or on_positions[0] > when_positions[0]:
         raise ValueError(f"MERGE needs ON <cond> before WHEN clauses: {tail[:60]!r}")
-    on_sql = tail[on_positions[0] + 2 : when_positions[0]].strip()
+    on_sql = _dq_to_backtick(tail[on_positions[0] + 2 : when_positions[0]].strip())
     matched: list[tuple[str | None, object]] = []
     not_matched: list[tuple[str | None, tuple[str, ...] | None, tuple[str, ...]]] = []
     by_source: list[tuple[str | None, object]] = []
@@ -449,25 +495,25 @@ def _parse_merge(stmt: str) -> "MergeDef | None":
         if cm:
             pred = cm.group("pred")
             by_source.append(
-                (pred.strip() if pred else None, _parse_set_items(cm.group("sets")))
+                (_dq_to_backtick(pred.strip()) if pred else None, _parse_set_items(cm.group("sets")))
             )
             continue
         cm = _WHEN_BYSRC_DELETE_RE.match(clause)
         if cm:
             pred = cm.group("pred")
-            by_source.append((pred.strip() if pred else None, "delete"))
+            by_source.append((_dq_to_backtick(pred.strip()) if pred else None, "delete"))
             continue
         cm = _WHEN_UPDATE_RE.match(clause)
         if cm:
             pred = cm.group("pred")
             matched.append(
-                (pred.strip() if pred else None, _parse_set_items(cm.group("sets")))
+                (_dq_to_backtick(pred.strip()) if pred else None, _parse_set_items(cm.group("sets")))
             )
             continue
         cm = _WHEN_DELETE_RE.match(clause)
         if cm:
             pred = cm.group("pred")
-            matched.append((pred.strip() if pred else None, "delete"))
+            matched.append((_dq_to_backtick(pred.strip()) if pred else None, "delete"))
             continue
         cm = _WHEN_INSERT_RE.match(clause)
         if cm:
@@ -475,9 +521,9 @@ def _parse_merge(stmt: str) -> "MergeDef | None":
             cols = cm.group("cols")
             not_matched.append(
                 (
-                    pred.strip() if pred else None,
+                    _dq_to_backtick(pred.strip()) if pred else None,
                     tuple(_ident(c) for c in cols.split(",")) if cols else None,
-                    tuple(v.strip() for v in _split_top_level_commas(cm.group("vals"))),
+                    tuple(_dq_to_backtick(v.strip()) for v in _split_top_level_commas(cm.group("vals"))),
                 )
             )
             continue

@@ -3275,3 +3275,36 @@ def test_merge_self_referencing_subquery_sees_pre_state(spark):
         tuple(r) for r in inc.snapshot("o").to_multiset_df().collect()
     )
     assert got_i == want, got_i
+
+
+def test_merge_cardinality_violation_with_by_source_clauses(spark):
+    """VERDICT r7 #8: NOT MATCHED BY SOURCE clauses mixed into a
+    statement whose MATCHED clause is cardinality-violating must not
+    mask the violation — BOTH frontends still raise (batch: lazy
+    raise_error at action time; statement protocol: eager ValueError
+    at the offending step), and the by-source rewrite never applies."""
+    import pytest as _pytest
+    from pyspark.errors import PySparkException
+
+    from sql_to_dbsp_compiler_spark.compiler.program import (
+        IncrementalProgram,
+        compile_batch,
+    )
+
+    ddl = (
+        "CREATE TABLE t(id INTEGER, v INTEGER);\n"
+        "CREATE VIEW out AS SELECT id, v FROM t;\n"
+    )
+    stmts = (
+        "INSERT INTO t VALUES (1, 10), (2, 20);\n"
+        "MERGE INTO t USING (VALUES (1, 1), (1, 2)) AS s(id, d)\n"
+        "    ON t.id = s.id\n"
+        "    WHEN MATCHED THEN UPDATE SET v = t.v + s.d\n"
+        "    WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0;\n"
+    )
+    with _pytest.raises((ValueError, PySparkException), match="cardinality"):
+        compile_batch(spark, ddl + stmts)["out"].collect()
+
+    inc = IncrementalProgram(spark, ddl, optimize=True)
+    with _pytest.raises(ValueError, match="cardinality"):
+        inc.step_statements(stmts)

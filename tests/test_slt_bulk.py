@@ -440,3 +440,166 @@ def test_slt_statement_protocol_merge_subquery_and_by_source(spark):
             fails.append(f"{name} ({sql[:60]}...): spark={got[:3]} duck={want[:3]}")
     con.close()
     assert not fails, f"{len(fails)} divergences:\n" + "\n".join(fails[:8])
+
+
+_WF_SUBQ = (
+    "SELECT k2, a2 FROM (SELECT id AS k2, a AS a2, "
+    "ROW_NUMBER() OVER (ORDER BY a DESC NULLS LAST, id) AS rn FROM t) "
+    "WHERE rn <= 3"
+)
+_WF_MERGE = (
+    f"MERGE INTO u USING ({_WF_SUBQ}) AS s "
+    'ON "u"."k" = s.k2 '
+    'WHEN MATCHED AND s.a2 > 10 THEN UPDATE SET "v" = u.v + s.a2 '
+    "WHEN MATCHED THEN DELETE "
+    "WHEN NOT MATCHED AND s.k2 % 2 = 0 THEN INSERT VALUES (s.k2, s.a2, 'wf') "
+    'WHEN NOT MATCHED BY SOURCE AND "u"."v" >= 20 THEN UPDATE SET tag = \'bs\';'
+)
+
+
+def _wf_merge_duck_mirror(con) -> None:
+    """The standard's decomposition of _WF_MERGE executed natively in
+    DuckDB against a pre-state snapshot (first-match-wins: the DELETE
+    fires only when the first clause's guard is FALSE or UNKNOWN)."""
+    con.execute(f"CREATE OR REPLACE TEMP TABLE s_src AS {_WF_SUBQ}")
+    con.execute("CREATE OR REPLACE TEMP TABLE pre AS SELECT * FROM u")
+    con.execute(
+        "UPDATE u SET v = u.v + s.a2 FROM s_src s "
+        "WHERE u.k = s.k2 AND s.a2 > 10"
+    )
+    con.execute(
+        "DELETE FROM u USING s_src s "
+        "WHERE u.k = s.k2 AND (s.a2 > 10) IS NOT TRUE"
+    )
+    con.execute(
+        "UPDATE u SET tag = 'bs' WHERE v >= 20 "
+        "AND NOT EXISTS (SELECT 1 FROM s_src s WHERE s.k2 = u.k)"
+    )
+    con.execute(
+        "INSERT INTO u SELECT k2, a2, 'wf' FROM s_src s "
+        "WHERE s.k2 % 2 = 0 "
+        "AND NOT EXISTS (SELECT 1 FROM pre p WHERE p.k = s.k2)"
+    )
+
+
+def test_slt_statement_protocol_merge_window_subquery_quoted_on(spark):
+    """VERDICT r7 #8 shapes through the statement-protocol × SLT gate:
+    a MERGE whose SUBQUERY source contains a WINDOW FUNCTION
+    (ROW_NUMBER top-3 — the CDC 'latest/ranked slice' shape) and whose
+    ON / guards / SET use double-QUOTED identifiers, mixed with a NOT
+    MATCHED BY SOURCE clause. The identical transaction runs natively
+    in DuckDB (standard's decomposition) and every generated SLT view
+    snapshot is re-compared."""
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+    from sql_to_dbsp_compiler_spark.compiler.slt import _row_key
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+
+    con = duckdb.connect()
+    make_fixture(spark, con)
+    stmts = slt_statements(seed=31)
+    views = {f"v{i}": sql for i, sql in enumerate(stmts)}
+    ddl = (
+        "CREATE TABLE t(id INTEGER, a INTEGER, b INTEGER, s VARCHAR(20), "
+        "d DOUBLE, ts TIMESTAMP);\n"
+        "CREATE TABLE u(k INTEGER, v INTEGER, tag VARCHAR(5));\n"
+        + "\n".join(
+            f"CREATE VIEW {n} AS {to_spark_dialect(sql)};" for n, sql in views.items()
+        )
+    )
+    inc = IncrementalProgram(spark, ddl, optimize=True, checkpoint_every=1)
+    inc.step({
+        "t": ZSet(spark.createDataFrame(
+            [(*r, 1) for r in T_ROWS],
+            "id int, a int, b int, s string, d double, ts timestamp, __weight long",
+        )),
+        "u": ZSet(spark.createDataFrame(
+            [(*r, 1) for r in U_ROWS], "k int, v int, tag string, __weight long"
+        )),
+    })
+    inc.step_statements(_WF_MERGE)
+    _wf_merge_duck_mirror(con)
+
+    fails = []
+    for name, sql in views.items():
+        got = sorted(
+            (tuple(r) for r in inc.snapshot(name).to_multiset_df().collect()),
+            key=_row_key,
+        )
+        want = sorted(
+            (tuple(r) for r in con.execute(to_duck_dialect(sql)).fetchall()),
+            key=_row_key,
+        )
+        if got != want:
+            fails.append(f"{name} ({sql[:60]}...): spark={got[:3]} duck={want[:3]}")
+    con.close()
+    assert not fails, f"{len(fails)} divergences:\n" + "\n".join(fails[:8])
+
+
+def test_slt_dual_engine_merge_window_subquery_batch(spark):
+    """The same r7-#8 MERGE through the BATCH frontend (compile_batch,
+    dual-engine): the post-merge table contents must equal DuckDB's
+    native decomposition row-for-row, and equal the statement-protocol
+    frontend's snapshot — three engines, one answer."""
+    from sql_to_dbsp_compiler_spark.compiler.program import (
+        IncrementalProgram,
+        compile_batch,
+    )
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+
+    con = duckdb.connect()
+    make_fixture(spark, con)
+    u_vals = ", ".join(
+        "(%s, %s, %s)" % (
+            k,
+            "NULL" if v is None else v,
+            "NULL" if tag is None else f"'{tag}'",
+        )
+        for k, v, tag in U_ROWS
+    )
+    prog = (
+        "CREATE TABLE t(id INTEGER, a INTEGER, b INTEGER, s VARCHAR(20), "
+        "d DOUBLE, ts TIMESTAMP);\n"
+        "CREATE TABLE u(k INTEGER, v INTEGER, tag VARCHAR(5));\n"
+        "CREATE VIEW u_out AS SELECT k, v, tag FROM u;\n"
+        f"INSERT INTO u VALUES {u_vals};\n" + _WF_MERGE
+    )
+    t_df = spark.createDataFrame(
+        T_ROWS, "id int, a int, b int, s string, d double, ts timestamp"
+    )
+    got = sorted(
+        (tuple(r) for r in compile_batch(spark, prog, sources={"t": t_df})["u_out"].collect()),
+        key=lambda r: (r[0] is None, r[0]),
+    )
+    _wf_merge_duck_mirror(con)
+    want = sorted(
+        (tuple(r) for r in con.execute("SELECT k, v, tag FROM u").fetchall()),
+        key=lambda r: (r[0] is None, r[0]),
+    )
+    con.close()
+    assert got == want, f"batch={got} duck={want}"
+
+    # third engine: the statement-protocol frontend on the same data
+    inc = IncrementalProgram(
+        spark,
+        "CREATE TABLE t(id INTEGER, a INTEGER, b INTEGER, s VARCHAR(20), "
+        "d DOUBLE, ts TIMESTAMP);\n"
+        "CREATE TABLE u(k INTEGER, v INTEGER, tag VARCHAR(5));\n"
+        "CREATE VIEW u_out AS SELECT k, v, tag FROM u;\n",
+        optimize=True,
+        checkpoint_every=1,
+    )
+    inc.step({
+        "t": ZSet(spark.createDataFrame(
+            [(*r, 1) for r in T_ROWS],
+            "id int, a int, b int, s string, d double, ts timestamp, __weight long",
+        )),
+        "u": ZSet(spark.createDataFrame(
+            [(*r, 1) for r in U_ROWS], "k int, v int, tag string, __weight long"
+        )),
+    })
+    inc.step_statements(_WF_MERGE)
+    got_inc = sorted(
+        (tuple(r) for r in inc.snapshot("u_out").to_multiset_df().collect()),
+        key=lambda r: (r[0] is None, r[0]),
+    )
+    assert got_inc == want, f"stmts={got_inc} duck={want}"
