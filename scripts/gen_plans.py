@@ -138,6 +138,49 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         " cost scales with the candidate set, not all shingle-sharing"
         " pairs.",
     ),
+    (
+        "tpch_q21_waiting_suppliers",
+        "tpch_q21_waiting_suppliers",
+        "r7 single-scan rewrite of the EXISTS/NOT-EXISTS double"
+        " correlation: ONE lineitem scan feeds a per-order"
+        " collect_set window (state bounded by suppliers-per-order),"
+        " the distinct-late-supplier-count==1 encoding replaces both"
+        " correlated subqueries, and the window REUSES the join's"
+        " orderkey partitioning — no Exchange between join and"
+        " Window, ≤3 Exchanges total, one pinned SortMergeJoin"
+        " (test_plan_quality.py:35). 10× anchor 1.3×.",
+    ),
+    (
+        "y_source_drift_psi",
+        "y_source_drift_psi",
+        "Per-source PSI drift (r7): dense source×band grid built by"
+        " a broadcast cross join of two tiny aggregates; exact"
+        " integer counts; round-then-ln keeps the fold"
+        " parallelism-stable; one map-side-combined aggregate per"
+        " input pass, scan-bound at scale. Explicit FLOOR pins the"
+        " double→int cast divergence found between DuckDB and Spark.",
+    ),
+    (
+        "y_dedup_delta_apply",
+        "y_dedup_delta_apply",
+        "Incremental corpus-delta dedup (r8): only the delta is"
+        " shingled/hashed/banded; the standing corpus contributes a"
+        " persisted 3-column bucket table equi-joined on the band"
+        " key (at scale: bucketed by (band_id, band_hash), so"
+        " co-located and file-pruned). Combined hot-bucket cap"
+        " reproduces the full cascade's; verify joins candidates"
+        " only. Fixed-delta anchor: 2.1× at 100× corpus.",
+    ),
+    (
+        "embedding_lsh_neardup",
+        "embedding_lsh_neardup",
+        "SRP-LSH cascade, fully ORACLED since r8 via persisted"
+        " hyperplanes: numpy Arrow-batched signatures, 16×4-bit"
+        " banding, in-bucket 256-bit Hamming prefilter (popcount"
+        " inside the codegen'd bucket row — random collisions die"
+        " before any pair is shuffled), exact cosine verify on"
+        " survivors. Candidate-bound, never all-pairs.",
+    ),
 ]
 
 STATIC = """\
