@@ -592,3 +592,54 @@ def test_source_drift_psi_scan_bound(spark, sf_dir):
     plan = _plan(spark, sf_dir, "y_source_drift_psi")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "partial" in plan
+
+
+def test_dedup_delta_apply_delta_bound_plan(spark, sf_dir):
+    """y_dedup_delta_apply: the apply plan must be delta-bound — the
+    corpus text is NEVER re-shingled wholesale. documents.parquet
+    appears at most twice (the delta scan + the candidate-id verify
+    semi-join); the standing state is read as the lean 3-column bucket
+    table (never a text column); no Python, no product joins."""
+    plan = _plan(spark, sf_dir, "y_dedup_delta_apply")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly the delta scan + the candidate-id verify scan; the
+    # candidate stage (which reads the persisted bucket table, never
+    # corpus text) sits behind the verify's lazy localCheckpoint
+    # boundary, so a third documents scan can never hide there
+    assert plan.count("documents.parquet") <= 2, plan.count("documents.parquet")
+
+    # the candidate stage itself: standing state read as the lean
+    # 3-column bucket table — corpus text absent by construction
+    from pyspark.sql import functions as F
+
+    from sql_to_dbsp_compiler_spark.llm.dedup import banded_md5, minhash_signatures_md5
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    buckets = spark.read.parquet(
+        f"/root/repo/.artifacts/dedup_delta_state/{sf_dir.rstrip('/').split('/')[-1]}/buckets"
+    )
+    bands_d = banded_md5(
+        minhash_signatures_md5(d.where((F.col("doc_id") % 8) == 0), "doc_id", "text", 16, 3)
+    )
+    cand_plan = spark._jvm.PythonSQLUtils.explainString(
+        bands_d.join(buckets.withColumnRenamed("doc_id", "cid"), ["band_id", "band_hash"])
+        ._jdf.queryExecution(),
+        "formatted",
+    )
+    for line in cand_plan.splitlines():
+        if "dedup_delta_state" in line and "ReadSchema" in line:
+            assert "text" not in line, line
+    assert cand_plan.count("documents.parquet") == 1  # the delta only
+
+
+def test_embedding_lsh_neardup_candidate_bound_plan(spark, sf_dir):
+    """embedding_lsh_neardup (oracled r8): the exact-cosine verify
+    joins candidate ids only — no all-pairs product over the corpus;
+    the signature matmul is the one Arrow-batched stage."""
+    plan = _plan(spark, sf_dir, "embedding_lsh_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-batched, never row-Python
