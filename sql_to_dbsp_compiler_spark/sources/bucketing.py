@@ -18,17 +18,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(
-    df: DataFrame, table: str, bucket_col: str, num_buckets: int = 16, sort: bool = True
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort: bool = True,
+    extra_cols: "tuple[str, ...] | list[str]" = (),
 ) -> None:
+    """``extra_cols`` extends the bucketing (and sort) key beyond the
+    leading column — e.g. the dedup standing state buckets by
+    (band_id, band_hash) so a delta's band join is co-located."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # an orphaned managed-table location (e.g. from a previous session
     # with a fresh in-memory catalog) blocks re-creation — clear it
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
-    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col, *extra_cols)
     if sort:
-        w = w.sortBy(bucket_col)
+        w = w.sortBy(bucket_col, *extra_cols)
     w.saveAsTable(table)
 
 

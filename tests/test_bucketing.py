@@ -33,3 +33,55 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         "o_orderkey", "l_linenumber", "o_totalprice", "l_quantity"
     )
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_delta_dedup_state_bucketed_join_no_state_shuffle(spark, sf_dir):
+    """The y_dedup_delta_apply 100 TB layout, made real: the standing
+    bucket table written BUCKETED BY (band_id, band_hash). Joining a
+    day's delta bands against it shuffles ONLY the delta side — the
+    state side reads bucket-aligned with no Exchange — and the
+    candidate pairs equal the plain-parquet join's exactly."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import banded_md5, minhash_signatures_md5
+    from sql_to_dbsp_compiler_spark.sources.bucketing import read_table, write_bucketed
+
+    d = load_table(spark, sf_dir, "documents")
+    is_delta = (F.col("doc_id") % 8) == 0
+    state = banded_md5(
+        minhash_signatures_md5(d.where(~is_delta), "doc_id", "text", 16, 3)
+    ).withColumnRenamed("doc_id", "corpus_id")
+    write_bucketed(state, "dedup_state_b", "band_id", 8, extra_cols=["band_hash"])
+    state_b = read_table(spark, "dedup_state_b")
+
+    bands_d = banded_md5(
+        minhash_signatures_md5(d.where(is_delta), "doc_id", "text", 16, 3)
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bands_d.join(state_b, ["band_id", "band_hash"]).select(
+            "doc_id", "corpus_id", "band_id"
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        plain = bands_d.join(state, ["band_id", "band_hash"]).select(
+            "doc_id", "corpus_id", "band_id"
+        )
+        plain_plan = spark._jvm.PythonSQLUtils.explainString(
+            plain._jdf.queryExecution(), "formatted"
+        )
+        # the state side reads shuffle-free: strictly fewer Exchanges
+        # than the plain-relation join (which recomputes AND shuffles
+        # the state side), and the tree shows the bucketed scan feeding
+        # its Sort directly with no Exchange between
+        n_b = plan.count("Exchange (")
+        n_p = plain_plan.count("Exchange (")
+        assert n_b < n_p, f"bucketed={n_b} plain={n_p}\n{plan}"
+        tree = plan.split("\n\n")[0].splitlines()
+        scan_i = next(i for i, l in enumerate(tree) if "dedup_state_b" in l)
+        assert "Sort" in tree[scan_i - 1] and "Exchange" not in tree[scan_i - 1], plan
+        got = sorted(map(tuple, joined.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    assert got == sorted(map(tuple, plain.collect()))
