@@ -445,6 +445,27 @@ def ivf_topk(
         centroids, assigned = ivf_train_kmeans(corpus, nlist, id_col=id_col, vec_col=vec_col)
     else:
         centroids, assigned = ivf_assign(corpus, nlist, id_col, vec_col)
+    return ivf_search_assigned(
+        assigned, centroids, queries, k, nprobe, id_col, vec_col, query_id_col
+    )
+
+
+def ivf_search_assigned(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The SEARCH stage of IVF over a pre-assigned index
+    (id, vec, centroid_id): probe routing by broadcast cosine-argmax,
+    bucket equi-join, exact rerank. Split out of :func:`ivf_topk` so
+    an index maintained INCREMENTALLY (persisted standing assignment +
+    per-ingest delta assignment — y_ann_delta_ingest) searches through
+    the identical plan as a freshly-built one."""
     q = queries.select(F.col(query_id_col), as_double_array(F.col(vec_col)).alias("qvec"))
     probes = topk_per_group(
         q.crossJoin(F.broadcast(centroids)).select(

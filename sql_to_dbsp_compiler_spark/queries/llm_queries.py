@@ -2160,3 +2160,116 @@ def y_dedup_delta_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     buckets_c = spark.read.parquet(f"{state_dir}/buckets")
     return delta_dedup_apply(d, d.where(is_delta), buckets_c, threshold=0.5)
+
+
+_ANN_DELTA_STATE = "/root/repo/.artifacts/ann_delta_state"
+
+
+@query(
+    "y_ann_delta_ingest",
+    oracle=f"""
+    WITH cent AS (
+        -- pinned to the sf0.01 state: the oracle gate runs at sf0.01
+        -- only, and a wildcard would mix in other scales' cached
+        -- states once a bench run creates them
+        SELECT centroid_id, CAST(cvec AS DOUBLE[]) AS cvec
+        FROM read_parquet('{_ANN_DELTA_STATE}/sf0.01/_centroids/*.parquet')
+    ),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id >= 10),
+    assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT c.vec_id, c.v, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, ct.cvec) DESC,
+                                ct.centroid_id) AS r
+            FROM corpus c CROSS JOIN cent ct
+        ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 10),
+    probes AS (
+        SELECT query_id, qv, centroid_id FROM (
+            SELECT q.query_id, q.qv, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, ct.cvec) DESC,
+                                ct.centroid_id) AS r
+            FROM q CROSS JOIN cent ct
+        ) WHERE r <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id, list_cosine_similarity(p.qv, a.v) AS sim
+        FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+    )
+    SELECT query_id, vec_id, sim, rn FROM (
+        SELECT query_id, vec_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("llm", "similarity", "incremental"),
+)
+def y_ann_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index ingest (r8) — the embedding-side
+    complement of y_dedup_delta_apply: new vectors (vec_id % 8 = 0)
+    are routed into a STANDING IVF index (k-means centroids + corpus
+    assignment persisted by the previous ingest) via one broadcast
+    cosine-argmax over the delta ONLY — no retraining, no corpus
+    re-assignment, ingest cost ∝ |delta| and independent of index
+    size. The search then runs over the merged assignment through
+    the identical plan as a freshly-built index
+    (ivf_search_assigned).
+
+    The oracle pins incremental == full: assignment is a per-vector
+    argmax over the persisted centroids, so DuckDB recomputing the
+    WHOLE corpus's assignment from the shared float64 centroid table
+    must reproduce the merged index exactly, and the probe/rerank
+    math on top of it (cosine folds are sequential on both engines,
+    hence bit-identical). Standing state is cached per
+    (sf_dir, rowcount) like the dedup delta state; at 100 TB the
+    assigned table is the centroid_id-partitioned IVF store
+    (ivf_write_store) and the delta appends new files into probed
+    partitions."""
+    import json as _json
+    import os as _os
+
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        ivf_assign_to,
+        ivf_search_assigned,
+        ivf_train_kmeans,
+    )
+    from sql_to_dbsp_compiler_spark.sources.tables import rowcount
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 10)
+    is_delta = (F.col("vec_id") % 8) == 0
+    state_dir = f"{_ANN_DELTA_STATE}/{_os.path.basename(sf_dir.rstrip('/'))}"
+    marker = f"{state_dir}/marker.json"
+
+    n_vecs = rowcount(e)
+    fresh = False
+    try:
+        fresh = _json.load(open(marker))["n_vecs"] == n_vecs
+    except (OSError, ValueError, KeyError):
+        fresh = False
+    if not fresh:
+        # previous ingest: k-means over the STANDING corpus only (the
+        # delta did not exist yet), centroids + assignment persisted
+        centroids, assigned = ivf_train_kmeans(
+            corpus.where(~is_delta), nlist=16
+        )
+        centroids.write.mode("overwrite").parquet(f"{state_dir}/_centroids")
+        assigned.write.mode("overwrite").parquet(f"{state_dir}/assigned")
+        _os.makedirs(state_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            _json.dump({"n_vecs": n_vecs}, fh)
+
+    cent = spark.read.parquet(f"{state_dir}/_centroids")
+    standing = spark.read.parquet(f"{state_dir}/assigned")
+    delta_assigned = ivf_assign_to(corpus.where(is_delta), cent)
+    merged = standing.unionByName(delta_assigned)
+    return ivf_search_assigned(merged, cent, queries, k=5, nprobe=4)

@@ -306,3 +306,39 @@ def test_pq_trained_codebooks_recall_beats_headinit(spark, sf_correct_dir):
     r_trained, r_head = recall(trained), recall(head)
     assert r_trained >= 0.5, r_trained
     assert r_trained >= r_head - 0.05, (r_trained, r_head)
+
+
+def test_ann_delta_ingest_equals_full_index(spark, sf_dir):
+    """y_ann_delta_ingest: assigning ONLY the delta against the
+    standing centroids and searching the merged assignment must equal
+    assigning the whole corpus from the same centroids (per-vector
+    argmax is independent), through the identical search plan."""
+    from pyspark.sql import functions as F
+
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        ivf_assign_to,
+        ivf_search_assigned,
+        ivf_train_kmeans,
+    )
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = e.where(F.col("vec_id") >= 10)
+    is_delta = (F.col("vec_id") % 8) == 0
+    cent, standing = ivf_train_kmeans(corpus.where(~is_delta), nlist=16)
+    merged = standing.unionByName(ivf_assign_to(corpus.where(is_delta), cent))
+    inc = sorted(
+        map(tuple, ivf_search_assigned(merged, cent, queries, k=5, nprobe=4).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            ivf_search_assigned(
+                ivf_assign_to(corpus, cent), cent, queries, k=5, nprobe=4
+            ).collect(),
+        )
+    )
+    assert inc == full
