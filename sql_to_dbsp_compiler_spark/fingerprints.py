@@ -33,6 +33,7 @@ rare in this codebase; the staleness ranking still backstops it.
 from __future__ import annotations
 
 import hashlib
+import importlib
 import inspect
 
 _PKG = "sql_to_dbsp_compiler_spark"
@@ -105,6 +106,24 @@ def _expand(obj) -> tuple[tuple[str, str] | None, tuple[object, ...]]:
         for name in names:
             mod = g.get(name)
             if inspect.ismodule(mod) and _in_pkg(mod.__name__):
+                for attr in names:
+                    member = getattr(mod, attr, None)
+                    if member is not None:
+                        children.append(member)
+        # FUNCTION-LOCAL imports (`from pkg.mod import helper` inside
+        # the body — the prevailing style in the query modules) bind
+        # nothing in __globals__, but IMPORT_NAME leaves the dotted
+        # module path in co_names and IMPORT_FROM leaves the member
+        # names; probe those modules too. Without this, a query whose
+        # locally-imported callee changed would silently keep its old
+        # fingerprint (caught in r8: dedup_minhash_pairs missed the
+        # banded_md5 refactor of lsh_candidate_pairs_md5).
+        for name in names:
+            if "." in name and _in_pkg(name):
+                try:
+                    mod = importlib.import_module(name)
+                except ImportError:
+                    continue
                 for attr in names:
                     member = getattr(mod, attr, None)
                     if member is not None:
