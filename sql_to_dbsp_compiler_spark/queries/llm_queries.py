@@ -2273,3 +2273,66 @@ def y_ann_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_assigned = ivf_assign_to(corpus.where(is_delta), cent)
     merged = standing.unionByName(delta_assigned)
     return ivf_search_assigned(merged, cent, queries, k=5, nprobe=4)
+
+
+@query(
+    "y_dedup_delta_commit",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                       FOR i IN range(1, len(words) - 1)]) AS shingle
+        FROM w
+    ),
+    hp AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT)
+                   % 2147483647 AS h1,
+               CAST(('0x' || substring(md5(shingle), 17, 15)) AS BIGINT)
+                   % 2147483647 AS h2
+        FROM sh
+    ),
+    hs AS (
+        SELECT doc_id, t.i, min((h1 + t.i * h2) % 2147483647) AS mn
+        FROM hp CROSS JOIN range(16) t(i)
+        GROUP BY doc_id, t.i
+    ),
+    sig AS (SELECT doc_id, list(mn ORDER BY i) AS sig FROM hs GROUP BY doc_id)
+    SELECT doc_id, b.b AS band_id,
+           md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '|')) AS band_hash
+    FROM sig CROSS JOIN range(4) b(b)
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def y_dedup_delta_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMMIT half of the incremental dedup ingest loop: after
+    y_dedup_delta_apply verifies the day's delta, the delta's banded
+    signatures fold into the standing state — state' = persisted
+    corpus buckets ∪ banded(delta) — so tomorrow's delta bands against
+    today's corpus too. Only the delta is (re)hashed; the persisted
+    state is passed through as-is (a 3-column scan-and-union, zero
+    corpus text). The oracle pins state' == what one full-corpus
+    banding would produce (uncapped: the state stores ALL rows — the
+    hot-bucket cap applies at PAIRING time, where corpus and delta
+    member counts combine; see delta_dedup_apply). Reuses the apply
+    query's cached standing state, keyed by (sf_dir, corpus
+    rowcount)."""
+    import os as _os
+
+    from sql_to_dbsp_compiler_spark.llm.dedup import (
+        banded_md5,
+        minhash_signatures_md5,
+    )
+    from sql_to_dbsp_compiler_spark.queries.registry import REGISTRY
+
+    d = load_table(spark, sf_dir, "documents")
+    is_delta = (F.col("doc_id") % 8) == 0
+    # ensure the standing state exists (same cache as the apply op)
+    REGISTRY["y_dedup_delta_apply"].fn(spark, sf_dir)
+    state_dir = f"{_DELTA_STATE_ROOT}/{_os.path.basename(sf_dir.rstrip('/'))}"
+    buckets_c = spark.read.parquet(f"{state_dir}/buckets")
+    bands_d = banded_md5(
+        minhash_signatures_md5(d.where(is_delta), "doc_id", "text", 16, 3)
+    )
+    return buckets_c.unionByName(bands_d)
