@@ -2173,7 +2173,7 @@ _ANN_DELTA_STATE = "/root/repo/.artifacts/ann_delta_state"
         -- only, and a wildcard would mix in other scales' cached
         -- states once a bench run creates them
         SELECT centroid_id, CAST(cvec AS DOUBLE[]) AS cvec
-        FROM read_parquet('{_ANN_DELTA_STATE}/sf0.01/_centroids/*.parquet')
+        FROM read_parquet('{_ANN_DELTA_STATE}/sf0.01/centroids/*.parquet')
     ),
     corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings WHERE vec_id >= 10),
@@ -2262,13 +2262,13 @@ def y_ann_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids, assigned = ivf_train_kmeans(
             corpus.where(~is_delta), nlist=16
         )
-        centroids.write.mode("overwrite").parquet(f"{state_dir}/_centroids")
+        centroids.write.mode("overwrite").parquet(f"{state_dir}/centroids")
         assigned.write.mode("overwrite").parquet(f"{state_dir}/assigned")
         _os.makedirs(state_dir, exist_ok=True)
         with open(marker, "w") as fh:
             _json.dump({"n_vecs": n_vecs}, fh)
 
-    cent = spark.read.parquet(f"{state_dir}/_centroids")
+    cent = spark.read.parquet(f"{state_dir}/centroids")
     standing = spark.read.parquet(f"{state_dir}/assigned")
     delta_assigned = ivf_assign_to(corpus.where(is_delta), cent)
     merged = standing.unionByName(delta_assigned)
