@@ -172,6 +172,16 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         " only. Fixed-delta anchor: 2.1× at 100× corpus.",
     ),
     (
+        "y_ann_delta_ingest",
+        "y_ann_delta_ingest",
+        "Incremental ANN ingest (r8): delta assignment is one"
+        " broadcast cosine-argmax (never touches the standing"
+        " corpus); the merged index searches through the identical"
+        " probe/bucket-join/rerank plan as a fresh one"
+        " (ivf_search_assigned). Ingest anchor flat per delta vector"
+        " at 100× index size.",
+    ),
+    (
         "embedding_lsh_neardup",
         "embedding_lsh_neardup",
         "SRP-LSH cascade, fully ORACLED since r8 via persisted"

@@ -2336,3 +2336,134 @@ def y_dedup_delta_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures_md5(d.where(is_delta), "doc_id", "text", 16, 3)
     )
     return buckets_c.unionByName(bands_d)
+
+
+@query(
+    "y_duplicate_spans",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    toks AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM w),
+    sh AS (
+        SELECT doc_id, CAST(g['pos'] AS BIGINT) AS pos,
+               CAST(g['shingle'] AS VARCHAR) AS shingle
+        FROM (
+            SELECT doc_id,
+                   unnest([{{'pos': i - 1,
+                            'shingle': words[i] || ' ' || words[i+1]
+                                       || ' ' || words[i+2]}}
+                           FOR i IN range(1, len(words) - 1)]) AS g
+            FROM w
+        )
+    ),
+    dup_sh AS (
+        SELECT shingle FROM (
+            SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY shingle
+        ) WHERE df > 1
+    ),
+    flagged AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup_sh USING (shingle)),
+    lagged AS (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM flagged
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN pos - prev > 3 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM lagged
+    ),
+    islands AS (
+        SELECT doc_id, g, MAX(pos) - MIN(pos) + 3 AS span_tokens
+        FROM grp GROUP BY doc_id, g
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+               CAST(MAX(span_tokens) AS BIGINT) AS max_dup_span
+        FROM islands GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens,
+           COALESCE(p.dup_tokens, 0) AS dup_tokens,
+           round(CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / t.n_tokens, 9)
+               AS dup_fraction,
+           COALESCE(p.max_dup_span, 0) AS max_dup_span
+    FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def y_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (r8; Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" §4 —
+    the memorization-risk metric their suffix-array dedup optimizes):
+    per document, the fraction of tokens covered by any 3-gram that
+    also occurs in ANOTHER document, and the longest such contiguous
+    duplicated span. Positional k-grams make this strictly stronger
+    than y_ngram_novelty's distinct-gram count: overlapping flagged
+    positions merge into maximal spans (gaps-and-islands — a position
+    starts a new island when it exceeds the previous by more than k),
+    so span lengths are real substring lengths, not gram counts.
+
+    Scale shape: one positional-shingle explode → one (shingle →
+    distinct-doc count) map-side-combined aggregate → equi-join back →
+    ONE per-doc window over positions. No pair enumeration, no
+    self-join — linear in total token volume, the same class as
+    y_ngram_novelty/x_passage_dedup. Internal-only repeats (a doc
+    repeating its own 3-gram) deliberately do not flag: cross-document
+    duplication is the training-data signal."""
+    from sql_to_dbsp_compiler_spark.llm.dedup import words
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    grams = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 3),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.concat_ws(
+                    " ",
+                    F.element_at(ws, i + 1),
+                    F.element_at(ws, i + 2),
+                    F.element_at(ws, i + 3),
+                ).alias("shingle"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<pos: BIGINT, shingle: STRING>>)"))
+    par = spark.sparkContext.defaultParallelism
+    base = d.repartition(par, F.col("doc_id")).select(
+        "doc_id", F.size(ws).cast("long").alias("n_tokens"), F.explode(grams).alias("g")
+    ).select("doc_id", "n_tokens", "g.pos", "g.shingle")
+
+    dup_sh = (
+        base.select("doc_id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > 1)
+        .select("shingle")
+    )
+    flagged = base.join(dup_sh, "shingle").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    grp = flagged.withColumn(
+        "g",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos").over(w_ord) > 3, 1).otherwise(0)
+        ).over(w_ord),
+    )
+    islands = grp.groupBy("doc_id", "g").agg(
+        (F.max("pos") - F.min("pos") + 3).alias("span_tokens")
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        F.max("span_tokens").cast("long").alias("max_dup_span"),
+    )
+    toks = d.select("doc_id", F.size(ws).cast("long").alias("n_tokens"))
+    return toks.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"), 9
+        ).alias("dup_fraction"),
+        F.coalesce("max_dup_span", F.lit(0)).alias("max_dup_span"),
+    )

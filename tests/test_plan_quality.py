@@ -643,3 +643,14 @@ def test_embedding_lsh_neardup_candidate_bound_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan  # Arrow-batched, never row-Python
+
+
+def test_duplicate_spans_no_pair_enumeration(spark, sf_dir):
+    """y_duplicate_spans: positional-shingle aggregate + join-back +
+    one per-doc window — never a doc-pair join, never Python."""
+    plan = _plan(spark, sf_dir, "y_duplicate_spans")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both joins are equi-joins keyed on shingle / doc_id
+    assert "Join Inner, (shingle" not in plan  # never a theta-join on shingle
