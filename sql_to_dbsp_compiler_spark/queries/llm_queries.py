@@ -521,11 +521,14 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     write_srp_hyperplanes(spark, _SRP_HYPERPLANE_PATH, dim=64, bits=256)
+    # AUTO band geometry, deliberately NOT pinned: at both oracle-gate
+    # scales (n=500/2000) the auto rule resolves to exactly the
+    # band_bits=4 / bits=64 / wide-256 the oracle SQL spells, and
+    # above the gate scales it keeps scaling band_bits with n — a
+    # pinned 4-bit geometry at n=200k would overflow max_bucket and
+    # silently drop every candidate.
     return srp_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"),
-        threshold=0.45,
-        band_bits=4,
-        bits=64,
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
     )
 
 
