@@ -504,10 +504,13 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane matrix is written to parquet and DuckDB recomputes
     signatures, 4-bit×16 banding, the 256-bit Hamming prefilter
     (cutoff 112 = floor((1 - (p - 3σ)) · 256) at threshold 0.45) and
-    the exact cosine verify from the shared values. Geometry is
-    PINNED (band_bits=4, bits=64, wide 256) — identical to what the
-    auto rule picks for every test corpus (n ≤ 4800), so the oracled
-    plan IS the production plan; the max_bucket=2000 cap cannot bind
+    the exact cosine verify from the shared values. Geometry stays
+    AUTO: at both oracle-gate scales (n = 500 / 2000) the auto rule
+    resolves to exactly the band_bits=4 / bits=64 / wide-256 the
+    oracle SQL spells — so the oracled plan IS the production plan —
+    while above the gate scales band_bits keeps scaling with n (a
+    pinned 4-bit geometry would overflow max_bucket at 200k vectors
+    and drop every candidate); the max_bucket=2000 cap cannot bind
     at n ≤ 2000 and is therefore absent from the SQL. Sign margins
     are ~3e-7 at worst on this data — nine orders above float
     accumulation noise, so numpy-vs-DuckDB signature parity is
