@@ -70,7 +70,15 @@ def dump_tree(tree: str) -> dict[str, str]:
     )
     if res.returncode != 0:
         raise RuntimeError(f"dump failed for {tree}:\n{res.stderr[-2000:]}")
-    return json.loads(res.stdout)
+    try:
+        return json.loads(res.stdout)
+    except ValueError as exc:
+        # a historical tree whose import writes to stdout corrupts the
+        # JSON — tolerate per-round like any other dump failure
+        raise RuntimeError(
+            f"dump for {tree} wrote non-JSON stdout ({exc}): "
+            f"{res.stdout[:200]!r}"
+        ) from None
 
 
 def main() -> None:

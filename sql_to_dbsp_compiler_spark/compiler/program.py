@@ -469,7 +469,12 @@ def _parse_merge(stmt: str) -> "MergeDef | None":
                 source_columns = tuple(
                     _ident(c) for c in sm.group("scols").split(",")
                 )
-            source_sql = src_part
+            # the subquery text runs through spark.sql, whose default
+            # parser reads "id" as a STRING LITERAL — rewrite quoted
+            # identifiers here too (review r8: the ON/guard/SET
+            # rewrite alone left the subquery surface silently
+            # divergent from engines that read "id" as a column)
+            source_sql = _dq_to_backtick(src_part)
             source_kind = "subquery"
             tail = tail[sm.end():]
     else:
@@ -930,19 +935,35 @@ def _apply_merge(
         key = [p_cnt[c].eqNullSafe(k_cnt[c]) for c in names]
         bad = p_cnt.join(k_cnt, key).where(F.col("__p") > F.col("__k"))
         # zero rows when the rule holds; evaluating any violating row
-        # raises. Unioned into the output below so the check is free.
-        guard = bad.limit(1).select(
-            *[
+        # raises. The raise lives in a FILTER predicate, not a
+        # projection: column pruning under zero-column consumption
+        # (SELECT COUNT(*) over the view) elides pruned projections
+        # but can never remove a Filter, and referencing __p keeps the
+        # predicate non-foldable so it cannot constant-fold into a
+        # plan-time error on the healthy path. Normally `bad` is empty
+        # → the filter evaluates nothing → the leg contributes zero
+        # rows; on violation the first evaluated row raises before any
+        # row could leak into the union.
+        guard = (
+            bad.limit(1)
+            .where(
                 F.raise_error(
-                    F.lit(
-                        f"MERGE INTO {mut.table}: a target row matches more "
-                        "than one source row (SQL cardinality violation)"
+                    F.concat(
+                        F.lit(
+                            f"MERGE INTO {mut.table}: a target row matches "
+                            "more than one source row (SQL cardinality "
+                            "violation); multiplicity "
+                        ),
+                        F.col("__p").cast("string"),
                     )
-                )
-                .cast(spark_type(type_of[c]))
-                .alias(c)
-                for c in names
-            ]
+                ).isNull()
+            )
+            .select(
+                *[
+                    F.lit(None).cast(spark_type(type_of[c])).alias(c)
+                    for c in names
+                ]
+            )
         )
         delete_cond, update_cond, col_exprs = _merge_matched_exprs(
             mut.matched_clauses, names, type_of, ta, base=F.lit(True)

@@ -230,13 +230,30 @@ def write_srp_hyperplanes(
     against the numpy matmul on the test corpora (minimum |dot|
     margin ~3e-7 — nine orders of magnitude above float64
     accumulation-order noise), which upgrades embedding_lsh_neardup
-    from rows-only to a full value-hash oracle (VERDICT r7 #3)."""
+    from rows-only to a full value-hash oracle (VERDICT r7 #3).
+
+    Write-once: the content is fully determined by (dim, bits, seed),
+    so a marker short-circuits repeat invocations — the per-run
+    rewrite otherwise sits inside every benched/driver run of the
+    query (review r8)."""
+    import json
+    import os
+
+    marker = f"{path}.marker.json"
+    key = {"dim": dim, "bits": bits, "seed": seed}
+    try:
+        if json.load(open(marker)) == key:
+            return
+    except (OSError, ValueError):
+        pass
     H = np.random.default_rng(seed).standard_normal((dim, bits))
     df = spark.createDataFrame(
         [(i, [float(x) for x in H[:, i]]) for i in range(bits)],
         schema="bit_idx int, hvec array<double>",
     ).repartition(1)  # tiny dim table (see ivf_train_kmeans note)
     df.write.mode("overwrite").parquet(path)
+    with open(marker, "w") as fh:
+        json.dump(key, fh)
 
 
 def srp_signatures(

@@ -618,8 +618,10 @@ def test_dedup_delta_apply_delta_bound_plan(spark, sf_dir):
     from sql_to_dbsp_compiler_spark.sources.tables import load_table
 
     d = load_table(spark, sf_dir, "documents")
+    from sql_to_dbsp_compiler_spark.queries.llm_queries import _DELTA_STATE_ROOT
+
     buckets = spark.read.parquet(
-        f"/root/repo/.artifacts/dedup_delta_state/{sf_dir.rstrip('/').split('/')[-1]}/buckets"
+        f"{_DELTA_STATE_ROOT}/{sf_dir.rstrip('/').split('/')[-1]}/buckets"
     )
     bands_d = banded_md5(
         minhash_signatures_md5(d.where((F.col("doc_id") % 8) == 0), "doc_id", "text", 16, 3)

@@ -3308,3 +3308,55 @@ def test_merge_cardinality_violation_with_by_source_clauses(spark):
     inc = IncrementalProgram(spark, ddl, optimize=True)
     with _pytest.raises(ValueError, match="cardinality"):
         inc.step_statements(stmts)
+
+
+def test_merge_cardinality_guard_survives_column_pruning(spark):
+    """Review r8: the lazy guard lives in a FILTER, not a projection —
+    column pruning under zero-column consumption (SELECT COUNT(*))
+    must neither elide the raise nor leak a phantom row."""
+    import pytest as _pytest
+    from pyspark.errors import PySparkException
+
+    from sql_to_dbsp_compiler_spark.compiler.program import compile_batch
+
+    viol = """
+    CREATE TABLE t(id INTEGER, v INTEGER);
+    CREATE VIEW out AS SELECT id, v FROM t;
+    CREATE VIEW cnt AS SELECT COUNT(*) AS n FROM t;
+    INSERT INTO t VALUES (1, 10), (2, 20);
+    MERGE INTO t USING (VALUES (1, 1), (1, 2)) AS s(id, d)
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = t.v + s.d;
+    """
+    views = compile_batch(spark, viol)
+    with _pytest.raises((ValueError, PySparkException), match="cardinality"):
+        views["out"].count()
+    with _pytest.raises((ValueError, PySparkException), match="cardinality"):
+        views["cnt"].collect()
+    # and the healthy path must not gain a phantom row under count()
+    ok = viol.replace("(1, 1), (1, 2)", "(1, 1), (2, 2)")
+    healthy = compile_batch(spark, ok)
+    assert healthy["out"].count() == 2
+    assert healthy["cnt"].collect()[0].n == 2
+
+
+def test_merge_subquery_source_quoted_identifiers(spark):
+    """Review r8: double-quoted identifiers INSIDE the USING subquery
+    must resolve as columns (backtick rewrite), not as Spark string
+    literals — the silent-divergence class the ON/guard/SET rewrite
+    closed, on the subquery surface."""
+    from sql_to_dbsp_compiler_spark.compiler.program import compile_batch
+
+    prog = """
+    CREATE TABLE t(id INTEGER, a INTEGER);
+    CREATE TABLE u(k INTEGER, v INTEGER);
+    CREATE VIEW out AS SELECT k, v FROM u;
+    INSERT INTO t VALUES (1, 5), (2, 7);
+    INSERT INTO u VALUES (1, 100);
+    MERGE INTO u USING (SELECT "id" AS k2, "a" AS a2 FROM t) AS s
+        ON u.k = s.k2
+        WHEN MATCHED THEN UPDATE SET v = u.v + s.a2
+        WHEN NOT MATCHED THEN INSERT VALUES (s.k2, s.a2);
+    """
+    got = sorted(tuple(r) for r in compile_batch(spark, prog)["out"].collect())
+    assert got == [(1, 105), (2, 7)], got
