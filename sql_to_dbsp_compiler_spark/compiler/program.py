@@ -366,8 +366,12 @@ def _dq_to_backtick(sql: str) -> str:
     default parser reads ``"k"`` as a STRING LITERAL, silently
     comparing against the letter k instead of the column.
     Single-quoted literals pass through verbatim (with ``''``
-    escapes); ``""`` inside a quoted identifier escapes one double
-    quote; backticks inside an identifier are doubled for Spark."""
+    escapes AND backslash escapes — Spark's default dialect reads
+    ``'it\\'s'`` as an escaped quote, so the scanner must skip
+    ``\\<any>`` or a later ``"`` inside a string literal would be
+    rewritten into a backtick identifier; ADVICE r8); ``""`` inside
+    a quoted identifier escapes one double quote; backticks inside
+    an identifier are doubled for Spark."""
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
@@ -375,6 +379,9 @@ def _dq_to_backtick(sql: str) -> str:
         if c == "'":
             j = i + 1
             while j < n:
+                if sql[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
                 if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
                     j += 2
                     continue
@@ -912,7 +919,19 @@ def _apply_merge(
     surfaces at action time as Spark's USER_RAISED_EXCEPTION carrying
     the cardinality message (the statement-stepping frontend keeps
     its eager ValueError: each step must fail AT the offending
-    statement, before later statements fold on top)."""
+    statement, before later statements fold on top).
+
+    EXPLICIT CONTRACT of the lazy guard (ADVICE r8): the raise fires
+    when the guard's union leg is EVALUATED. Full-evaluation consumers
+    (collect/count/write/COUNT(*) over the view) always evaluate it —
+    regression-tested. A short-circuiting consumer (``out.limit(1)``
+    satisfied from another union leg, or a view that is never
+    actioned) may return without touching the guard leg and let a
+    violation pass silently — that relaxation is the price of the
+    zero-extra-jobs design and is pinned by
+    test_program_compiler.py::test_merge_lazy_guard_limit_contract;
+    callers needing the eager check per statement use the
+    statement-stepping frontend, which keeps its eager ValueError."""
     names = [c for c, _ in table.columns]
     type_of = dict(table.columns)
     ta, sa = mut.target_alias, mut.source_alias

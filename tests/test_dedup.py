@@ -394,3 +394,54 @@ def test_delta_dedup_apply_combined_bucket_cap(spark):
     rows = open_.collect()
     assert len(rows) == 21  # pairs touching {0, 8}: 2*10 cross + 1 dd
     assert all(r.jaccard == 1.0 for r in rows)
+
+
+def test_build_state_once_freshness_contract(tmp_path):
+    """VERDICT r8 #6 + ADVICE r8: the standing-state cache must
+    rebuild when (a) the key moves — including a same-rowcount CONTENT
+    change, which the content-signature component of the callers' keys
+    encodes — and (b) when the parquet payload was deleted but the
+    sibling marker survived (partial cleanup)."""
+    import json
+
+    from sql_to_dbsp_compiler_spark.queries.llm_queries import (
+        _build_state_once,
+        _source_content_key,
+    )
+
+    state = tmp_path / "state"
+    calls = []
+
+    def build():
+        calls.append(1)
+        (state / "buckets").mkdir(parents=True, exist_ok=True)
+        (state / "buckets" / "part-0.parquet").write_bytes(b"x")
+
+    key_a = {"n": 3, "src": [["documents.parquet", 100, 111]]}
+    _build_state_once(str(state), key_a, build)
+    _build_state_once(str(state), key_a, build)
+    assert len(calls) == 1  # marker + payload present, key unchanged
+    # same rowcount, different content signature -> rebuild
+    key_b = {"n": 3, "src": [["documents.parquet", 100, 222]]}
+    _build_state_once(str(state), key_b, build)
+    assert len(calls) == 2
+    assert json.load(open(state / "marker.json")) == key_b
+    # payload deleted, marker intact -> rebuild (not a silent reuse)
+    (state / "buckets" / "part-0.parquet").unlink()
+    _build_state_once(str(state), key_b, build)
+    assert len(calls) == 3
+
+
+def test_source_content_key_sees_content_changes(tmp_path):
+    """The content signature moves when a source file is rewritten
+    (size or mtime), and is stable across pure re-stats."""
+    from sql_to_dbsp_compiler_spark.queries.llm_queries import (
+        _source_content_key,
+    )
+
+    f = tmp_path / "documents.parquet"
+    f.write_bytes(b"aaaa")
+    k1 = _source_content_key(str(tmp_path), "documents")
+    assert k1 == _source_content_key(str(tmp_path), "documents")
+    f.write_bytes(b"bbbbbb")  # same name, new size+mtime
+    assert _source_content_key(str(tmp_path), "documents") != k1

@@ -3340,6 +3340,62 @@ def test_merge_cardinality_guard_survives_column_pruning(spark):
     assert healthy["cnt"].collect()[0].n == 2
 
 
+def test_merge_lazy_guard_limit_contract(spark):
+    """ADVICE r8: pin the lazy guard's partial-evaluation contract as
+    an explicit, tested relaxation. ``limit(n)`` is a short-circuiting
+    consumer: Spark may satisfy it from the kept/rewrite union legs
+    without ever evaluating the guard leg, so a cardinality violation
+    can pass silently under limit — the documented price of the
+    zero-extra-jobs design (_apply_merge docstring). The rows a
+    limit DOES return must still be healthy rows (never the guard
+    leg's null-typed placeholders), and the same program must still
+    raise under any full-evaluation action."""
+    import pytest as _pytest
+    from pyspark.errors import PySparkException
+
+    from sql_to_dbsp_compiler_spark.compiler.program import compile_batch
+
+    viol = """
+    CREATE TABLE t(id INTEGER, v INTEGER);
+    CREATE VIEW out AS SELECT id, v FROM t;
+    INSERT INTO t VALUES (1, 10), (2, 20);
+    MERGE INTO t USING (VALUES (1, 1), (1, 2)) AS s(id, d)
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = t.v + s.d;
+    """
+    out = compile_batch(spark, viol)["out"]
+    try:
+        rows = out.limit(1).collect()
+        # permitted silent path: whatever limit returned is a real
+        # row (id 1/2 with a non-null v), not a guard placeholder
+        for r in rows:
+            assert r.id in (1, 2) and r.v is not None
+    except PySparkException as exc:
+        assert "cardinality" in str(exc)  # also-permitted eager path
+    # the relaxation never extends to full evaluation
+    with _pytest.raises((ValueError, PySparkException), match="cardinality"):
+        out.collect()
+
+
+def test_dq_to_backtick_backslash_escape():
+    """ADVICE r8: Spark's default dialect accepts backslash-escaped
+    quotes inside string literals ('it\\'s'); the double-quote
+    rewriter must not let the escaped quote desynchronize its scan —
+    a later "identifier" would otherwise be left inside a phantom
+    string (or a literal rewritten into a backtick identifier)."""
+    from sql_to_dbsp_compiler_spark.compiler.program import _dq_to_backtick
+
+    assert (
+        _dq_to_backtick("t.name = 'it\\'s' AND \"k\" = 1")
+        == "t.name = 'it\\'s' AND `k` = 1"
+    )
+    # '' escaping still honored, and a backslash before a real closing
+    # quote terminates normally when followed by non-quote
+    assert _dq_to_backtick("x = 'a''b' AND \"y\" = 'c\\\\'") == (
+        "x = 'a''b' AND `y` = 'c\\\\'"
+    )
+
+
 def test_merge_subquery_source_quoted_identifiers(spark):
     """Review r8: double-quoted identifiers INSIDE the USING subquery
     must resolve as columns (backtick rewrite), not as Spark string
