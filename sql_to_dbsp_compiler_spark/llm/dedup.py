@@ -759,6 +759,177 @@ def delta_dedup_apply(
     )
 
 
+def delta_state_retract_commit(
+    buckets_state: DataFrame,
+    retract_ids: DataFrame,
+    updated_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """COMMIT half of a SIGNED delta against the standing dedup state:
+    state' = state ▷ retract_ids (anti-join — deleted docs and the OLD
+    versions of updated docs drop their bands) ∪ banded(updated_docs)
+    (only the new text is re-hashed). The Z-set retract+insert
+    decomposition (reference circuit/operator/DBSPNegateOperator.java:
+    a table modify is a negative-weight retraction plus an insertion)
+    carried into the persisted bucket table: per-commit compute is
+    ∝ |delta|, the standing corpus contributes one 3-column
+    scan-and-anti-join and is never re-shingled."""
+    keep = buckets_state.join(
+        retract_ids.select(F.col(id_col)), id_col, "left_anti"
+    )
+    bands_u = banded_md5(
+        minhash_signatures_md5(updated_docs, id_col, text_col, num_hashes, shingle_n),
+        id_col,
+        bands=bands,
+    )
+    return keep.unionByName(bands_u)
+
+
+def delta_dedup_retract(
+    docs_old: DataFrame,
+    deleted_ids: DataFrame,
+    updated_docs: DataFrame,
+    buckets_state: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1000,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The RETRACTION half of incremental corpus-delta dedup — the
+    negative-weight side of the Z-set ingest loop (reference
+    DBSPNegateOperator semantics): given a signed delta (deleted doc
+    ids + updated docs carrying NEW text) against a standing corpus
+    whose banded buckets are persisted, emit the SIGNED CHANGE to the
+    verified near-dup pair view as ``(id_a, id_b, jaccard, weight)``
+    rows — weight -1 for pairs the delta retracts from the view,
+    +1 for pairs it adds (an updated doc whose pair survives with a
+    CHANGED jaccard emits both rows, exactly the -old +new a Z-set
+    diff produces).
+
+    Correctness contract (pinned by the oracle): output == the
+    set-diff of two FULL cascades — MinHash/LSH/cap/verify over the
+    old corpus vs over the post-delta corpus. The incremental
+    computation never runs either cascade; it reproduces the diff
+    from delta-bound work:
+
+    - a pair's view membership = exact-Jaccard ≥ threshold AND some
+      LIVE bucket (2 ≤ size ≤ max_bucket) contains both ids. Texts of
+      untouched docs don't change, so the diff is confined to pairs
+      co-bucketed (in either state) with a bucket whose MEMBERSHIP
+      changed — retracted bands out, updated bands in. This includes
+      the cap corner: a bucket whose size crosses max_bucket flips
+      the liveness of ALL its pairs, including untouched–untouched
+      ones (test_dedup covers both directions).
+    - candidates are enumerated only from TOUCHED buckets, live side
+      by side (old state for retracted liveness, new state for added
+      liveness); each candidate's membership is then decided against
+      its FULL witness set (all buckets containing both ids) per
+      state — a pair that merely loses one of several live witnesses
+      does not flip.
+    - verification is candidate-bound on both sides
+      (jaccard_verify_candidates): old-side jaccard over the old
+      texts, new-side over the post-delta texts.
+
+    Cost ∝ |delta bands| + |touched-bucket members| + |candidates|,
+    plus one lean 3-column scan of the state for bucket sizes and the
+    anti-join (the same scan anchor as delta_dedup_apply); at 100 TB
+    the state is bucketed by (band_id, band_hash) so every key join
+    here is co-located."""
+    keys = ["band_id", "band_hash"]
+    retract_ids = (
+        deleted_ids.select(id_col)
+        .unionByName(updated_docs.select(id_col))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bands_u = banded_md5(
+        minhash_signatures_md5(updated_docs, id_col, text_col, num_hashes, shingle_n),
+        id_col,
+        bands=bands,
+    ).localCheckpoint(eager=False)
+    state_old = buckets_state
+    state_new = state_old.join(retract_ids, id_col, "left_anti").unionByName(
+        bands_u
+    )
+
+    bands_old_r = state_old.join(retract_ids, id_col, "leftsemi")
+    touched = (
+        bands_old_r.select(*keys)
+        .unionByName(bands_u.select(*keys))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def live(state: DataFrame) -> DataFrame:
+        n = F.count(F.lit(1))
+        return (
+            state.groupBy(*keys)
+            .agg(n.alias("__n"))
+            .where((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
+            .select(*keys)
+        )
+
+    live_old = live(state_old).localCheckpoint(eager=False)
+    live_new = live(state_new).localCheckpoint(eager=False)
+    cands = (
+        _pairs_within_buckets(
+            state_old.join(touched, keys, "leftsemi"), keys, id_col, max_bucket
+        )
+        .unionByName(
+            _pairs_within_buckets(
+                state_new.join(touched, keys, "leftsemi"), keys, id_col, max_bucket
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def member(state: DataFrame, live_keys: DataFrame) -> DataFrame:
+        # pairs (from cands) with at least one LIVE witness bucket in
+        # this state — the full witness set, not just touched buckets
+        sa = state.select(F.col(id_col).alias("id_a"), *keys)
+        sb = state.select(F.col(id_col).alias("id_b"), *keys)
+        return (
+            cands.join(sa, "id_a")
+            .join(sb, ["id_b", *keys])
+            .join(live_keys, keys, "leftsemi")
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    docs_new = (
+        docs_old.join(retract_ids, id_col, "left_anti")
+        .select(id_col, text_col)
+        .unionByName(updated_docs.select(id_col, text_col))
+    )
+    old_pairs = jaccard_verify_candidates(
+        docs_old, member(state_old, live_old), id_col, text_col,
+        n=shingle_n, threshold=threshold,
+    )
+    new_pairs = jaccard_verify_candidates(
+        docs_new, member(state_new, live_new), id_col, text_col,
+        n=shingle_n, threshold=threshold,
+    )
+    # signed diff on (pair, jaccard): join keys are doubles, but both
+    # legs compute an untouched pair's jaccard from IDENTICAL integer
+    # counts over identical texts, so equality is exact
+    diff_keys = ["id_a", "id_b", "jaccard"]
+    neg = old_pairs.join(new_pairs, diff_keys, "left_anti").select(
+        *diff_keys, F.lit(-1).cast("int").alias("weight")
+    )
+    pos = new_pairs.join(old_pairs, diff_keys, "left_anti").select(
+        *diff_keys, F.lit(1).cast("int").alias("weight")
+    )
+    return neg.unionByName(pos)
+
+
 def simhash_signatures_md5(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:
