@@ -526,6 +526,83 @@ def ivf_write_store(
     centroids.write.mode("overwrite").parquet(f"{path}/_centroids")
 
 
+def ivf_store_append(delta_assigned: DataFrame, path: str) -> None:
+    """COMMIT of a delta into a partitioned IVF store: append the
+    pre-assigned delta vectors as NEW FILES under their
+    ``centroid_id=K/`` partition directories. Spark's append-mode
+    partitioned write creates files only for partition values present
+    in the delta — untouched partitions are not rewritten, not even
+    listed (tests/test_similarity.py pins the file-set proof), so
+    commit cost is ∝ |delta|, independent of index size. The Z-set
+    INSERT half of incremental index maintenance; deletes are
+    tombstones (ivf_store_delete), the standard immutable-file layout
+    (parquet files never rewritten in place)."""
+    delta_assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        f"{path}/vectors"
+    )
+
+
+def ivf_store_delete(deleted_ids: DataFrame, path: str) -> None:
+    """RETRACT vectors from a partitioned IVF store via tombstones:
+    deleted vec_ids append into a tiny ``_deletes`` table the read
+    path anti-joins (ivf_store_live). The negative-weight half of
+    Z-set index maintenance (reference DBSPNegateOperator semantics)
+    under immutable parquet: deletion cost is O(|tombstones|) at
+    write, one broadcast anti-join at read; compaction (rewriting
+    partitions minus tombstones) amortizes whenever a partition's
+    tombstone fraction grows — the delta-lake deletion-vector
+    pattern."""
+    deleted_ids.write.mode("append").parquet(f"{path}/_deletes")
+
+
+def ivf_store_live(spark, path: str) -> DataFrame:
+    """The LIVE view of a partitioned IVF store: vectors minus
+    tombstones. The anti-join is a broadcast against the (tiny)
+    tombstone table, so partition pruning on ``centroid_id`` still
+    reaches the file scan — probing reads only probed partitions,
+    tombstoned rows die in the probe's hash lookup."""
+    from pyspark.errors import AnalysisException
+
+    v = spark.read.parquet(f"{path}/vectors")
+    try:
+        dels = spark.read.parquet(f"{path}/_deletes")
+    except AnalysisException:
+        return v
+    return v.join(F.broadcast(dels.select("vec_id").distinct()), "vec_id", "left_anti")
+
+
+def ivf_centroid_means(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Per-centroid mean assigned-cosine → ``(centroid_id, n, mean9)``
+    — the index-quality statistic behind the centroid-staleness
+    trigger: as deltas accumulate, a drop of the live index's mean
+    vs the TRAINING-TIME snapshot signals the centroids no longer
+    describe the data and a retrain is due (one aggregate over the
+    index; no pairwise work).
+
+    Engine-exact by construction: each cosine is rounded to 9
+    decimals and summed as DECIMAL(12,9) — integer arithmetic, so the
+    sum is independent of partitioning/aggregation order (a raw
+    double SUM would hash-mismatch the oracle at 1e-15 every run);
+    the mean divides once in double and rounds. Map-side partial
+    aggregation applies as with any sum."""
+    from pyspark.sql.types import DecimalType
+
+    j = assigned.join(F.broadcast(centroids), "centroid_id")
+    cos = cosine(F.col("vec"), F.col("cvec"))
+    return (
+        j.select(
+            "centroid_id", F.round(cos, 9).cast(DecimalType(12, 9)).alias("__c")
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("__c").cast("double") / F.count(F.lit(1)), 9
+            ).alias("mean9"),
+        )
+    )
+
+
 def ivf_query_store(
     spark,
     path: str,

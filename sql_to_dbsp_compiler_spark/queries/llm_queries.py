@@ -2736,3 +2736,205 @@ def y_dedup_retract_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, deleted, updated, buckets = _retract_inputs(spark, sf_dir)
     retract_ids = deleted.unionByName(updated.select("doc_id"))
     return delta_state_retract_commit(buckets, retract_ids, updated)
+
+
+_ANN_STORE_STATE = "/root/repo/.artifacts/ann_store_state"
+
+
+def _ann_store_ready(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once partitioned IVF store + one committed signed delta:
+    the standing assignment (from y_ann_delta_ingest's persisted
+    state) is laid out as a ``centroid_id=K/`` partitioned parquet
+    store with a training-time per-centroid mean-cosine snapshot;
+    then ONE day's signed delta commits — inserts (vec_id % 8 = 0)
+    append files into only their assigned partitions
+    (ivf_store_append), deletes (vec_id % 8 = 3) become tombstones
+    (ivf_store_delete). Returns the store dir. Keyed like the other
+    standing states; the commit is part of the build so repeated
+    gate/bench runs see one deterministic committed store, not an
+    ever-growing append log."""
+    import os as _os
+
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        ivf_assign_to,
+        ivf_centroid_means,
+        ivf_store_append,
+        ivf_store_delete,
+    )
+    from sql_to_dbsp_compiler_spark.queries.registry import REGISTRY
+    from sql_to_dbsp_compiler_spark.sources.tables import rowcount
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = _os.path.basename(sf_dir.rstrip("/"))
+    store_dir = f"{_ANN_STORE_STATE}/{base}"
+
+    def build() -> None:
+        # standing centroids+assignment from the ingest query's state
+        REGISTRY["y_ann_delta_ingest"].fn(spark, sf_dir)
+        ann_dir = f"{_ANN_DELTA_STATE}/{base}"
+        cent = spark.read.parquet(f"{ann_dir}/centroids")
+        standing = spark.read.parquet(f"{ann_dir}/assigned")
+        standing.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{store_dir}/vectors"
+        )
+        # training snapshot BEFORE any delta folds in (read back from
+        # the store so snapshot and store are one consistent cut)
+        ivf_centroid_means(
+            spark.read.parquet(f"{store_dir}/vectors"), cent
+        ).write.mode("overwrite").parquet(f"{store_dir}/train_snapshot")
+        # the committed signed delta
+        corpus = e.where(F.col("vec_id") >= 10)
+        ivf_store_append(
+            ivf_assign_to(corpus.where((F.col("vec_id") % 8) == 0), cent),
+            store_dir,
+        )
+        ivf_store_delete(
+            corpus.where((F.col("vec_id") % 8) == 3).select("vec_id"), store_dir
+        )
+
+    _build_state_once(
+        store_dir,
+        {"n_vecs": rowcount(e), "src": _source_content_key(sf_dir, "embeddings")},
+        build,
+    )
+    return store_dir
+
+
+# readable gate guard, same pattern as y_ann_delta_ingest's (the
+# oracles below read the persisted sf0.01 store)
+_ANN_STORE_GUARD = f"""(SELECT COUNT(*) FROM embeddings) =
+              (SELECT n_vecs
+               FROM read_json_auto('{_ANN_STORE_STATE}/sf0.01/marker.json'))
+           OR error('this oracle is pinned to the sf0.01 IVF store '
+                    'state but the gate tables are a different scale - '
+                    're-pin _ANN_STORE_STATE in llm_queries.py')"""
+
+
+@query(
+    "y_ann_delta_commit",
+    oracle=f"""
+    WITH cent AS (
+        SELECT centroid_id, CAST(cvec AS DOUBLE[]) AS cvec
+        FROM read_parquet('{_ANN_DELTA_STATE}/sf0.01/centroids/*.parquet')
+        WHERE {_ANN_STORE_GUARD}
+    ),
+    live AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 10 AND vec_id % 8 <> 3
+    )
+    SELECT vec_id, centroid_id FROM (
+        SELECT l.vec_id, ct.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY l.vec_id
+                   ORDER BY list_cosine_similarity(l.v, ct.cvec) DESC,
+                            ct.centroid_id) AS r
+        FROM live l CROSS JOIN cent ct
+    ) WHERE r = 1
+    """,
+    tags=("llm", "similarity", "incremental"),
+)
+def y_ann_delta_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN standing-index COMMIT with deletion (VERDICT r8 #2) — the
+    embedding twin of y_dedup_retract_commit: the day's inserts
+    (vec_id % 8 = 0, routed by broadcast argmax over the persisted
+    centroids) append as new files into ONLY their assigned
+    ``centroid_id=K/`` partitions of the parquet IVF store, and the
+    day's deletes (vec_id % 8 = 3) retract via tombstones the read
+    path anti-joins — no partition is rewritten, commit cost ∝
+    |delta|. The oracle pins the LIVE STORE CONTENT (what this query
+    returns, read back from disk through the tombstone anti-join)
+    against a from-scratch argmax assignment of the post-delta corpus
+    over the same persisted centroids: incremental == full, including
+    the retractions. File-level append locality and tombstone
+    semantics are pinned by tests/test_similarity.py; partition
+    pruning over the store is already plan-asserted for
+    ivf_query_store and the layout here is identical."""
+    from sql_to_dbsp_compiler_spark.llm.similarity import ivf_store_live
+
+    store_dir = _ann_store_ready(spark, sf_dir)
+    return ivf_store_live(spark, store_dir).select("vec_id", "centroid_id")
+
+
+@query(
+    "y_ann_centroid_staleness",
+    oracle=f"""
+    WITH cent AS (
+        SELECT centroid_id, CAST(cvec AS DOUBLE[]) AS cvec
+        FROM read_parquet('{_ANN_DELTA_STATE}/sf0.01/centroids/*.parquet')
+        WHERE {_ANN_STORE_GUARD}
+    ),
+    live AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 10 AND vec_id % 8 <> 3
+    ),
+    a AS (
+        SELECT vec_id, centroid_id, csim FROM (
+            SELECT l.vec_id, ct.centroid_id,
+                   list_cosine_similarity(l.v, ct.cvec) AS csim,
+                   ROW_NUMBER() OVER (PARTITION BY l.vec_id
+                       ORDER BY list_cosine_similarity(l.v, ct.cvec) DESC,
+                                ct.centroid_id) AS r
+            FROM live l CROSS JOIN cent ct
+        ) WHERE r = 1
+    ),
+    now_m AS (
+        SELECT centroid_id, COUNT(*) AS n_now,
+               round(CAST(SUM(CAST(round(csim, 9) AS DECIMAL(12,9)))
+                          AS DOUBLE) / COUNT(*), 9) AS mean_now
+        FROM a GROUP BY centroid_id
+    ),
+    snap AS (
+        SELECT centroid_id, n AS n_train, mean9 AS mean_train
+        FROM read_parquet('{_ANN_STORE_STATE}/sf0.01/train_snapshot/*.parquet')
+    )
+    SELECT s.centroid_id, n.n_now, s.n_train, n.mean_now, s.mean_train,
+           round(s.mean_train - n.mean_now, 9) AS drift,
+           (s.mean_train - n.mean_now) > 0.005 AS retrain
+    FROM snap s JOIN now_m n USING (centroid_id)
+    """,
+    tags=("llm", "similarity", "incremental", "diagnostics"),
+)
+def y_ann_centroid_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-staleness trigger for the incrementally-maintained IVF
+    index (VERDICT r8 #2): per centroid, the LIVE index's mean
+    assigned-cosine vs the training-time snapshot persisted when the
+    centroids were fit. A drop beyond the threshold (0.005) flags the
+    centroid for retraining — the signal that delta ingest has drifted
+    the data away from the quantizer (FAISS operational practice:
+    retrain when assignment quality decays, never per-ingest). ONE
+    aggregate over the index — no pairwise work, no retraining cost in
+    the trigger itself; at 100 TB it rides the same partition-pruned
+    store scan as search. Oracle-exact because each cosine is rounded
+    then summed as DECIMAL(12,9) (order-independent integer
+    arithmetic, see ivf_centroid_means) — a raw double SUM would
+    depend on partitioning and could never hash-match across
+    engines."""
+    import os as _os
+
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        ivf_centroid_means,
+        ivf_store_live,
+    )
+
+    store_dir = _ann_store_ready(spark, sf_dir)
+    base = _os.path.basename(sf_dir.rstrip("/"))
+    cent = spark.read.parquet(f"{_ANN_DELTA_STATE}/{base}/centroids")
+    now_m = ivf_centroid_means(ivf_store_live(spark, store_dir), cent).select(
+        "centroid_id",
+        F.col("n").alias("n_now"),
+        F.col("mean9").alias("mean_now"),
+    )
+    snap = spark.read.parquet(f"{store_dir}/train_snapshot").select(
+        "centroid_id",
+        F.col("n").alias("n_train"),
+        F.col("mean9").alias("mean_train"),
+    )
+    d = F.col("mean_train") - F.col("mean_now")
+    return snap.join(now_m, "centroid_id").select(
+        "centroid_id",
+        "n_now",
+        "n_train",
+        "mean_now",
+        "mean_train",
+        F.round(d, 9).alias("drift"),
+        (d > 0.005).alias("retrain"),
+    )

@@ -342,3 +342,134 @@ def test_ann_delta_ingest_equals_full_index(spark, sf_dir):
         )
     )
     assert inc == full
+
+
+def test_ivf_store_append_touches_only_delta_partitions(spark, sf_dir, tmp_path):
+    """VERDICT r8 #2 plan proof: committing a delta into the
+    partitioned IVF store creates new files ONLY under the partitions
+    the delta's vectors are assigned to; every other partition's file
+    set is byte-identical before and after. Commit cost ∝ |delta|."""
+    import glob
+    import os
+
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        ivf_assign_to,
+        ivf_store_append,
+        ivf_train_kmeans,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    standing = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") % 8 != 0))
+    cent, assigned = ivf_train_kmeans(standing, nlist=8)
+    store = str(tmp_path / "store")
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{store}/vectors"
+    )
+
+    def files_by_part():
+        out = {}
+        for d in glob.glob(f"{store}/vectors/centroid_id=*"):
+            out[os.path.basename(d)] = set(glob.glob(f"{d}/*.parquet"))
+        return out
+
+    before = files_by_part()
+    delta = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") % 8 == 0))
+    delta_assigned = ivf_assign_to(delta, cent)
+    delta_parts = {
+        f"centroid_id={r.centroid_id}"
+        for r in delta_assigned.select("centroid_id").distinct().collect()
+    }
+    ivf_store_append(delta_assigned, store)
+    after = files_by_part()
+    grew = {p for p in after if after[p] != before.get(p, set())}
+    assert grew == delta_parts, (
+        f"append touched {sorted(grew - delta_parts)} beyond the delta's "
+        f"partitions (delta={sorted(delta_parts)})"
+    )
+    # untouched partitions kept their exact file sets
+    for p in set(before) - delta_parts:
+        assert after[p] == before[p]
+
+
+def test_ivf_store_tombstones_and_pruned_read(spark, sf_dir, tmp_path):
+    """Tombstoned vec_ids vanish from the live view without any
+    partition rewrite, appended delta ids are present, and a
+    centroid_id filter over the live view still prunes the file scan
+    to the probed partitions (the tombstone anti-join is broadcast —
+    it must not break partition pruning)."""
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        ivf_assign_to,
+        ivf_store_append,
+        ivf_store_delete,
+        ivf_store_live,
+        ivf_train_kmeans,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    standing = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") % 8 != 0))
+    cent, assigned = ivf_train_kmeans(standing, nlist=8)
+    store = str(tmp_path / "store")
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{store}/vectors"
+    )
+    delta = e.where((F.col("vec_id") >= 10) & (F.col("vec_id") % 8 == 0))
+    ivf_store_append(ivf_assign_to(delta, cent), store)
+    deleted = standing.where(F.col("vec_id") % 8 == 3).select("vec_id")
+    ivf_store_delete(deleted, store)
+
+    live = ivf_store_live(spark, store)
+    live_ids = {r.vec_id for r in live.select("vec_id").collect()}
+    want = {
+        r.vec_id
+        for r in e.where(
+            (F.col("vec_id") >= 10) & (F.col("vec_id") % 8 != 3)
+        ).collect()
+    }
+    assert live_ids == want
+    # pruned read: the centroid_id filter must reach the vectors scan
+    # as PartitionFilters (inputFiles() is pre-pushdown — inspect the
+    # physical plan, same proof as the ivf_query_store test)
+    one = live.where(F.col("centroid_id") == 3)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "centroid_id" in m[0], plan
+    assert "PartitionFilters: []" not in m[0]
+
+
+def test_ivf_centroid_means_decimal_exact(spark, sf_dir):
+    """ivf_centroid_means must equal a driver-side numpy recomputation
+    to 9 decimals (the DECIMAL sum makes it independent of partition
+    count — rerun under a different parallelism and compare)."""
+    import numpy as np
+
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        ivf_centroid_means,
+        ivf_train_kmeans,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") >= 10)
+    cent, assigned = ivf_train_kmeans(e, nlist=4)
+    got = {
+        r.centroid_id: (r.n, float(r.mean9))
+        for r in ivf_centroid_means(assigned, cent).collect()
+    }
+    C = {r.centroid_id: np.array(r.cvec) for r in cent.collect()}
+    rows = assigned.collect()
+    by_c: dict = {}
+    for r in rows:
+        v = np.array(r.vec)
+        c = C[r.centroid_id]
+        cos = round(float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c))), 9)
+        by_c.setdefault(r.centroid_id, []).append(cos)
+    for cid, coss in by_c.items():
+        n, m = got[cid]
+        assert n == len(coss)
+        assert abs(m - round(sum(coss) / len(coss), 9)) < 2e-9
+    # partition-count independence: recompute over a repartitioned input
+    got2 = {
+        r.centroid_id: (r.n, float(r.mean9))
+        for r in ivf_centroid_means(assigned.repartition(7), cent).collect()
+    }
+    assert got2 == got
