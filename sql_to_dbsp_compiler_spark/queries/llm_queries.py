@@ -2938,3 +2938,170 @@ def y_ann_centroid_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d, 9).alias("drift"),
         (d > 0.005).alias("retrain"),
     )
+
+
+@query(
+    "y_dedup_span_excise",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    alltoks AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM w),
+    toks AS (
+        SELECT doc_id, CAST(t['pos'] AS BIGINT) AS pos,
+               CAST(t['tok'] AS VARCHAR) AS tok
+        FROM (
+            SELECT doc_id,
+                   unnest([{{'pos': i - 1, 'tok': words[i]}}
+                           FOR i IN range(1, len(words) + 1)]) AS t
+            FROM w
+        )
+    ),
+    sh AS (
+        SELECT doc_id, CAST(g['pos'] AS BIGINT) AS pos,
+               CAST(g['shingle'] AS VARCHAR) AS shingle
+        FROM (
+            SELECT doc_id,
+                   unnest([{{'pos': i - 1,
+                            'shingle': words[i] || ' ' || words[i+1]
+                                       || ' ' || words[i+2]}}
+                           FOR i IN range(1, len(words) - 1)]) AS g
+            FROM w
+        )
+    ),
+    sh_min AS (SELECT shingle, MIN(doc_id) AS min_doc FROM sh GROUP BY shingle),
+    flagged AS (
+        SELECT s.doc_id, s.pos FROM sh s JOIN sh_min m USING (shingle)
+        WHERE s.doc_id > m.min_doc
+    ),
+    lagged AS (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM flagged
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN pos - prev > 3 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM lagged
+    ),
+    islands AS (
+        SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + 2 AS e
+        FROM grp GROUP BY doc_id, g
+        HAVING MAX(pos) + 2 - MIN(pos) + 1 >= 8
+    ),
+    covered AS (
+        SELECT DISTINCT t.doc_id, t.pos
+        FROM toks t JOIN islands i
+          ON i.doc_id = t.doc_id AND t.pos BETWEEN i.s AND i.e
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t LEFT JOIN covered c
+          ON c.doc_id = t.doc_id AND c.pos = t.pos
+        WHERE c.pos IS NULL
+    ),
+    outp AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+               array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_tokens,
+           COALESCE(o.kept_tokens, 0) AS kept_tokens,
+           a.n_tokens - COALESCE(o.kept_tokens, 0) AS removed_tokens,
+           COALESCE(o.clean_text, '') AS clean_text
+    FROM alltoks a LEFT JOIN outp o ON o.doc_id = a.doc_id
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def y_dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup ACTION (VERDICT r8 #3) — y_duplicate_spans'
+    islands composed into output: each document's cleaned text with
+    cross-document duplicated spans EXCISED (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    dedup their suffix-array pipeline performs, not just the
+    coverage metric). KEEP-FIRST semantics make it a real dedup
+    rather than content destruction: a position is flagged only when
+    its 3-gram also occurs in an EARLIER document (min owning doc_id
+    keeps its copy), flagged positions merge into maximal islands
+    (gap ≤ 3, the y_duplicate_spans rule), and an island excises
+    tokens [start, last_flagged + 2] only when the span is at least
+    MIN_SPAN = 8 tokens — the paper's minimum-match-length guard
+    (they use 50 on web corpora; 8 is the same idea scaled to the
+    ~54-token synthetic docs), without which incidental shared
+    3-grams shred fluent text. Output per document: token counts
+    before/kept/removed and the stitched clean_text.
+
+    Scale shape: the same linear pipeline as y_duplicate_spans (one
+    positional-shingle explode, one shingle→min-doc aggregate, one
+    per-doc window) plus a JVM-side stitch — islands are collected
+    per doc (bounded by tokens/4 per doc, not corpus-sized) and the
+    token filter + join run inside ONE higher-order-function
+    projection over the words array: no per-token shuffle, no UDF.
+    The oracle rebuilds covered positions relationally (range join +
+    anti join) — same result, different engine-appropriate plan."""
+    from pyspark.sql import Window
+
+    from sql_to_dbsp_compiler_spark.llm.dedup import words
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    grams = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 3),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.concat_ws(
+                    " ",
+                    F.element_at(ws, i + 1),
+                    F.element_at(ws, i + 2),
+                    F.element_at(ws, i + 3),
+                ).alias("shingle"),
+            ),
+        ),
+    ).otherwise(
+        F.expr("CAST(array() AS ARRAY<STRUCT<pos: BIGINT, shingle: STRING>>)")
+    )
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        d.repartition(par, F.col("doc_id"))
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", "g.pos", "g.shingle")
+    )
+    sh_min = base.groupBy("shingle").agg(F.min("doc_id").alias("min_doc"))
+    flagged = (
+        base.join(sh_min, "shingle")
+        .where(F.col("doc_id") > F.col("min_doc"))
+        .select("doc_id", "pos")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    grp = flagged.withColumn(
+        "g",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos").over(w_ord) > 3, 1).otherwise(0)
+        ).over(w_ord),
+    )
+    islands = (
+        grp.groupBy("doc_id", "g")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + 2).alias("e"))
+        .where(F.col("e") - F.col("s") + 1 >= 8)
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("iv")
+    )
+    joined = d.select("doc_id", ws.alias("__ws")).join(per_doc, "doc_id", "left")
+    iv = F.coalesce(
+        "iv", F.expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)")
+    )
+    clean = F.filter(
+        "__ws",
+        lambda t, i: ~F.exists(
+            iv, lambda r: (i.cast("long") >= r["s"]) & (i.cast("long") <= r["e"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("__ws").cast("long").alias("n_tokens"),
+        F.size(clean).cast("long").alias("kept_tokens"),
+        (F.size("__ws") - F.size(clean)).cast("long").alias("removed_tokens"),
+        F.concat_ws(" ", clean).alias("clean_text"),
+    )

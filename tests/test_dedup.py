@@ -607,3 +607,35 @@ def test_delta_state_retract_commit_equals_full_banding(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_span_excise_keep_first_and_stitching(spark, tmp_path):
+    """Planted-passage pin for y_dedup_span_excise: the earliest doc
+    owning a shared passage keeps its text verbatim; later docs lose
+    exactly the passage tokens (stitched clean_text); spans shorter
+    than MIN_SPAN=8 survive; fully-unique docs pass through."""
+    from sql_to_dbsp_compiler_spark.queries.registry import REGISTRY
+
+    P = "the quick brown fox jumps over the lazy sleeping dog"  # 10 toks
+    S = "tiny shared bit"  # 3 tokens -> one 3-gram, span 3 < 8: kept
+    docs = [
+        (0, f"alpha bravo charlie {P} delta echo"),
+        (1, f"foxtrot golf hotel india {P} juliet kilo"),
+        (2, f"lima mike november {S} oscar papa"),
+        (3, f"quebec romeo sierra {S} tango uniform"),
+        (4, "victor whiskey xray yankee zulu one two"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["y_dedup_span_excise"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[0].removed_tokens == 0 and out[0].clean_text == docs[0][1]
+    assert out[1].removed_tokens == 10
+    assert out[1].clean_text == "foxtrot golf hotel india juliet kilo"
+    assert out[2].removed_tokens == 0 and out[3].removed_tokens == 0
+    assert out[4].removed_tokens == 0 and out[4].clean_text == docs[4][1]
