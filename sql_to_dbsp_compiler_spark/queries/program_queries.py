@@ -966,3 +966,76 @@ def y_program_cdc_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.round(F.col("total").cast("double"), 2).alias("total"),
     )
+
+
+_DEDUP_STMT_PROGRAM = """
+CREATE TABLE docs(doc_id BIGINT, text VARCHAR);
+CREATE VIEW dup_pairs AS
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM docs a JOIN docs b ON a.text = b.text AND a.doc_id < b.doc_id;
+"""
+
+_DEDUP_STMT_STREAM = """
+DELETE FROM docs WHERE doc_id % 16 = 1;
+UPDATE docs SET text = 'duplicated sentinel passage' WHERE doc_id % 16 = 2;
+MERGE INTO docs USING (VALUES (CAST(10001 AS BIGINT),
+                               'duplicated sentinel passage'),
+                              (CAST(10002 AS BIGINT), 'fresh unique text'),
+                              (CAST(0 AS BIGINT), 'rewritten by merge'))
+    AS s(id, t)
+    ON docs.doc_id = s.id
+    WHEN MATCHED THEN UPDATE SET text = s.t
+    WHEN NOT MATCHED THEN INSERT (doc_id, text) VALUES (s.id, s.t);
+"""
+
+
+@query(
+    "y_program_dedup_statements",
+    oracle="""
+    WITH d1 AS (SELECT doc_id, text FROM documents
+                WHERE NOT (doc_id % 16 = 1)),
+    d2 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 16 = 2
+                       THEN 'duplicated sentinel passage' ELSE text END AS text
+           FROM d1),
+    s(id, t) AS (VALUES (CAST(10001 AS BIGINT),
+                         'duplicated sentinel passage'),
+                        (CAST(10002 AS BIGINT), 'fresh unique text'),
+                        (CAST(0 AS BIGINT), 'rewritten by merge')),
+    upd AS (SELECT doc_id,
+                   CASE WHEN s.id IS NOT NULL THEN s.t ELSE d2.text END AS text
+            FROM d2 LEFT JOIN s ON d2.doc_id = s.id),
+    ins AS (SELECT id AS doc_id, t AS text FROM s
+            WHERE NOT EXISTS (SELECT 1 FROM d2 WHERE d2.doc_id = s.id)),
+    fin AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM fin a JOIN fin b ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
+    tags=("compiler", "incremental", "cdc", "dedup", "merge"),
+)
+def y_program_dedup_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r8 #7: the signed-delta shapes of the standing-state
+    dedup loop (delete a slice, update a slice to duplicate other
+    text, MERGE a batch that both rewrites and inserts) driven as a
+    DELETE / UPDATE / MERGE statement stream through the
+    statement-protocol gate, maintaining the exact-duplicate PAIR
+    view — the relational twin of y_dedup_delta_retract's semantics:
+    deletions retract pairs, updates retract the old row's pairs and
+    insert the new row's, all via derived Z-set deltas
+    (IncrementalProgram.step_statements; reference
+    TableModifyStatement.java:35 — every table modify is
+    retract + insert). The oracle replays the identical transaction in
+    plain SQL over the same corpus; the multi-step NATIVE replay
+    (DuckDB executing each statement, snapshot after every step) is
+    pinned by test_program_compiler.py::
+    test_dedup_statement_sequence_native_replay. Maintenance cost per
+    statement rides the statement's matched slice through the
+    incremental join circuit, not the corpus."""
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+    from sql_to_dbsp_compiler_spark.sources.tables import load_table
+
+    inc = IncrementalProgram(spark, _DEDUP_STMT_PROGRAM, optimize=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inc.step({"docs": docs})
+    inc.step_statements(_DEDUP_STMT_STREAM)
+    return inc.snapshot("dup_pairs").to_multiset_df().select("id_a", "id_b")

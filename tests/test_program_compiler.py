@@ -3416,3 +3416,93 @@ def test_merge_subquery_source_quoted_identifiers(spark):
     """
     got = sorted(tuple(r) for r in compile_batch(spark, prog)["out"].collect())
     assert got == [(1, 105), (2, 7)], got
+
+
+def test_dedup_statement_sequence_native_replay(spark):
+    """VERDICT r8 #7: a SEQUENCE of signed-delta statements
+    (DELETE / UPDATE / MERGE, including a delete of a row an earlier
+    update rewrote) over a standing dedup pipeline, checked against
+    DuckDB executing the SAME statements natively after EVERY step —
+    the statement-protocol pin for retraction semantics. DuckDB 1.0
+    has no MERGE, so the merge step is mirrored there as the
+    equivalent UPDATE + INSERT (the SQL-standard decomposition for a
+    VALUES source with disjoint match classes)."""
+    import duckdb
+
+    from sql_to_dbsp_compiler_spark.compiler.program import IncrementalProgram
+    from sql_to_dbsp_compiler_spark.plans.zset import ZSet
+
+    ddl = """
+    CREATE TABLE docs(doc_id BIGINT, text VARCHAR);
+    CREATE VIEW dup_pairs AS
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM docs a JOIN docs b ON a.text = b.text AND a.doc_id < b.doc_id;
+    CREATE VIEW fp_groups AS
+        SELECT text, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        FROM docs GROUP BY text;
+    """
+    rows = [
+        (0, "alpha body"), (1, "bravo body"), (2, "alpha body"),
+        (3, "charlie body"), (4, "bravo body"), (5, "delta body"),
+        (6, "echo body"), (7, "alpha body"),
+    ]
+    inc = IncrementalProgram(spark, ddl, optimize=True, checkpoint_every=1)
+    inc.step({"docs": ZSet(spark.createDataFrame(
+        [(*r, 1) for r in rows], "doc_id long, text string, __weight long"))})
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+
+    def check(tag):
+        for view, sql in [
+            ("dup_pairs",
+             "SELECT a.doc_id, b.doc_id FROM docs a JOIN docs b "
+             "ON a.text = b.text AND a.doc_id < b.doc_id"),
+            ("fp_groups",
+             "SELECT text, MIN(doc_id), COUNT(*) FROM docs GROUP BY text"),
+        ]:
+            got = sorted(
+                tuple(r) for r in inc.snapshot(view).to_multiset_df().collect()
+            )
+            want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+            assert got == want, f"[{tag}] {view}: {got} != {want}"
+
+    # step 1: delete one member of the alpha group — its pairs retract
+    s1 = "DELETE FROM docs WHERE doc_id = 2;"
+    inc.step_statements(s1)
+    con.execute("DELETE FROM docs WHERE doc_id = 2")
+    check("delete")
+
+    # step 2: update bravo members INTO the alpha group (retract old
+    # pairs, insert new cross-group pairs)
+    s2 = "UPDATE docs SET text = 'alpha body' WHERE text = 'bravo body';"
+    inc.step_statements(s2)
+    con.execute("UPDATE docs SET text = 'alpha body' WHERE text = 'bravo body'")
+    check("update")
+
+    # step 3: MERGE — rewrite doc 5 into the group, insert two fresh
+    s3 = """
+    MERGE INTO docs USING (VALUES (CAST(5 AS BIGINT), 'alpha body'),
+                                  (CAST(100 AS BIGINT), 'alpha body'),
+                                  (CAST(101 AS BIGINT), 'unique tail'))
+        AS s(id, t)
+        ON docs.doc_id = s.id
+        WHEN MATCHED THEN UPDATE SET text = s.t
+        WHEN NOT MATCHED THEN INSERT (doc_id, text) VALUES (s.id, s.t);
+    """
+    inc.step_statements(s3)
+    con.execute("UPDATE docs SET text = 'alpha body' WHERE doc_id = 5")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)",
+        [(100, "alpha body"), (101, "unique tail")],
+    )
+    check("merge")
+
+    # step 4: delete a row the UPDATE created (retraction of a
+    # retraction's product) plus one merge-inserted row
+    s4 = "DELETE FROM docs WHERE doc_id IN (1, 100);"
+    inc.step_statements(s4)
+    con.execute("DELETE FROM docs WHERE doc_id IN (1, 100)")
+    check("delete2")
+    con.close()
