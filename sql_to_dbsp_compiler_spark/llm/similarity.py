@@ -631,7 +631,10 @@ def ivf_query_store(
     ).select(query_id_col, "qvec", "centroid_id")
     # literal probe set (tiny: ≤ |queries|·nprobe ids) → partition pruning
     probe_ids = sorted({r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()})
-    vectors = spark.read.parquet(f"{path}/vectors").where(F.col("centroid_id").isin(probe_ids))
+    # read through the tombstone view (ivf_store_live): a store that
+    # has committed deletes must not return retracted vectors — the
+    # anti-join is broadcast, so the isin filter still partition-prunes
+    vectors = ivf_store_live(spark, path).where(F.col("centroid_id").isin(probe_ids))
     scored = probes.join(vectors, "centroid_id").select(
         query_id_col, F.col(id_col), cosine(F.col("qvec"), F.col("vec")).alias("sim")
     )

@@ -473,3 +473,39 @@ def test_ivf_centroid_means_decimal_exact(spark, sf_dir):
         for r in ivf_centroid_means(assigned.repartition(7), cent).collect()
     }
     assert got2 == got
+
+
+def test_ivf_query_store_honors_tombstones(spark, sf_dir, tmp_path):
+    """Search over a committed store must not return retracted
+    vectors: after ivf_store_delete, a tombstoned id disappears from
+    every query's top-k and the vacated rank backfills with the next
+    best live vector (recompute expectation from the live view)."""
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        brute_force_topk,
+        ivf_query_store,
+        ivf_store_delete,
+        ivf_store_live,
+        ivf_write_store,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") >= 10)
+    queries = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    store = str(tmp_path / "store")
+    ivf_write_store(corpus, store, nlist=8)
+    before = ivf_query_store(spark, store, queries, k=5, nprobe=8)
+    victims = {r.vec_id for r in before.where(F.col("rn") <= 2).collect()}
+    ivf_store_delete(
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"), store
+    )
+    after = ivf_query_store(spark, store, queries, k=5, nprobe=8).collect()
+    assert victims and not ({r.vec_id for r in after} & victims)
+    # nprobe=8 of nlist=8 probes everything, so the result must equal
+    # exact top-k over the live view
+    live = ivf_store_live(spark, store).select(
+        "vec_id", F.col("vec").alias("embedding")
+    )
+    want = brute_force_topk(live, queries, k=5).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, want))
