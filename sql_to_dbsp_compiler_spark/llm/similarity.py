@@ -555,6 +555,95 @@ def ivf_store_delete(deleted_ids: DataFrame, path: str) -> None:
     deleted_ids.write.mode("append").parquet(f"{path}/_deletes")
 
 
+def ivf_store_compact(
+    spark, path: str, max_tombstone_frac: float = 0.1
+) -> dict:
+    """COMPACTION for the tombstoned IVF store — the amortization step
+    the delete path defers: partitions whose tombstone fraction
+    exceeds ``max_tombstone_frac`` are rewritten from their live rows
+    (dynamic partition overwrite — ONLY those partitions' files are
+    replaced; the rest of the store is untouched, file-set-identical),
+    and the tombstones they absorbed are dropped from ``_deletes``.
+    Under-threshold partitions keep their tombstones — the read path
+    keeps anti-joining them, so compaction never changes the live
+    view (tests pin live-view invariance and file locality).
+
+    Scale shape: one lean (vec_id, centroid_id) scan joined against
+    the broadcast tombstone table to locate the over-threshold
+    partitions, then a rewrite proportional to the LIVE rows of those
+    partitions only. Idempotent: a second call finds no partition
+    over threshold. Returns {'compacted': [centroid_id...],
+    'tombstones_remaining': n} for observability."""
+    from pyspark.errors import AnalysisException
+
+    v = spark.read.parquet(f"{path}/vectors")
+    try:
+        dels = spark.read.parquet(f"{path}/_deletes").select("vec_id").distinct()
+    except AnalysisException:
+        return {"compacted": [], "tombstones_remaining": 0}
+    hit = (
+        v.select("vec_id", "centroid_id")
+        .join(F.broadcast(dels), "vec_id", "left_semi")
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_dead"))
+    )
+    sizes = v.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_tot"))
+    over = [
+        r.centroid_id
+        for r in sizes.join(hit, "centroid_id")
+        .where(F.col("n_dead") > F.col("n_tot") * max_tombstone_frac)
+        .collect()
+    ]
+    if not over:
+        return {
+            "compacted": [],
+            "tombstones_remaining": dels.count(),
+        }
+    # Materialize EVERYTHING that reads the files about to be replaced
+    # BEFORE the rewrite (eager localCheckpoint severs the lineage):
+    # the rewrite source reads path/vectors itself (Spark refuses a
+    # lazy self-overwrite), and the absorbed-tombstone set must map
+    # tombstones to their PRE-rewrite partitions.
+    live_slice = (
+        v.where(F.col("centroid_id").isin(over))
+        .join(F.broadcast(dels), "vec_id", "left_anti")
+        .localCheckpoint()
+    )
+    # absorbed = tombstones pointing into a compacted partition; any
+    # other tombstone (live partition, or an id never in the store)
+    # must survive the _deletes rewrite
+    absorbed = (
+        v.select("vec_id", "centroid_id")
+        .join(F.broadcast(dels), "vec_id", "left_semi")
+        .where(F.col("centroid_id").isin(over))
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    remaining = dels.join(absorbed, "vec_id", "left_anti").localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        live_slice.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{path}/vectors"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Two-phase swap (_deletes.new then move) so a failure between the
+    # two rewrites never loses a tombstone for a still-live row —
+    # losing an ABSORBED one would be harmless (its row is gone), and
+    # until the swap lands the old over-complete _deletes stays in
+    # effect (anti-joining an absorbed id is a no-op).
+    import shutil
+
+    remaining.write.mode("overwrite").parquet(f"{path}/_deletes.new")
+    shutil.rmtree(f"{path}/_deletes")
+    shutil.move(f"{path}/_deletes.new", f"{path}/_deletes")
+    return {
+        "compacted": sorted(over),
+        "tombstones_remaining": remaining.count(),
+    }
+
+
 def ivf_store_live(spark, path: str) -> DataFrame:
     """The LIVE view of a partitioned IVF store: vectors minus
     tombstones. The anti-join is a broadcast against the (tiny)

@@ -3105,3 +3105,58 @@ def y_dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("__ws") - F.size(clean)).cast("long").alias("removed_tokens"),
         F.concat_ws(" ", clean).alias("clean_text"),
     )
+
+
+@query(
+    "y_ann_store_compact",
+    oracle=f"""
+    WITH cent AS (
+        SELECT centroid_id, CAST(cvec AS DOUBLE[]) AS cvec
+        FROM read_parquet('{_ANN_DELTA_STATE}/sf0.01/centroids/*.parquet')
+        WHERE {_ANN_STORE_GUARD}
+    ),
+    live AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 10 AND vec_id % 8 <> 3
+    ),
+    a AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT l.vec_id, ct.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY l.vec_id
+                       ORDER BY list_cosine_similarity(l.v, ct.cvec) DESC,
+                                ct.centroid_id) AS r
+            FROM live l CROSS JOIN cent ct
+        ) WHERE r = 1
+    )
+    SELECT centroid_id, COUNT(*) AS n_live FROM a GROUP BY centroid_id
+    """,
+    tags=("llm", "similarity", "incremental"),
+)
+def y_ann_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store COMPACTION under the gate — the amortization step that
+    completes the Z-set store lifecycle (append → tombstone →
+    compact): partitions whose tombstone fraction exceeds 10% are
+    rewritten from their live rows via dynamic partition overwrite
+    (only those partitions' files are replaced — file-locality and
+    live-view invariance pinned by tests/test_similarity.py), and the
+    absorbed tombstones retire from ``_deletes``. The oracle pins the
+    post-compaction per-partition live counts against the
+    from-scratch assignment of the post-delta corpus — compaction
+    must lose nothing and resurrect nothing, whichever partitions it
+    chose to rewrite. Idempotent, so repeated gate/bench runs see one
+    deterministic compacted store. At 100 TB the locate step is one
+    lean 2-column scan against the broadcast tombstone table and the
+    rewrite is proportional to the live rows of over-threshold
+    partitions only."""
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        ivf_store_compact,
+        ivf_store_live,
+    )
+
+    store_dir = _ann_store_ready(spark, sf_dir)
+    ivf_store_compact(spark, store_dir, max_tombstone_frac=0.1)
+    return (
+        ivf_store_live(spark, store_dir)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_live"))
+    )

@@ -509,3 +509,86 @@ def test_ivf_query_store_honors_tombstones(spark, sf_dir, tmp_path):
     )
     want = brute_force_topk(live, queries, k=5).collect()
     assert sorted(map(tuple, after)) == sorted(map(tuple, want))
+
+
+def test_ivf_store_compact_locality_and_live_invariance(spark, sf_dir, tmp_path):
+    """Compaction rewrites ONLY over-threshold partitions (file-set
+    proof), physically drops their tombstoned rows, retires exactly
+    the absorbed tombstones, never changes the live view, and is
+    idempotent."""
+    import glob
+    import os
+
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        ivf_store_compact,
+        ivf_store_delete,
+        ivf_store_live,
+        ivf_write_store,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") >= 10)
+    store = str(tmp_path / "store")
+    ivf_write_store(corpus, store, nlist=8)
+    v = spark.read.parquet(f"{store}/vectors")
+    # heavy deletions in the largest partition, one light tombstone in
+    # another, one bogus id that was never in the store
+    sizes = sorted(
+        ((r.centroid_id, r.n) for r in
+         v.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()),
+        key=lambda t: -t[1],
+    )
+    heavy_c, heavy_n = sizes[0]
+    light_c = sizes[-1][0]
+    heavy_ids = [
+        r.vec_id for r in v.where(F.col("centroid_id") == heavy_c)
+        .select("vec_id").limit(max(2, heavy_n // 2)).collect()
+    ]
+    light_id = v.where(F.col("centroid_id") == light_c).first().vec_id
+    bogus = 99_999_999
+    ivf_store_delete(
+        spark.createDataFrame(
+            [(i,) for i in heavy_ids + [light_id, bogus]], "vec_id long"
+        ),
+        store,
+    )
+    live_before = sorted(
+        (r.vec_id, r.centroid_id)
+        for r in ivf_store_live(spark, store).collect()
+    )
+
+    def files_by_part():
+        return {
+            os.path.basename(d): set(glob.glob(f"{d}/*.parquet"))
+            for d in glob.glob(f"{store}/vectors/centroid_id=*")
+        }
+
+    before = files_by_part()
+    # threshold chosen so ONLY the heavy partition is over
+    res = ivf_store_compact(spark, store, max_tombstone_frac=0.4)
+    assert res["compacted"] == [heavy_c]
+    after = files_by_part()
+    changed = {p for p in before | after.keys()
+               if before.get(p) != after.get(p)}
+    assert changed == {f"centroid_id={heavy_c}"}
+    # tombstoned rows physically gone from the compacted partition
+    raw = {
+        r.vec_id
+        for r in spark.read.parquet(f"{store}/vectors")
+        .where(F.col("centroid_id") == heavy_c).collect()
+    }
+    assert not (raw & set(heavy_ids))
+    # live view invariant; only the unabsorbed tombstones survive
+    live_after = sorted(
+        (r.vec_id, r.centroid_id)
+        for r in ivf_store_live(spark, store).collect()
+    )
+    assert live_after == live_before
+    remaining = {
+        r.vec_id for r in spark.read.parquet(f"{store}/_deletes").collect()
+    }
+    assert remaining == {light_id, bogus}
+    # idempotent: nothing left over threshold
+    res2 = ivf_store_compact(spark, store, max_tombstone_frac=0.4)
+    assert res2["compacted"] == []
+    assert res2["tombstones_remaining"] == 2
