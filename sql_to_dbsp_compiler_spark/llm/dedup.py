@@ -843,6 +843,15 @@ def delta_dedup_retract(
     the state is bucketed by (band_id, band_hash) so every key join
     here is co-located."""
     keys = ["band_id", "band_hash"]
+    # |delta|-sized inputs are lazily checkpointed: each is referenced
+    # from several subtrees (bands, state', docs_new, both verifies),
+    # and without the lineage cut every reference re-scans the corpus
+    # text it was derived from — at 100 TB that's the difference
+    # between ~4 and ~8 full documents scans in the final plan
+    # (test_plan_quality pins the bound).
+    updated_docs = updated_docs.select(id_col, text_col).localCheckpoint(
+        eager=False
+    )
     retract_ids = (
         deleted_ids.select(id_col)
         .unionByName(updated_docs.select(id_col))
@@ -909,14 +918,17 @@ def delta_dedup_retract(
         .select(id_col, text_col)
         .unionByName(updated_docs.select(id_col, text_col))
     )
+    # each side is referenced TWICE by the signed diff (as the keep
+    # and the anti side) — without the lineage cut the whole verify
+    # subtree (including its corpus text scans) runs twice per side
     old_pairs = jaccard_verify_candidates(
         docs_old, member(state_old, live_old), id_col, text_col,
         n=shingle_n, threshold=threshold,
-    )
+    ).localCheckpoint(eager=False)
     new_pairs = jaccard_verify_candidates(
         docs_new, member(state_new, live_new), id_col, text_col,
         n=shingle_n, threshold=threshold,
-    )
+    ).localCheckpoint(eager=False)
     # signed diff on (pair, jaccard): join keys are doubles, but both
     # legs compute an untouched pair's jaccard from IDENTICAL integer
     # counts over identical texts, so equality is exact

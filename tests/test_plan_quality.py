@@ -656,3 +656,23 @@ def test_duplicate_spans_no_pair_enumeration(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # both joins are equi-joins keyed on shingle / doc_id
     assert "Join Inner, (shingle" not in plan  # never a theta-join on shingle
+
+
+def test_dedup_delta_retract_delta_bound_plan(spark, sf_dir):
+    """y_dedup_delta_retract: the retraction plan must stay
+    delta-bound — no Python stages, no product joins, the standing
+    state read without any text column, and the corpus text scanned a
+    BOUNDED number of times (the |delta|-sized inputs are lineage-cut
+    behind lazy checkpoints, so docs_new and both verifies don't each
+    re-derive the update join from the raw table; without the cuts
+    this plan shows ~8 documents scans, with them ≤ 5)."""
+    plan = _plan(spark, sf_dir, "y_dedup_delta_retract")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_docs_scans = plan.count("documents.parquet")
+    assert n_docs_scans <= 5, n_docs_scans
+    # the standing state is read as the lean 3-column bucket table
+    for line in plan.splitlines():
+        if "dedup_retract_state" in line and "ReadSchema" in line:
+            assert "text" not in line, line
