@@ -191,6 +191,44 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         " before any pair is shuffled), exact cosine verify on"
         " survivors. Candidate-bound, never all-pairs.",
     ),
+    (
+        "y_dedup_delta_retract",
+        "y_dedup_delta_retract",
+        "Signed-delta retraction (r9): candidates enumerate only from"
+        " TOUCHED buckets (retracted/added band keys), live old-side"
+        " and new-side; membership resolves against each pair's full"
+        " witness set; verification is candidate-bound on both text"
+        " versions. |delta|-sized inputs and both verified-pair"
+        " frames are lineage-cut (ExistingRDD nodes) so the signed"
+        " diff evaluates each verify once and the corpus text is"
+        " scanned ≤5 times, pruned (was 8 with double evaluation"
+        " before the cuts). Standing state read as the lean 3-column"
+        " bucket table. Fixed-delta anchor: 2.5× at 100× corpus —"
+        " the three state scans (old sizes, new sizes, anti-join).",
+    ),
+    (
+        "y_ann_delta_commit",
+        "y_ann_delta_commit",
+        "ANN store commit (r9): the returned frame is the LIVE view —"
+        " partitioned vectors scan anti-joined against the broadcast"
+        " tombstone table; the append path (not in this read plan)"
+        " writes new files into only the delta's centroid_id"
+        " partitions (file-locality test). Partition pruning reaches"
+        " the scan through the broadcast anti-join"
+        " (test_similarity.py PartitionFilters pin). Commit anchor:"
+        " FLAT at 100× index size.",
+    ),
+    (
+        "y_dedup_span_excise",
+        "y_dedup_span_excise",
+        "Span excision (r9): the y_duplicate_spans pipeline (one"
+        " positional-shingle explode, one shingle→min-doc aggregate,"
+        " one per-doc window) plus a per-doc islands collect and ONE"
+        " higher-order-function stitch projection — filter over the"
+        " words array with an exists() per token, all inside"
+        " codegen; no per-token shuffle, no UDF. Linear decade:"
+        " 10.3× wall for 10× data (sf1→sf10).",
+    ),
 ]
 
 STATIC = """\
