@@ -555,6 +555,17 @@ def ivf_store_delete(deleted_ids: DataFrame, path: str) -> None:
     deleted_ids.write.mode("append").parquet(f"{path}/_deletes")
 
 
+# NOTE on UPDATE semantics: tombstones are UNORDERED with respect to
+# appends (no commit sequence in this layout), so re-inserting a
+# tombstoned vec_id would be shadowed by its own tombstone. A vector
+# UPDATE therefore composes as retract → ivf_store_compact (retires
+# the tombstone physically) → append — the Z-set retract+insert with
+# an explicit retirement step, pinned by
+# tests/test_similarity.py::test_ivf_store_vector_update_composes.
+# A versioned layout (per-commit sequence numbers, delta-lake style)
+# would remove the ordering constraint at the cost of a wider schema.
+
+
 def ivf_store_compact(
     spark, path: str, max_tombstone_frac: float = 0.1
 ) -> dict:

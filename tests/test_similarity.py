@@ -592,3 +592,106 @@ def test_ivf_store_compact_locality_and_live_invariance(spark, sf_dir, tmp_path)
     res2 = ivf_store_compact(spark, store, max_tombstone_frac=0.4)
     assert res2["compacted"] == []
     assert res2["tombstones_remaining"] == 2
+
+
+def test_centroid_staleness_trigger_fires_on_drift(spark, sf_dir, tmp_path):
+    """The retrain flag must actually FIRE when ingest drifts the
+    data: replace one centroid's members with vectors pulled toward
+    another centroid's direction — that partition's mean
+    assigned-cosine drops vs the training snapshot and crosses the
+    0.005 threshold, while undrifted partitions stay unflagged."""
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        ivf_centroid_means,
+        ivf_train_kmeans,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") >= 10)
+    cent, assigned = ivf_train_kmeans(e, nlist=4)
+    snap = {
+        r.centroid_id: float(r.mean9)
+        for r in ivf_centroid_means(assigned, cent).collect()
+    }
+    # drift: blend every vector of the busiest centroid 60/40 toward
+    # a FIXED far vector — assignments mostly stay (60% own direction)
+    # but the cosine to the centroid drops well past the threshold
+    busiest = (
+        assigned.groupBy("centroid_id").count().orderBy(F.col("count").desc())
+        .first().centroid_id
+    )
+    far = [float(x) for x in cent.where(
+        F.col("centroid_id") != busiest).first().cvec]
+    blend = F.transform(
+        F.col("vec"),
+        lambda x, i: x * 0.6 + F.element_at(F.lit(far), i + 1) * 0.4,
+    )
+    drifted = assigned.withColumn(
+        "vec", F.when(F.col("centroid_id") == busiest, blend).otherwise(F.col("vec"))
+    )
+    now = {
+        r.centroid_id: float(r.mean9)
+        for r in ivf_centroid_means(drifted, cent).collect()
+    }
+    flags = {c: (snap[c] - now[c]) > 0.005 for c in snap}
+    assert flags[busiest] is True, (snap[busiest], now[busiest])
+    assert all(not v for c, v in flags.items() if c != busiest), flags
+
+
+def test_ivf_store_vector_update_composes(spark, sf_dir, tmp_path):
+    """Vector UPDATE against the standing store = retract → compact
+    (retire the tombstone) → append the re-assigned new row. The
+    middle step is load-bearing: tombstones are unordered w.r.t.
+    appends, so WITHOUT retirement the re-inserted id is shadowed by
+    its own tombstone (asserted below — the documented protocol, see
+    the NOTE in llm/similarity.py). After the update, search returns
+    the updated id in its new neighbor's bucket."""
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        ivf_assign_to,
+        ivf_query_store,
+        ivf_store_append,
+        ivf_store_compact,
+        ivf_store_delete,
+        ivf_store_live,
+        ivf_write_store,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.where(F.col("vec_id") >= 10)
+    store = str(tmp_path / "store")
+    ivf_write_store(corpus, store, nlist=8)
+    cent = spark.read.parquet(f"{store}/_centroids")
+
+    victim = corpus.select(F.min("vec_id")).first()[0]
+    target = corpus.where(F.col("vec_id") != victim).select(
+        F.max("vec_id")
+    ).first()[0]
+    new_row = (
+        corpus.where(F.col("vec_id") == target)
+        .select(F.lit(victim).cast("long").alias("vec_id"), "embedding")
+    )
+    # UPDATE = retract + retire + insert. First pin the shadowing
+    # hazard the retire step exists for: append WITHOUT retiring and
+    # the new row is invisible behind its own tombstone.
+    ivf_store_delete(
+        spark.createDataFrame([(victim,)], "vec_id long"), store
+    )
+    ivf_store_append(ivf_assign_to(new_row, cent), store)
+    assert ivf_store_live(spark, store).where(
+        F.col("vec_id") == victim
+    ).count() == 0  # shadowed — the documented unordered-tombstone hazard
+    # retire the tombstone (threshold 0: every hit partition compacts,
+    # including the shadowed fresh row — so re-append after)
+    ivf_store_compact(spark, store, max_tombstone_frac=0.0)
+    ivf_store_append(ivf_assign_to(new_row, cent), store)
+
+    live = ivf_store_live(spark, store)
+    assert live.where(F.col("vec_id") == victim).count() == 1
+    # the updated row moved to the target's partition
+    p_victim = live.where(F.col("vec_id") == victim).first().centroid_id
+    p_target = live.where(F.col("vec_id") == target).first().centroid_id
+    assert p_victim == p_target
+    # searching with the target's embedding finds BOTH ids now
+    q = corpus.where(F.col("vec_id") == target).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    top = {r.vec_id for r in ivf_query_store(spark, store, q, k=2, nprobe=8).collect()}
+    assert top == {victim, target}
