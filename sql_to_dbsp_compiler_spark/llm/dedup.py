@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sql_to_dbsp_compiler_spark.llm.text import words
+from sql_to_dbsp_compiler_spark.operators.skew import spread_by
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -110,15 +111,14 @@ def minhash_signatures_df(
     single-file inputs across the cluster before the per-doc compute;
     the DAG is linear (one consumer per subtree) so there are no
     persist barriers."""
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    # Order matters twice here: repartition FIRST so the per-doc
-    # shingling runs on all cores even from a single-file input; then
+    # Order matters twice here: spread FIRST so the per-doc
+    # shingling runs on all cores even from a single-file input (a
+    # no-op when the scan is already parallel — spread_by); then
     # persist the hash array as a barrier so CollapseProject can't
     # inline shingle_hashes into each of the num_hashes min
     # expressions (which would re-shingle every row num_hashes times).
     sh_df = (
-        df.repartition(par, F.col(id_col))
+        spread_by(df, id_col)
         .select(F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("__h"))
         .persist()
     )
@@ -230,9 +230,8 @@ def ngram_jaccard_pairs(
     barely moves. At 100 TB prefer :func:`jaccard_verify_candidates`
     over LSH candidates; this standalone form with ``max_df`` is for
     exact-on-bounded-corpus use."""
-    par = df.sparkSession.sparkContext.defaultParallelism
     sh = (
-        df.repartition(par, F.col(id_col))
+        spread_by(df, id_col)
         .select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
         .distinct()
     )
@@ -325,9 +324,8 @@ def simhash_signatures(
     """SimHash: majority vote per bit over word-hash bits, weighted by
     term frequency. One groupBy(doc) with 64 SUM aggregates — single
     shuffle, map-side partials, all codegen."""
-    par = df.sparkSession.sparkContext.defaultParallelism
     wc = (
-        df.repartition(par, F.col(id_col))
+        spread_by(df, id_col)
         .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -600,6 +598,7 @@ def minhash_signatures_md5(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """MinHash over md5 with Kirsch–Mitzenmacher double hashing: ONE
     md5 per shingle yields two 60-bit halves (hex chars 1-15 and
@@ -609,24 +608,32 @@ def minhash_signatures_md5(
     family (the profiled hot stage of the dedup cascade) with the
     standard double-hashing quality guarantee, and every step is
     integer arithmetic any SQL engine reproduces bit-for-bit."""
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
+    # spread=False is for DELTA-sized inputs (incremental apply /
+    # retract): forcing a day's few-thousand-row delta across every
+    # core costs more in per-task fixed overhead than the serial
+    # compute it saves, and at scale the delta's own scan splits
+    # already parallelize it.
     sh_df = (
-        df.repartition(par, F.col(id_col))
+        (spread_by(df, id_col) if spread else df)
         .select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__s"))
         .where(F.size("__s") > 0)
     )
     p = F.lit(MINHASH_P)
     # materialize (h1, h2) per shingle in a separate projection so the
     # md5 is computed once, not once per hash function (Catalyst does
-    # not CSE across the num_hashes sibling transforms)
+    # not CSE across the num_hashes sibling transforms). The md5 hex
+    # itself is bound ONCE per shingle via a nested transform (inner
+    # array of hex digests, outer struct split): higher-order lambdas
+    # are interpreted with no CSE, so md5(s) appearing in both h1 and
+    # h2 would otherwise hash every shingle twice — the profiled hot
+    # stage of the whole dedup family.
     hp = sh_df.select(
         F.col(id_col),
         F.transform(
-            F.col("__s"),
-            lambda s: F.struct(
-                (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % p).alias("h1"),
-                (F.conv(F.substring(F.md5(s), 17, 15), 16, 10).cast("long") % p).alias("h2"),
+            F.transform(F.col("__s"), lambda s: F.md5(s)),
+            lambda m: F.struct(
+                (F.conv(F.substring(m, 1, 15), 16, 10).cast("long") % p).alias("h1"),
+                (F.conv(F.substring(m, 17, 15), 16, 10).cast("long") % p).alias("h2"),
             ),
         ).alias("__h"),
     )
@@ -721,7 +728,9 @@ def delta_dedup_apply(
     re-shingled and its text is never reshuffled."""
     keys = ["band_id", "band_hash"]
     bands_d = banded_md5(
-        minhash_signatures_md5(delta_docs, id_col, text_col, num_hashes, shingle_n),
+        minhash_signatures_md5(
+            delta_docs, id_col, text_col, num_hashes, shingle_n, spread=False
+        ),
         id_col,
         bands=bands,
     ).localCheckpoint(eager=False)
@@ -782,7 +791,9 @@ def delta_state_retract_commit(
         retract_ids.select(F.col(id_col)), id_col, "left_anti"
     )
     bands_u = banded_md5(
-        minhash_signatures_md5(updated_docs, id_col, text_col, num_hashes, shingle_n),
+        minhash_signatures_md5(
+            updated_docs, id_col, text_col, num_hashes, shingle_n, spread=False
+        ),
         id_col,
         bands=bands,
     )
@@ -859,16 +870,31 @@ def delta_dedup_retract(
         .localCheckpoint(eager=False)
     )
     bands_u = banded_md5(
-        minhash_signatures_md5(updated_docs, id_col, text_col, num_hashes, shingle_n),
+        minhash_signatures_md5(
+            updated_docs, id_col, text_col, num_hashes, shingle_n, spread=False
+        ),
         id_col,
         bands=bands,
     ).localCheckpoint(eager=False)
     state_old = buckets_state
-    state_new = state_old.join(retract_ids, id_col, "left_anti").unionByName(
-        bands_u
-    )
 
-    bands_old_r = state_old.join(retract_ids, id_col, "leftsemi")
+    # Every derived input below comes from as FEW standing-state scans
+    # as the semantics allow (guide §2.4: remove passes outright — the
+    # state is the only corpus-sized input this operator touches, so
+    # the number of times it is read IS the operator's 100 TB cost):
+    #   scan 1  bands_old_r   = state ⋉ retract_ids   (retracted bands)
+    #   scan 2  n_old         = per-bucket member counts
+    #   scan 3  members_old   = state ⋉ touched       (touched buckets)
+    #   scan 4  state_old_c   = state ⋉ candidate ids (witness lookups)
+    # live_new is DERIVED arithmetically (n_old − n_retracted + n_added
+    # per key — exactly what re-counting state' would produce), the
+    # new-state touched members derive from members_old, and both
+    # member() sides read the one checkpointed candidate-restricted
+    # slice — the previous shape re-scanned the full state for each of
+    # live_new, cands-new, and all four member() legs (~8 scans).
+    bands_old_r = state_old.join(retract_ids, id_col, "leftsemi").localCheckpoint(
+        eager=False
+    )
     touched = (
         bands_old_r.select(*keys)
         .unionByName(bands_u.select(*keys))
@@ -876,35 +902,74 @@ def delta_dedup_retract(
         .localCheckpoint(eager=False)
     )
 
-    def live(state: DataFrame) -> DataFrame:
-        n = F.count(F.lit(1))
-        return (
-            state.groupBy(*keys)
-            .agg(n.alias("__n"))
-            .where((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
-            .select(*keys)
-        )
-
-    live_old = live(state_old).localCheckpoint(eager=False)
-    live_new = live(state_new).localCheckpoint(eager=False)
-    cands = (
-        _pairs_within_buckets(
-            state_old.join(touched, keys, "leftsemi"), keys, id_col, max_bucket
+    # BOTH states' bucket sizes from ONE state scan: every old row
+    # counts 1 toward n_old and, unless its id is retracted, 1 toward
+    # n_new; the delta's bands count 1 toward n_new only. One broadcast
+    # flag join + one map-side-partial aggregation — the previous shape
+    # ran a full groupBy over state AND over state' (two state scans).
+    rflag = retract_ids.withColumn("__r", F.lit(1))
+    contrib = (
+        state_old.join(F.broadcast(rflag), id_col, "left")
+        .select(
+            *keys,
+            F.lit(1).alias("__o"),
+            F.when(F.col("__r").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("__n"),
         )
         .unionByName(
-            _pairs_within_buckets(
-                state_new.join(touched, keys, "leftsemi"), keys, id_col, max_bucket
-            )
+            bands_u.select(*keys, F.lit(0).alias("__o"), F.lit(1).alias("__n"))
+        )
+    )
+    n_both = (
+        contrib.groupBy(*keys)
+        .agg(F.sum("__o").alias("__n_old"), F.sum("__n").alias("__n_new"))
+        .localCheckpoint(eager=False)
+    )
+
+    def live(n_col: str) -> DataFrame:
+        return n_both.where(
+            (F.col(n_col) >= 2) & (F.col(n_col) <= max_bucket)
+        ).select(*keys)
+
+    live_old = live("__n_old")
+    live_new = live("__n_new")
+    # Touched-bucket members: ONE state scan; the new state's touched
+    # members derive from it (old minus retracted, plus the delta's
+    # bands — bands_u keys are touched by construction).
+    members_old = state_old.join(touched, keys, "leftsemi").localCheckpoint(
+        eager=False
+    )
+    members_new = members_old.join(retract_ids, id_col, "left_anti").unionByName(
+        bands_u
+    )
+    cands = (
+        _pairs_within_buckets(members_old, keys, id_col, max_bucket, dedup=False)
+        .unionByName(
+            _pairs_within_buckets(members_new, keys, id_col, max_bucket, dedup=False)
         )
         .distinct()
         .localCheckpoint(eager=False)
     )
 
-    def member(state: DataFrame, live_keys: DataFrame) -> DataFrame:
+    # Witness lookups only ever touch state rows whose id appears in a
+    # candidate pair — restrict the state ONCE and share the slice
+    # across both sides of both states.
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    state_old_c = state_old.join(cand_ids, id_col, "leftsemi").localCheckpoint(
+        eager=False
+    )
+    state_new_c = state_old_c.join(retract_ids, id_col, "left_anti").unionByName(
+        bands_u.join(cand_ids, id_col, "leftsemi")
+    )
+
+    def member(state_c: DataFrame, live_keys: DataFrame) -> DataFrame:
         # pairs (from cands) with at least one LIVE witness bucket in
         # this state — the full witness set, not just touched buckets
-        sa = state.select(F.col(id_col).alias("id_a"), *keys)
-        sb = state.select(F.col(id_col).alias("id_b"), *keys)
+        sa = state_c.select(F.col(id_col).alias("id_a"), *keys)
+        sb = state_c.select(F.col(id_col).alias("id_b"), *keys)
         return (
             cands.join(sa, "id_a")
             .join(sb, ["id_b", *keys])
@@ -922,11 +987,11 @@ def delta_dedup_retract(
     # and the anti side) — without the lineage cut the whole verify
     # subtree (including its corpus text scans) runs twice per side
     old_pairs = jaccard_verify_candidates(
-        docs_old, member(state_old, live_old), id_col, text_col,
+        docs_old, member(state_old_c, live_old), id_col, text_col,
         n=shingle_n, threshold=threshold,
     ).localCheckpoint(eager=False)
     new_pairs = jaccard_verify_candidates(
-        docs_new, member(state_new, live_new), id_col, text_col,
+        docs_new, member(state_new_c, live_new), id_col, text_col,
         n=shingle_n, threshold=threshold,
     ).localCheckpoint(eager=False)
     # signed diff on (pair, jaccard): join keys are doubles, but both
@@ -948,9 +1013,8 @@ def simhash_signatures_md5(
     """SimHash over the 60-bit md5 word hash (md5_hash60): majority
     vote per bit weighted by term frequency — same single-shuffle
     64-SUM plan as simhash_signatures, engine-reproducible."""
-    par = df.sparkSession.sparkContext.defaultParallelism
     wc = (
-        df.repartition(par, F.col(id_col))
+        spread_by(df, id_col)
         .select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -1192,9 +1256,8 @@ def ngram_containment_pairs(
     hot-shingle guard, exact on the df-filtered sets. Emits one row
     per unordered pair with BOTH directions; rows qualify when the
     max direction clears ``threshold``."""
-    par = df.sparkSession.sparkContext.defaultParallelism
     sh = (
-        df.repartition(par, F.col(id_col))
+        spread_by(df, id_col)
         .select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
         .distinct()
     )

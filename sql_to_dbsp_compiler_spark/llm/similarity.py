@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sql_to_dbsp_compiler_spark.operators.skew import spread_by
 from sql_to_dbsp_compiler_spark.operators.topk import topk_per_group
 
 
@@ -41,9 +42,8 @@ def cosine_neardup_pairs(
     pair inside the join condition. The value dot/(na*nb) keeps the
     exact operation order of dot/(sqrt(aa)*sqrt(bb)), so results stay
     bit-identical to DuckDB's list_cosine_similarity."""
-    par = emb.sparkSession.sparkContext.defaultParallelism
     e = (
-        emb.repartition(par, F.col(id_col))
+        spread_by(emb, id_col)
         .select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
         .persist()
@@ -70,12 +70,19 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query. Plan: broadcast-nested-loop join
     (queries side broadcast) → per-query WindowGroupLimit top-k."""
+    # Norm hoisting (cosine_neardup_pairs discipline): ||q|| once per
+    # query, ||c|| once per corpus row below the join — one dot() fold
+    # per scored pair, bit-identical sim (same operation order).
     q = queries.select(
         F.col(query_id_col), as_double_array(F.col(vec_col)).alias("__qvec")
-    )
-    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec"))
+    ).withColumn("__nq", F.sqrt(dot(F.col("__qvec"), F.col("__qvec"))))
+    c = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("__cvec")
+    ).withColumn("__nc", F.sqrt(dot(F.col("__cvec"), F.col("__cvec"))))
     scored = c.crossJoin(F.broadcast(q)).select(
-        query_id_col, id_col, cosine(F.col("__qvec"), F.col("__cvec")).alias("sim")
+        query_id_col,
+        id_col,
+        (dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__nq") * F.col("__nc"))).alias("sim"),
     )
     return topk_per_group(
         scored, [query_id_col], [F.col("sim").desc(), F.col(id_col)], k
@@ -94,12 +101,22 @@ def ivf_assign_to(
     tie-break is deterministic and exactly reproducible in SQL, which
     is what lets trained-centroid IVF be oracle-gated: persist the
     centroids, re-assign from the persisted values on both engines."""
-    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("vec"))
-    scored = c.crossJoin(F.broadcast(centroids)).select(
+    # Norms are hoisted out of the per-(vector, centroid) score: ||v||
+    # once per corpus row (below the join, so it is NOT re-evaluated
+    # nlist times) and ||c|| once per centroid. dot/(nv*nc) keeps the
+    # exact operation order of dot/(sqrt(vv)*sqrt(cc)) — the same
+    # bit-identity argument as cosine_neardup_pairs — so csim (and the
+    # argmax tie-break the oracle mirrors) is unchanged, at 1/3 the
+    # fold work of re-deriving both norms inside every pair.
+    c = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("vec")
+    ).withColumn("__nv", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+    ct = centroids.withColumn("__nc", F.sqrt(dot(F.col("cvec"), F.col("cvec"))))
+    scored = c.crossJoin(F.broadcast(ct)).select(
         id_col,
         "vec",
         "centroid_id",
-        cosine(F.col("vec"), F.col("cvec")).alias("csim"),
+        (dot(F.col("vec"), F.col("cvec")) / (F.col("__nv") * F.col("__nc"))).alias("csim"),
     )
     # argmax as a max_by AGGREGATE, not a window: map-side partial max
     # collapses the nlist-per-vector scored rows before the shuffle —
@@ -347,7 +364,6 @@ def srp_neardup_pairs(
 
     from sql_to_dbsp_compiler_spark.llm.dedup import hamming_filtered_bucket_pairs
 
-    par = emb.sparkSession.sparkContext.defaultParallelism
     if band_bits is None:
         # n from parquet footers when the input is a plain scan
         # (milliseconds, no data pass) — learning ONE integer must not
@@ -358,7 +374,7 @@ def srp_neardup_pairs(
 
         n_input = rowcount(emb)
     e = (
-        emb.repartition(par, F.col(id_col))
+        spread_by(emb, id_col)
         .select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
         .persist()
@@ -488,17 +504,33 @@ def ivf_search_assigned(
     an index maintained INCREMENTALLY (persisted standing assignment +
     per-ingest delta assignment — y_ann_delta_ingest) searches through
     the identical plan as a freshly-built one."""
-    q = queries.select(F.col(query_id_col), as_double_array(F.col(vec_col)).alias("qvec"))
+    # ||q|| is computed once per query row and rides through the probe
+    # window; ||v|| once per index row BELOW the bucket join — the
+    # rerank then runs one dot() fold per (query, vector) instead of
+    # three. dot/(nq*nv) keeps the exact operation order of
+    # dot/(sqrt(qq)*sqrt(vv)) (cosine_neardup_pairs' bit-identity
+    # argument), so sim and the top-k tie-breaks are unchanged.
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("qvec")
+    ).withColumn("__nq", F.sqrt(dot(F.col("qvec"), F.col("qvec"))))
+    ct = centroids.withColumn("__nc", F.sqrt(dot(F.col("cvec"), F.col("cvec"))))
     probes = topk_per_group(
-        q.crossJoin(F.broadcast(centroids)).select(
-            query_id_col, "qvec", "centroid_id", cosine(F.col("qvec"), F.col("cvec")).alias("csim")
+        q.crossJoin(F.broadcast(ct)).select(
+            query_id_col,
+            "qvec",
+            "__nq",
+            "centroid_id",
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("__nq") * F.col("__nc"))).alias("csim"),
         ),
         [query_id_col],
         [F.col("csim").desc(), F.col("centroid_id")],
         nprobe,
-    ).select(query_id_col, "qvec", "centroid_id")
-    scored = probes.join(assigned, "centroid_id").select(
-        query_id_col, F.col(id_col), cosine(F.col("qvec"), F.col("vec")).alias("sim")
+    ).select(query_id_col, "qvec", "__nq", "centroid_id")
+    idx = assigned.withColumn("__nv", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+    scored = probes.join(idx, "centroid_id").select(
+        query_id_col,
+        F.col(id_col),
+        (dot(F.col("qvec"), F.col("vec")) / (F.col("__nq") * F.col("__nv"))).alias("sim"),
     )
     return topk_per_group(
         scored, [query_id_col], [F.col("sim").desc(), F.col(id_col)], k
@@ -687,8 +719,13 @@ def ivf_centroid_means(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
     aggregation applies as with any sum."""
     from pyspark.sql.types import DecimalType
 
-    j = assigned.join(F.broadcast(centroids), "centroid_id")
-    cos = cosine(F.col("vec"), F.col("cvec"))
+    # ||c|| hoisted to the broadcast side (once per centroid, not per
+    # index row); dot/(nv*nc) = dot/(sqrt(vv)*sqrt(cc)) bit-for-bit.
+    ct = centroids.withColumn("__nc", F.sqrt(dot(F.col("cvec"), F.col("cvec"))))
+    j = assigned.join(F.broadcast(ct), "centroid_id")
+    cos = dot(F.col("vec"), F.col("cvec")) / (
+        F.sqrt(dot(F.col("vec"), F.col("vec"))) * F.col("__nc")
+    )
     return (
         j.select(
             "centroid_id", F.round(cos, 9).cast(DecimalType(12, 9)).alias("__c")
@@ -720,23 +757,38 @@ def ivf_query_store(
     ``inputFiles()``), then per-query exact rerank within probed
     buckets only."""
     centroids = spark.read.parquet(f"{path}/_centroids")
-    q = queries.select(F.col(query_id_col), as_double_array(F.col(vec_col)).alias("qvec"))
+    # same norm hoisting as ivf_search_assigned: bit-identical scores,
+    # one dot() fold per scored pair
+    q = queries.select(
+        F.col(query_id_col), as_double_array(F.col(vec_col)).alias("qvec")
+    ).withColumn("__nq", F.sqrt(dot(F.col("qvec"), F.col("qvec"))))
+    ct = centroids.withColumn("__nc", F.sqrt(dot(F.col("cvec"), F.col("cvec"))))
     probes = topk_per_group(
-        q.crossJoin(F.broadcast(centroids)).select(
-            query_id_col, "qvec", "centroid_id", cosine(F.col("qvec"), F.col("cvec")).alias("csim")
+        q.crossJoin(F.broadcast(ct)).select(
+            query_id_col,
+            "qvec",
+            "__nq",
+            "centroid_id",
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("__nq") * F.col("__nc"))).alias("csim"),
         ),
         [query_id_col],
         [F.col("csim").desc(), F.col("centroid_id")],
         nprobe,
-    ).select(query_id_col, "qvec", "centroid_id")
+    ).select(query_id_col, "qvec", "__nq", "centroid_id")
     # literal probe set (tiny: ≤ |queries|·nprobe ids) → partition pruning
     probe_ids = sorted({r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()})
     # read through the tombstone view (ivf_store_live): a store that
     # has committed deletes must not return retracted vectors — the
     # anti-join is broadcast, so the isin filter still partition-prunes
-    vectors = ivf_store_live(spark, path).where(F.col("centroid_id").isin(probe_ids))
+    vectors = (
+        ivf_store_live(spark, path)
+        .where(F.col("centroid_id").isin(probe_ids))
+        .withColumn("__nv", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+    )
     scored = probes.join(vectors, "centroid_id").select(
-        query_id_col, F.col(id_col), cosine(F.col("qvec"), F.col("vec")).alias("sim")
+        query_id_col,
+        F.col(id_col),
+        (dot(F.col("qvec"), F.col("vec")) / (F.col("__nq") * F.col("__nv"))).alias("sim"),
     )
     return topk_per_group(
         scored, [query_id_col], [F.col("sim").desc(), F.col(id_col)], k
@@ -768,21 +820,39 @@ def semdedup_drops(
     # Materialize the assignment ONCE (lazy checkpoint): it feeds the
     # size guard and both sides of the pair join, and Spark does not
     # reuse the argmax subtree across consumers (no ReusedExchange) —
-    # without this the most expensive stage runs 3x.
-    a = ivf_assign_to(corpus, centroids, id_col, vec_col).localCheckpoint(eager=False)
+    # without this the most expensive stage runs 3x. The vector norm is
+    # computed here too — once per VECTOR, stored in the checkpoint —
+    # so the quadratic in-cluster pair stage evaluates one dot() fold
+    # per pair instead of three; dot/(na*nb) keeps the exact operation
+    # order of dot/(sqrt(aa)*sqrt(bb)) (same bit-identity discipline as
+    # cosine_neardup_pairs), so the emitted cos is unchanged.
+    a = (
+        ivf_assign_to(corpus, centroids, id_col, vec_col)
+        .withColumn("__nrm", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+        .localCheckpoint(eager=False)
+    )
     if max_cluster is not None:
         sizes = a.groupBy("centroid_id").agg(F.count("*").alias("__csz"))
         a = a.join(sizes, "centroid_id").where(F.col("__csz") <= max_cluster).drop("__csz")
     left = a.select(
-        "centroid_id", F.col(id_col).alias("witness_id"), F.col("vec").alias("__va")
+        "centroid_id",
+        F.col(id_col).alias("witness_id"),
+        F.col("vec").alias("__va"),
+        F.col("__nrm").alias("__na"),
     )
     right = a.select(
-        "centroid_id", F.col(id_col).alias(id_col), F.col("vec").alias("__vb")
+        "centroid_id",
+        F.col(id_col).alias(id_col),
+        F.col("vec").alias("__vb"),
+        F.col("__nrm").alias("__nb"),
     )
     pairs = (
         left.join(right, "centroid_id")
         .where(F.col("witness_id") < F.col(id_col))
-        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn(
+            "cos",
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        )
         .where(F.col("cos") > tau)
     )
     # lowest-witness drop rule as a min_by AGGREGATE (map-side

@@ -100,9 +100,10 @@ def staged_words(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     repartition barrier — every downstream feature reads the stored
     array instead of re-splitting the text per column (CollapseProject
     would otherwise inline N copies of split())."""
-    par = df.sparkSession.sparkContext.defaultParallelism
+    from sql_to_dbsp_compiler_spark.operators.skew import spread_by
+
     return (
-        df.repartition(par, F.col(id_col))
+        spread_by(df, id_col)
         .select("*", words(F.col(text_col)).alias("__ws"))
         .persist()
     )

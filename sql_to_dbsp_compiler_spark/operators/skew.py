@@ -35,3 +35,22 @@ def salted_join(
         (F.col(probe_key) == F.col(build_key)) & (F.col("__psalt") == F.col("__bsalt")),
     )
     return out.drop("__psalt", "__bsalt")
+
+
+def spread_by(df: DataFrame, id_col: str) -> DataFrame:
+    """Scale-adaptive compute-spread (optimization guide §2.4): hash-
+    repartition ``df`` across the cluster ONLY when its current scan
+    parallelism is below the core count. The per-row compute that
+    follows (shingling, hashing, signature math) wants one partition
+    per core; the single-file/single-row-group test corpora scan as
+    ONE split, so without a repartition every core but one idles. At
+    production scale the input is thousands of parquet splits — the
+    scan is already parallel and the repartition would be a full
+    shuffle of the heaviest column (the document text) for nothing,
+    exactly the "shuffle opaque payloads more than once" anti-pattern
+    of guide §8. Probing ``rdd.getNumPartitions()`` compiles the scan
+    plan only (file listing is cached by the session); no job runs."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, F.col(id_col))

@@ -417,9 +417,10 @@ def y_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     from sql_to_dbsp_compiler_spark.llm.dedup import shingles
 
-    par = spark.sparkContext.defaultParallelism
+    from sql_to_dbsp_compiler_spark.operators.skew import spread_by
+
     sh = (
-        d.repartition(par, F.col("doc_id"))
+        spread_by(d, "doc_id")
         .select(
             "doc_id", F.explode(shingles(F.col("text"), 3)).alias("shingle")
         )
@@ -2068,6 +2069,18 @@ def _source_content_key(sf_dir: str, table: str) -> list:
     )
 
 
+def _state_files(n_rows: int, rows_per_file: int = 3_000_000) -> int:
+    """Output file count for a standing-state write, derived from the
+    row count (guide §6: aim for ~128 MB-1 GB files, never one file
+    per shuffle task). The un-sized write shipped 32 ~20 KB files per
+    state table at the test SFs, and EVERY later read of the state
+    paid one scan task per tiny file — the dominant fixed cost of the
+    delta operators' bench profile. ~3M rows of (id, band_id, hash) ≈
+    150-200 MB of parquet; at 100 TB this yields thousands of
+    well-sized files, at the test SFs exactly one."""
+    return max(1, n_rows // rows_per_file)
+
+
 def _build_state_once(state_dir: str, key: dict, build) -> None:
     """Build-once standing state (the 'previous ingest'): ``build()``
     runs only when ``state_dir``'s marker is absent, its freshness
@@ -2198,11 +2211,12 @@ def y_dedup_delta_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the bucket table derives from the PERSISTED sigs, so both
         # state tables are consistent snapshots of one computation.
         corpus = d.where(~is_delta)
+        nf = _state_files(rowcount(d))
         sigs_c = minhash_signatures_md5(corpus, "doc_id", "text", 16, 3)
-        sigs_c.write.mode("overwrite").parquet(f"{state_dir}/sigs")
-        banded_md5(spark.read.parquet(f"{state_dir}/sigs")).write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/buckets")
+        sigs_c.repartition(nf).write.mode("overwrite").parquet(f"{state_dir}/sigs")
+        banded_md5(spark.read.parquet(f"{state_dir}/sigs")).repartition(
+            nf
+        ).write.mode("overwrite").parquet(f"{state_dir}/buckets")
 
     _build_state_once(
         state_dir,
@@ -2317,7 +2331,9 @@ def y_ann_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus.where(~is_delta), nlist=16
         )
         centroids.write.mode("overwrite").parquet(f"{state_dir}/centroids")
-        assigned.write.mode("overwrite").parquet(f"{state_dir}/assigned")
+        assigned.repartition(_state_files(rowcount(e), 1_000_000)).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/assigned")
 
     _build_state_once(
         state_dir,
@@ -2389,7 +2405,9 @@ def y_dedup_delta_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = f"{_DELTA_STATE_ROOT}/{_os.path.basename(sf_dir.rstrip('/'))}"
     buckets_c = spark.read.parquet(f"{state_dir}/buckets")
     bands_d = banded_md5(
-        minhash_signatures_md5(d.where(is_delta), "doc_id", "text", 16, 3)
+        minhash_signatures_md5(
+            d.where(is_delta), "doc_id", "text", 16, 3, spread=False
+        )
     )
     return buckets_c.unionByName(bands_d)
 
@@ -2485,8 +2503,9 @@ def y_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<pos: BIGINT, shingle: STRING>>)"))
-    par = spark.sparkContext.defaultParallelism
-    base = d.repartition(par, F.col("doc_id")).select(
+    from sql_to_dbsp_compiler_spark.operators.skew import spread_by
+
+    base = spread_by(d, "doc_id").select(
         "doc_id", F.size(ws).cast("long").alias("n_tokens"), F.explode(grams).alias("g")
     ).select("doc_id", "n_tokens", "g.pos", "g.shingle")
 
@@ -2622,11 +2641,12 @@ def _retract_inputs(spark: SparkSession, sf_dir: str):
     state_dir = f"{_RETRACT_STATE_ROOT}/{_os.path.basename(sf_dir.rstrip('/'))}"
 
     def build() -> None:
+        nf = _state_files(rowcount(d))
         sigs = minhash_signatures_md5(d, "doc_id", "text", 16, 3)
-        sigs.write.mode("overwrite").parquet(f"{state_dir}/sigs")
-        banded_md5(spark.read.parquet(f"{state_dir}/sigs")).write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/buckets")
+        sigs.repartition(nf).write.mode("overwrite").parquet(f"{state_dir}/sigs")
+        banded_md5(spark.read.parquet(f"{state_dir}/sigs")).repartition(
+            nf
+        ).write.mode("overwrite").parquet(f"{state_dir}/buckets")
 
     _build_state_once(
         state_dir,
@@ -3061,9 +3081,10 @@ def y_dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         F.expr("CAST(array() AS ARRAY<STRUCT<pos: BIGINT, shingle: STRING>>)")
     )
-    par = spark.sparkContext.defaultParallelism
+    from sql_to_dbsp_compiler_spark.operators.skew import spread_by
+
     base = (
-        d.repartition(par, F.col("doc_id"))
+        spread_by(d, "doc_id")
         .select("doc_id", F.explode(grams).alias("g"))
         .select("doc_id", "g.pos", "g.shingle")
     )

@@ -348,18 +348,25 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     qwords = sorted({w for _, qtext in _BM25_QUERIES for w in qtext.split()})
-    n_docs = stats.collect()[0]["n_docs"]
+    # ONE driver round trip for both the corpus doc count and the
+    # query-term dfs (previously stats.collect() + df.collect() — two
+    # sequential jobs over the same checkpointed postings table).
+    qdf_rows = (
+        df.where(F.col("word").isin(qwords))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .collect()
+    )
     idf_rows = [
         (
             r["word"],
             int(r["df"]),
-            int(n_docs),
+            int(r["n_docs"]),
             math.log(
-                ((float(n_docs - r["df"]) + 0.5) / (float(r["df"]) + 0.5))
+                ((float(r["n_docs"] - r["df"]) + 0.5) / (float(r["df"]) + 0.5))
                 + 1.0
             ),
         )
-        for r in df.where(F.col("word").isin(qwords)).collect()
+        for r in qdf_rows
     ]
     # repartition(1), not coalesce(1): a coalesced single task inherits
     # all 32 parallelize partitions' preferred locations and sits out
