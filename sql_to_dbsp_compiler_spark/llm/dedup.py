@@ -392,6 +392,7 @@ def hamming_filtered_bucket_pairs(
     sig_col: str,
     max_hamming: int,
     max_bucket: int = 1000,
+    nwords: int | None = None,
 ) -> DataFrame:
     """Join-free bucket pairing WITH an in-bucket Hamming prefilter:
     rows carry their full multi-word signature into the bucket; pair
@@ -400,7 +401,16 @@ def hamming_filtered_bucket_pairs(
     Random-collision candidates (the bulk, at narrow band widths) are
     discarded before ANY pair row is materialized or shuffled — the
     shuffle stays linear in the banded rows and the output is just the
-    survivors."""
+    survivors.
+
+    ``nwords`` (the signature width in 64-bit words, known statically
+    by every caller) unrolls the per-pair popcount into a fixed
+    ``Σ_w bit_count(a[w] xor b[w])`` expression tree: the zip_with +
+    aggregate fold allocated an intermediate array and paid two
+    interpreted lambda calls per word PER CANDIDATE PAIR — at narrow
+    band widths the candidate count is ~bucket²/2 per bucket, making
+    this the profiled hot expression of the whole SRP cascade (r9:
+    ~29 CPU-s of the lsh query's 43 sat in this one stage)."""
     buckets = (
         banded.groupBy(*bucket_cols)
         .agg(
@@ -411,12 +421,25 @@ def hamming_filtered_bucket_pairs(
         .where((F.size("xs") >= 2) & (F.size("xs") <= max_bucket))
     )
 
-    def hamming(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
+    if nwords is not None:
+
+        def hamming(a, b):
+            terms = [
+                F.bit_count(
+                    F.element_at(a, w + 1).bitwiseXOR(F.element_at(b, w + 1))
+                )
+                for w in range(nwords)
+            ]
+            return reduce(lambda acc, t: acc + t, terms)
+
+    else:
+
+        def hamming(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
 
     pairs = buckets.select(
         F.explode(
@@ -621,19 +644,18 @@ def minhash_signatures_md5(
     p = F.lit(MINHASH_P)
     # materialize (h1, h2) per shingle in a separate projection so the
     # md5 is computed once, not once per hash function (Catalyst does
-    # not CSE across the num_hashes sibling transforms). The md5 hex
-    # itself is bound ONCE per shingle via a nested transform (inner
-    # array of hex digests, outer struct split): higher-order lambdas
-    # are interpreted with no CSE, so md5(s) appearing in both h1 and
-    # h2 would otherwise hash every shingle twice — the profiled hot
-    # stage of the whole dedup family.
+    # not CSE across the num_hashes sibling transforms). md5(s) IS
+    # evaluated twice here (h1 and h2 branches) — deliberately: an r9
+    # attempt to bind the hex via a nested transform measured ~20%
+    # SLOWER (the intermediate string-array materialization costs more
+    # than the second md5 of a ~20-char shingle).
     hp = sh_df.select(
         F.col(id_col),
         F.transform(
-            F.transform(F.col("__s"), lambda s: F.md5(s)),
-            lambda m: F.struct(
-                (F.conv(F.substring(m, 1, 15), 16, 10).cast("long") % p).alias("h1"),
-                (F.conv(F.substring(m, 17, 15), 16, 10).cast("long") % p).alias("h2"),
+            F.col("__s"),
+            lambda s: F.struct(
+                (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % p).alias("h1"),
+                (F.conv(F.substring(F.md5(s), 17, 15), 16, 10).cast("long") % p).alias("h2"),
             ),
         ).alias("__h"),
     )

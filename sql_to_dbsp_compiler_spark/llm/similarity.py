@@ -436,7 +436,13 @@ def srp_neardup_pairs(
     # after the exact verify is ~free, and the verify joins are id
     # equi-joins AQE can broadcast.
     survivors = hamming_filtered_bucket_pairs(
-        banded, ["band_id", "band_val"], id_col, "srp_sig", max_hamming, max_bucket
+        banded,
+        ["band_id", "band_val"],
+        id_col,
+        "srp_sig",
+        max_hamming,
+        max_bucket,
+        nwords=wide_bits // 64,
     )
     a = e.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
