@@ -1539,20 +1539,27 @@ def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the anchor set itself is large (same exclusion predicate
     applies post-candidate)."""
     e = load_table(spark, sf_dir, "embeddings")
-    from sql_to_dbsp_compiler_spark.llm.similarity import as_double_array, cosine
+    from sql_to_dbsp_compiler_spark.llm.similarity import as_double_array, dot
     from sql_to_dbsp_compiler_spark.operators.topk import topk_per_group
 
+    # norm hoisting (cosine_neardup_pairs discipline): ||q|| once per
+    # anchor, ||c|| once per corpus row below the join; dot/(nq*nc)
+    # keeps the exact fold order — bit-identical sim
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         as_double_array(F.col("embedding")).alias("qv"),
-    )
+    ).withColumn("__nq", F.sqrt(dot(F.col("qv"), F.col("qv"))))
     c = e.where(F.col("vec_id") >= 10).select(
         "vec_id", "label", as_double_array(F.col("embedding")).alias("cv")
-    )
+    ).withColumn("__nc", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     scored = c.join(
         F.broadcast(q), F.col("label") != F.col("qlabel"), "inner"
-    ).select("query_id", "vec_id", cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    ).select(
+        "query_id",
+        "vec_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("__nq") * F.col("__nc"))).alias("sim"),
+    )
     return topk_per_group(
         scored, ["query_id"], [F.col("sim").desc(), F.col("vec_id")], 5
     ).withColumn("rn", F.col("rn").cast("bigint"))
@@ -2023,18 +2030,29 @@ def y_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     path swaps the scored pairs for the IVF/LSH candidate graph
     (llm/similarity.py) — the degree audit composes unchanged over
     any candidate generator."""
-    from sql_to_dbsp_compiler_spark.llm.similarity import as_double_array, cosine
+    from sql_to_dbsp_compiler_spark.llm.similarity import as_double_array, dot
     from sql_to_dbsp_compiler_spark.operators.topk import topk_per_group
 
     e = load_table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", as_double_array(F.col("embedding")).alias("ev"))
+    # norm hoisting: ||v|| once per corpus row (below the join) serves
+    # both sides — the panel inherits it; dot/(nv*nq) keeps the exact
+    # fold order, so sim is bit-identical
+    v = e.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("ev")
+    ).withColumn("__nv", F.sqrt(dot(F.col("ev"), F.col("ev"))))
     q = v.where(F.col("vec_id") < 200).select(
-        F.col("vec_id").alias("q_id"), F.col("ev").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("ev").alias("qv"),
+        F.col("__nv").alias("__nq"),
     )
     scored = (
         v.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("ev")).alias("sim"))
+        .select(
+            "q_id",
+            "vec_id",
+            (dot(F.col("qv"), F.col("ev")) / (F.col("__nq") * F.col("__nv"))).alias("sim"),
+        )
     )
     knn = topk_per_group(
         scored, ["q_id"], [F.col("sim").desc(), F.col("vec_id")], 10
