@@ -371,10 +371,14 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition(1), not coalesce(1): a coalesced single task inherits
     # all 32 parallelize partitions' preferred locations and sits out
     # spark.locality.wait (~4.5 s for this one-row write, measured).
-    spark.createDataFrame(
+    ia = spark.createDataFrame(
         idf_rows, "word string, df long, n_docs long, idf double"
-    ).repartition(1).write.mode("overwrite").parquet(_BM25_IDF_PATH)
-    ia = spark.read.parquet(_BM25_IDF_PATH)
+    )
+    ia.repartition(1).write.mode("overwrite").parquet(_BM25_IDF_PATH)
+    # The write must stay — the oracle joins against the persisted
+    # artifact — but the engine scores from the same in-memory rows:
+    # parquet round-trips long/double exactly, so reading the file
+    # back (one scan job + broadcast per run) bought nothing.
 
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     tf_norm = (F.col("tf").cast("double") * F.lit(2.2)) / (
