@@ -37,6 +37,23 @@ def salted_join(
     return out.drop("__psalt", "__bsalt")
 
 
+def _is_scan_shaped(df: DataFrame) -> bool:
+    """True when ``df``'s ANALYZED logical plan is a plain file scan
+    under narrow operators (Project/Filter/aliasing) — the only shape
+    whose ``rdd.getNumPartitions()`` probe is both cheap (no shuffle
+    planning) and meaningful ("scan splits"). Walks the analyzed plan,
+    never the optimized/physical one, so the check costs no planning."""
+    node = df._jdf.queryExecution().analyzed()
+    narrow = {"Project", "Filter", "SubqueryAlias", "GlobalLimit", "LocalLimit"}
+    while True:
+        name = node.getClass().getSimpleName()
+        if name in ("LogicalRelation", "DataSourceV2Relation"):
+            return True
+        if name not in narrow or node.children().size() != 1:
+            return False
+        node = node.children().apply(0)
+
+
 def spread_by(df: DataFrame, id_col: str) -> DataFrame:
     """Scale-adaptive compute-spread (optimization guide §2.4): hash-
     repartition ``df`` across the cluster ONLY when its current scan
@@ -48,9 +65,19 @@ def spread_by(df: DataFrame, id_col: str) -> DataFrame:
     scan is already parallel and the repartition would be a full
     shuffle of the heaviest column (the document text) for nothing,
     exactly the "shuffle opaque payloads more than once" anti-pattern
-    of guide §8. Probing ``rdd.getNumPartitions()`` compiles the scan
-    plan only (file listing is cached by the session); no job runs."""
+    of guide §8.
+
+    Input contract (ADVICE r9): the split-count probe is only
+    meaningful for SCAN-SHAPED inputs — for a shuffle-derived input
+    ``rdd.getNumPartitions()`` reports the static shuffle partition
+    count (>= cores) even when AQE coalesces to one partition at
+    runtime, which would silently skip the spread and serialize the
+    per-row compute. Non-scan shapes therefore repartition
+    unconditionally (the pre-r9 behavior — a possibly-redundant
+    shuffle, never a serialized stage). Probing the rdd of a plain
+    scan compiles the scan plan only (file listing is cached by the
+    session); no job runs."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    if _is_scan_shaped(df) and df.rdd.getNumPartitions() >= par:
         return df
     return df.repartition(par, F.col(id_col))

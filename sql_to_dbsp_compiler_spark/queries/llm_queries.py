@@ -2099,6 +2099,15 @@ def _state_files(n_rows: int, rows_per_file: int = 3_000_000) -> int:
     return max(1, n_rows // rows_per_file)
 
 
+# Wall-clock seconds spent in _build_state_once build() calls, keyed by
+# state_dir and reset/read by bench.py: the bench JSON reports the one-
+# time standing-state build cost EXPLICITLY (VERDICT r9 "Next round" #3)
+# so warm-vs-cold runs (e.g. the driver's low-core scaling pass reusing
+# state the 32-core pass built) are adjudicable instead of silently
+# mixing build cost into some runs' medians and not others'.
+STATE_BUILD_SECONDS: dict[str, float] = {}
+
+
 def _build_state_once(state_dir: str, key: dict, build) -> None:
     """Build-once standing state (the 'previous ingest'): ``build()``
     runs only when ``state_dir``'s marker is absent, its freshness
@@ -2115,6 +2124,13 @@ def _build_state_once(state_dir: str, key: dict, build) -> None:
     import json as _json
     import os as _os
 
+    import time as _time
+
+    # layout v2 = _state_files row-sized state files (ADVICE r9: the
+    # freshness key must carry the LAYOUT too, or a pre-existing state
+    # dir keeps the old 32-tiny-file layout forever and never sees the
+    # read-side win the sizing change was for)
+    key = dict(key, layout=2)
     marker = f"{state_dir}/marker.json"
     try:
         if _json.load(open(marker)) == key and _glob.glob(
@@ -2123,7 +2139,11 @@ def _build_state_once(state_dir: str, key: dict, build) -> None:
             return
     except (OSError, ValueError):
         pass
+    t0 = _time.perf_counter()
     build()
+    STATE_BUILD_SECONDS[state_dir] = STATE_BUILD_SECONDS.get(state_dir, 0.0) + (
+        _time.perf_counter() - t0
+    )
     _os.makedirs(state_dir, exist_ok=True)
     with open(marker, "w") as fh:
         _json.dump(key, fh)

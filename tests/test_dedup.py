@@ -425,11 +425,18 @@ def test_build_state_once_freshness_contract(tmp_path):
     key_b = {"n": 3, "src": [["documents.parquet", 100, 222]]}
     _build_state_once(str(state), key_b, build)
     assert len(calls) == 2
-    assert json.load(open(state / "marker.json")) == key_b
+    # the marker carries the state-layout version (ADVICE r9: layout
+    # changes must rebuild pre-existing states exactly once)
+    assert json.load(open(state / "marker.json")) == dict(key_b, layout=2)
     # payload deleted, marker intact -> rebuild (not a silent reuse)
     (state / "buckets" / "part-0.parquet").unlink()
     _build_state_once(str(state), key_b, build)
     assert len(calls) == 3
+    # a marker written WITHOUT the layout field (pre-r10 state dir)
+    # must rebuild once under the current layout
+    json.dump(key_b, open(state / "marker.json", "w"))
+    _build_state_once(str(state), key_b, build)
+    assert len(calls) == 4
 
 
 def test_source_content_key_sees_content_changes(tmp_path):
