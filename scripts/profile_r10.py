@@ -39,6 +39,8 @@ def get_spark_with_events(app: str):
     # is read when the gateway starts, before the session builder runs
     os.environ["PYSPARK_SUBMIT_ARGS"] = (
         f"--conf spark.eventLog.enabled=true "
+        f"--conf spark.eventLog.compress=false "
+        f"--conf spark.eventLog.rolling.enabled=false "
         f"--conf spark.eventLog.dir=file://{EVDIR} pyspark-shell"
     )
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
@@ -74,8 +76,28 @@ def main() -> None:
             sc.setJobDescription(None)
     spark.stop()
 
-    # fold the event log
+    # fold the event log (Spark 4 writes a rolling eventlog_v2 dir)
     path = os.path.join(EVDIR, app_id)
+    v2 = os.path.join(EVDIR, f"eventlog_v2_{app_id}")
+    if not os.path.exists(path) and os.path.isdir(v2):
+        evs = [
+            os.path.join(v2, f)
+            for f in sorted(os.listdir(v2))
+            if f.startswith("events_")
+        ]
+        path = evs[0] if len(evs) == 1 else None
+        if path is None:
+            import itertools
+
+            def _lines():
+                for f in evs:
+                    yield from open(f)
+
+            lines = _lines()
+        else:
+            lines = open(path)
+    else:
+        lines = open(path)
     jobs: dict[int, str] = {}  # job id -> description
     stage_to_job: dict[int, int] = {}
     agg: dict[str, dict] = {
@@ -84,7 +106,7 @@ def main() -> None:
         )
         for n in names
     }
-    for line in open(path):
+    for line in lines:
         ev = json.loads(line)
         t = ev.get("Event")
         if t == "SparkListenerJobStart":

@@ -138,13 +138,31 @@ def minhash_signatures_df(
 
 
 def _pairs_within_buckets(
-    banded, bucket_cols: list[str], id_col: str, max_bucket: int, dedup: bool = True
+    banded,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int,
+    dedup: bool = True,
+    spread: bool = True,
 ):
     """Join-free candidate pairing: ONE shuffle groups rows into
     buckets; pairs are enumerated inside the (capped) bucket array.
     Replaces the bucket-size pre-scan + broadcast filter + self-join of
     the naive formulation — shuffle volume is linear in the banded rows
-    and pair generation is quadratic only within a bucket."""
+    and pair generation is quadratic only within a bucket.
+
+    ``spread`` pins the bucket exchange to defaultParallelism via an
+    explicit keyed repartition the groupBy REUSES (same keys → one
+    exchange, guide §2.4): AQE coalesces the bucket shuffle by BYTES,
+    and banded signatures are tiny relative to the quadratic in-bucket
+    pair work they fan out into — measured at sf0.1 the whole pair
+    enumeration ran in ONE AQE-coalesced task (guide §2.5: compute
+    skew that byte-based coalescing cannot see). Delta-sized callers
+    (retract/apply touched-bucket slices) pass spread=False and keep
+    AQE's coalescing — their bucket count is delta-bound."""
+    if spread:
+        par = banded.sparkSession.sparkContext.defaultParallelism
+        banded = banded.repartition(par, *[F.col(c) for c in bucket_cols])
     buckets = (
         banded.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
@@ -409,6 +427,13 @@ def hamming_filtered_bucket_pairs(
     band widths the candidate count is ~bucket²/2 per bucket, making
     this the profiled hot expression of the whole SRP cascade (r9:
     ~29 CPU-s of the lsh query's 43 sat in this one stage)."""
+    # Same compute-spread as _pairs_within_buckets: pin the bucket
+    # exchange to defaultParallelism (the groupBy reuses it — still one
+    # shuffle) so AQE's byte-based coalescing can't serialize the
+    # quadratic in-bucket Hamming work. Measured at sf0.1: the pair
+    # stage ran as ONE task with 5.7 CPU-s before this.
+    par = banded.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(par, *[F.col(c) for c in bucket_cols])
     buckets = (
         banded.groupBy(*bucket_cols)
         .agg(
@@ -774,7 +799,22 @@ def delta_dedup_apply(
         bands=bands,
     ).localCheckpoint(eager=False)
 
-    n_c = buckets_state.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_c"))
+    # Liveness is only ever consulted for keys the DELTA bands touch
+    # (bands_d_live = bands_d ⋉ live), so the standing-state bucket
+    # count aggregates ONLY rows in delta-touched buckets (r10, guide
+    # §2.3 "aggregate fewer bytes"): a broadcast semi-join on the
+    # |delta|-bound key set replaces the full-state groupBy — at
+    # 100 TB that was a corpus-wide shuffle of every bucket key to
+    # learn sizes the operator then ignored. Untouched keys never
+    # reached the output before either (they dropped in the bands_d
+    # join), so the result is unchanged — the oracle re-verified the
+    # combined-cap corner.
+    keys_d = bands_d.select(*keys).distinct()
+    n_c = (
+        buckets_state.join(F.broadcast(keys_d), keys, "leftsemi")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
     n_d = bands_d.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_d"))
     live = (
         n_c.join(n_d, keys, "full_outer")
@@ -788,10 +828,14 @@ def delta_dedup_apply(
         .where((F.col("n_tot") >= 2) & (F.col("n_tot") <= max_bucket))
         .select(*keys)
     )
-    bands_d_live = bands_d.join(live, keys)
+    bands_d_live = bands_d.join(live, keys).localCheckpoint(eager=False)
 
+    # Delta side broadcast: the state contributes one scan-and-probe,
+    # never an exchange (guide §3.1 — broadcast the side that fits; the
+    # build side here is |delta bands ⋉ live|, delta-bound by
+    # construction).
     cross = (
-        bands_d_live.select(*keys, F.col(id_col).alias("__d"))
+        F.broadcast(bands_d_live.select(*keys, F.col(id_col).alias("__d")))
         .join(buckets_state.select(*keys, F.col(id_col).alias("__c")), keys)
         .select(
             F.least("__d", "__c").alias("id_a"),
@@ -799,7 +843,8 @@ def delta_dedup_apply(
         )
     )
     dd = _pairs_within_buckets(
-        bands_d_live, keys, id_col, max_bucket=2**31 - 1, dedup=False
+        bands_d_live, keys, id_col, max_bucket=2**31 - 1, dedup=False,
+        spread=False,  # delta-bound bucket set — keep AQE coalescing
     )
     cands = cross.unionByName(dd).distinct()
     return jaccard_verify_candidates(
@@ -826,8 +871,10 @@ def delta_state_retract_commit(
     carried into the persisted bucket table: per-commit compute is
     ∝ |delta|, the standing corpus contributes one 3-column
     scan-and-anti-join and is never re-shingled."""
+    # broadcast anti-join: the state passes through as one scan-and-
+    # probe — never shuffled by id just to drop |delta| rows
     keep = buckets_state.join(
-        retract_ids.select(F.col(id_col)), id_col, "left_anti"
+        F.broadcast(retract_ids.select(F.col(id_col))), id_col, "left_anti"
     )
     bands_u = banded_md5(
         minhash_signatures_md5(
@@ -931,9 +978,9 @@ def delta_dedup_retract(
     # member() sides read the one checkpointed candidate-restricted
     # slice — the previous shape re-scanned the full state for each of
     # live_new, cands-new, and all four member() legs (~8 scans).
-    bands_old_r = state_old.join(retract_ids, id_col, "leftsemi").localCheckpoint(
-        eager=False
-    )
+    bands_old_r = state_old.join(
+        F.broadcast(retract_ids), id_col, "leftsemi"
+    ).localCheckpoint(eager=False)
     touched = (
         bands_old_r.select(*keys)
         .unionByName(bands_u.select(*keys))
@@ -941,14 +988,73 @@ def delta_dedup_retract(
         .localCheckpoint(eager=False)
     )
 
-    # BOTH states' bucket sizes from ONE state scan: every old row
-    # counts 1 toward n_old and, unless its id is retracted, 1 toward
-    # n_new; the delta's bands count 1 toward n_new only. One broadcast
-    # flag join + one map-side-partial aggregation — the previous shape
-    # ran a full groupBy over state AND over state' (two state scans).
+    # Touched-bucket members: ONE state scan (broadcast semi-probe on
+    # the |delta|-bound touched-key set — the state is never shuffled);
+    # the new state's touched members derive from it (old minus
+    # retracted, plus the delta's bands — bands_u keys are touched by
+    # construction).
+    members_old = state_old.join(
+        F.broadcast(touched), keys, "leftsemi"
+    ).localCheckpoint(eager=False)
+    members_new = members_old.join(
+        F.broadcast(retract_ids), id_col, "left_anti"
+    ).unionByName(bands_u)
+    cands = (
+        _pairs_within_buckets(
+            members_old, keys, id_col, max_bucket, dedup=False,
+            spread=False,  # touched-bucket slice is delta-bound
+        )
+        .unionByName(
+            _pairs_within_buckets(
+                members_new, keys, id_col, max_bucket, dedup=False,
+                spread=False,
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    # Witness lookups only ever touch state rows whose id appears in a
+    # candidate pair — restrict the state ONCE and share the slice
+    # across both sides of both states.
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    state_old_c = state_old.join(
+        F.broadcast(cand_ids), id_col, "leftsemi"
+    ).localCheckpoint(eager=False)
+    state_new_c = state_old_c.join(
+        F.broadcast(retract_ids), id_col, "left_anti"
+    ).unionByName(bands_u.join(F.broadcast(cand_ids), id_col, "leftsemi"))
+
+    # BOTH states' bucket sizes from ONE state scan, RESTRICTED to the
+    # keys liveness is ever consulted for (r10): member() semi-joins
+    # live keys against witness buckets, and every witness bucket key
+    # comes from state_old_c / state_new_c — i.e. keys of buckets
+    # containing a candidate id — while the cap-flip logic needs the
+    # touched keys. Counting ONLY buckets in (touched ∪ witness keys)
+    # replaces the previous full-state groupBy: at 100 TB the bucket-
+    # size pass goes from a corpus-wide shuffle to a broadcast
+    # semi-probe + delta-bound aggregation. Bucket sizes still count
+    # EVERY member of those buckets (the probe filters by bucket key,
+    # not by member id), so liveness values are unchanged — the
+    # set-diff oracle re-verified both cap directions.
+    # Every old row counts 1 toward n_old and, unless its id is
+    # retracted, 1 toward n_new; the delta's bands count 1 toward
+    # n_new only — one flag join + one map-side-partial aggregation.
+    keys_needed = (
+        touched.unionByName(state_old_c.select(*keys))
+        .unionByName(bands_u.select(*keys))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     rflag = retract_ids.withColumn("__r", F.lit(1))
     contrib = (
-        state_old.join(F.broadcast(rflag), id_col, "left")
+        state_old.join(F.broadcast(keys_needed), keys, "leftsemi")
+        .join(F.broadcast(rflag), id_col, "left")
         .select(
             *keys,
             F.lit(1).alias("__o"),
@@ -971,38 +1077,6 @@ def delta_dedup_retract(
 
     live_old = live("__n_old")
     live_new = live("__n_new")
-    # Touched-bucket members: ONE state scan; the new state's touched
-    # members derive from it (old minus retracted, plus the delta's
-    # bands — bands_u keys are touched by construction).
-    members_old = state_old.join(touched, keys, "leftsemi").localCheckpoint(
-        eager=False
-    )
-    members_new = members_old.join(retract_ids, id_col, "left_anti").unionByName(
-        bands_u
-    )
-    cands = (
-        _pairs_within_buckets(members_old, keys, id_col, max_bucket, dedup=False)
-        .unionByName(
-            _pairs_within_buckets(members_new, keys, id_col, max_bucket, dedup=False)
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-
-    # Witness lookups only ever touch state rows whose id appears in a
-    # candidate pair — restrict the state ONCE and share the slice
-    # across both sides of both states.
-    cand_ids = (
-        cands.select(F.col("id_a").alias(id_col))
-        .unionByName(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    state_old_c = state_old.join(cand_ids, id_col, "leftsemi").localCheckpoint(
-        eager=False
-    )
-    state_new_c = state_old_c.join(retract_ids, id_col, "left_anti").unionByName(
-        bands_u.join(cand_ids, id_col, "leftsemi")
-    )
 
     def member(state_c: DataFrame, live_keys: DataFrame) -> DataFrame:
         # pairs (from cands) with at least one LIVE witness bucket in
@@ -1012,13 +1086,16 @@ def delta_dedup_retract(
         return (
             cands.join(sa, "id_a")
             .join(sb, ["id_b", *keys])
-            .join(live_keys, keys, "leftsemi")
+            .join(F.broadcast(live_keys), keys, "leftsemi")
             .select("id_a", "id_b")
             .distinct()
         )
 
+    # broadcast anti-join: the corpus TEXT is never shuffled just to
+    # drop the |delta| retracted rows (guide §8 — move heavy payloads
+    # zero extra times; the id set is the lightweight proxy)
     docs_new = (
-        docs_old.join(retract_ids, id_col, "left_anti")
+        docs_old.join(F.broadcast(retract_ids), id_col, "left_anti")
         .select(id_col, text_col)
         .unionByName(updated_docs.select(id_col, text_col))
     )
