@@ -96,21 +96,62 @@ def ivf_assign_to(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every corpus vector to its max-cosine centroid from a
-    GIVEN ``(centroid_id, cvec)`` table (broadcast — the centroid
-    table is tiny by construction). Cosine-argmax with centroid_id
-    tie-break is deterministic and exactly reproducible in SQL, which
-    is what lets trained-centroid IVF be oracle-gated: persist the
-    centroids, re-assign from the persisted values on both engines."""
-    # Norms are hoisted out of the per-(vector, centroid) score: ||v||
-    # once per corpus row (below the join, so it is NOT re-evaluated
-    # nlist times) and ||c|| once per centroid. dot/(nv*nc) keeps the
-    # exact operation order of dot/(sqrt(vv)*sqrt(cc)) — the same
-    # bit-identity argument as cosine_neardup_pairs — so csim (and the
-    # argmax tie-break the oracle mirrors) is unchanged, at 1/3 the
-    # fold work of re-deriving both norms inside every pair.
+    GIVEN ``(centroid_id, cvec)`` table (collected to the driver — the
+    centroid table is tiny by construction). Cosine-argmax with
+    centroid_id tie-break is deterministic and exactly reproducible in
+    SQL, which is what lets trained-centroid IVF be oracle-gated:
+    persist the centroids, re-assign from the persisted values on both
+    engines.
+
+    Shape (r10, VERDICT r9 #5): the argmax is computed IN-ROW over the
+    collected centroid literals — ``greatest`` over per-centroid
+    (csim, -centroid_id, centroid_id) structs — instead of a
+    crossJoin to nlist rows per vector followed by a max_by aggregate.
+    The old max_by carried a struct buffer, which HashAggregate cannot
+    hold mutably, so every assignment paid a SortAggregate (two sorts
+    around an exchange of the corpus×nlist stream, each row carrying
+    the vector payload). In-row there is NO join, NO aggregate and NO
+    exchange: one narrow projection over the corpus, the same nlist
+    dot-folds per row it always cost. Bit-identity: the collected
+    centroid doubles are the exact stored values; per-centroid norms
+    are constant-folded from the SAME sqrt(dot(cvec,cvec)) expression;
+    each csim keeps the dot/(nv*nc) operation order; and struct
+    ``greatest`` uses the same ordering as max_by's struct ordering —
+    NaN greatest, ties to the lowest centroid_id (probed empirically
+    and pinned by test_assign_in_row_argmax_matches_aggregate).
+
+    The in-row form is used up to 64 centroids (every IVF path here:
+    nlist=16). Past that — SemDeDup scales nlist with the corpus, so
+    at 100 TB it is thousands — the literal expression tree would grow
+    O(nlist·dim) and planning/codegen would dominate; the broadcast
+    crossJoin + max_by aggregate (identical ordering semantics, proven
+    by the same test) remains the right shape there."""
+    rows = sorted(
+        centroids.select("centroid_id", "cvec").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    if not rows:
+        raise ValueError("ivf_assign_to: empty centroid table")
     c = corpus.select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("vec")
     ).withColumn("__nv", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+
+    if len(rows) <= 64:
+
+        def cand(r):
+            cvec = F.array(*[F.lit(float(x)) for x in r["cvec"]])
+            nc = F.sqrt(dot(cvec, cvec))  # constant-folded, same fold order
+            csim = dot(F.col("vec"), cvec) / (F.col("__nv") * nc)
+            return F.struct(
+                csim.alias("c"),
+                F.lit(-r["centroid_id"]).alias("n"),
+                F.lit(r["centroid_id"]).alias("i"),
+            )
+
+        cands = [cand(r) for r in rows]
+        best = cands[0] if len(cands) == 1 else F.greatest(*cands)
+        return c.select(id_col, "vec", best["i"].alias("centroid_id"))
+
     ct = centroids.withColumn("__nc", F.sqrt(dot(F.col("cvec"), F.col("cvec"))))
     scored = c.crossJoin(F.broadcast(ct)).select(
         id_col,
@@ -118,11 +159,6 @@ def ivf_assign_to(
         "centroid_id",
         (dot(F.col("vec"), F.col("cvec")) / (F.col("__nv") * F.col("__nc"))).alias("csim"),
     )
-    # argmax as a max_by AGGREGATE, not a window: map-side partial max
-    # collapses the nlist-per-vector scored rows before the shuffle —
-    # only one row per vector crosses the wire. Tie-break = lowest
-    # centroid_id, encoded as max over (csim, -centroid_id), matching
-    # the oracle's ORDER BY csim DESC, centroid_id.
     best = scored.groupBy(id_col).agg(
         F.max_by(
             F.struct("vec", "centroid_id"),

@@ -695,3 +695,69 @@ def test_ivf_store_vector_update_composes(spark, sf_dir, tmp_path):
     )
     top = {r.vec_id for r in ivf_query_store(spark, store, q, k=2, nprobe=8).collect()}
     assert top == {victim, target}
+
+
+def test_assign_in_row_argmax_matches_aggregate(spark):
+    """r10 ivf_assign_to rewrite: the in-row greatest-struct argmax
+    must reproduce the old crossJoin + max_by aggregate EXACTLY —
+    including exact-tie centroids (duplicate cvec: lowest centroid_id
+    wins). A zero vector is NOT a reachable corner: under ANSI mode
+    the csim division raises DIVIDE_BY_ZERO identically in both
+    shapes, so the NaN tie-break path can only be probed with
+    literals (done during the r10 rewrite: greatest and max_by agree,
+    NaN greatest then lowest id)."""
+    from pyspark.sql import functions as F
+
+    from sql_to_dbsp_compiler_spark.llm.similarity import (
+        as_double_array,
+        dot,
+        ivf_assign_to,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.7, 0.7]),
+            (5, [-1.0, -1.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [
+            (0, [1.0, 0.1]),
+            (1, [0.1, 1.0]),
+            (2, [0.1, 1.0]),  # duplicate of 1 -> exact tie, lowest id wins
+        ],
+        "centroid_id int, cvec array<double>",
+    )
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign_to(corpus, cent).collect()
+    }
+
+    # reference: the pre-r10 aggregate formulation, inline
+    c = corpus.select(
+        F.col("vec_id"), as_double_array(F.col("embedding")).alias("vec")
+    ).withColumn("__nv", F.sqrt(dot(F.col("vec"), F.col("vec"))))
+    ct = cent.withColumn("__nc", F.sqrt(dot(F.col("cvec"), F.col("cvec"))))
+    scored = c.crossJoin(F.broadcast(ct)).select(
+        "vec_id",
+        "centroid_id",
+        (dot(F.col("vec"), F.col("cvec")) / (F.col("__nv") * F.col("__nc"))).alias(
+            "csim"
+        ),
+    )
+    ref = {
+        r["vec_id"]: r["b"]
+        for r in scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(F.col("csim"), (-F.col("centroid_id")).alias("nid")),
+            ).alias("b")
+        )
+        .collect()
+    }
+    assert got == ref
+    assert got[2] == 1  # exact tie between centroids 1 and 2 -> lowest id
