@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sql_to_dbsp_compiler_spark.sources.bucketing import read_table, write_bucketed
@@ -87,6 +89,7 @@ def test_delta_dedup_state_bucketed_join_no_state_shuffle(spark, sf_dir):
     assert got == sorted(map(tuple, plain.collect()))
 
 
+@pytest.mark.slow
 def test_delta_dedup_retract_bucketed_state_fewer_exchanges(spark, sf_dir):
     """The retraction path over the 100 TB state layout: running
     delta_dedup_retract against a (band_id)-bucketed standing bucket

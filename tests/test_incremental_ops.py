@@ -69,6 +69,7 @@ def test_incremental_filter_map(spark):
     assert _rows(acc) == _rows(expect)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [7, 42])
 def test_incremental_linear_agg_every_step(spark, seed):
     op = IncrementalLinearAgg(
@@ -117,6 +118,7 @@ def test_incremental_linear_agg_all_null_sum_group(spark):
     assert _rows(acc) == {(1, None, 1)}
 
 
+@pytest.mark.slow
 def test_incremental_join_every_step(spark):
     op = IncrementalJoin(
         on=F.col("ak") == F.col("bk"),
@@ -169,6 +171,7 @@ def test_incremental_distinct(spark):
     assert _rows(ZSet(d3.df)) == {(1, "x", -1), (3, "z", 1)}
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [5, 19])
 def test_incremental_group_recompute_minmax(spark, seed):
     """MIN/MAX maintained by affected-group recompute: every step's
@@ -211,6 +214,7 @@ def test_group_recompute_delete_of_max(spark):
     assert _rows(ZSet(d3.df)) == {(2, 3, -1)}
 
 
+@pytest.mark.slow
 def test_incremental_topk_every_step(spark):
     """Per-group Top-2 under inserts and deletes of top elements:
     integrated deltas == batch ROW_NUMBER topk at every step."""

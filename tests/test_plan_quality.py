@@ -676,3 +676,38 @@ def test_dedup_delta_retract_delta_bound_plan(spark, sf_dir):
     for line in plan.splitlines():
         if "dedup_retract_state" in line and "ReadSchema" in line:
             assert "text" not in line, line
+
+
+def test_spread_by_branches(spark, tmp_path):
+    """spread_by (r10 contract, VERDICT r9 #7): a scan whose split
+    count already reaches the core count gets NO repartition Exchange;
+    a single-split scan gets exactly the hash repartition; a non-scan
+    shape (shuffle-derived input, where the rdd partition-count probe
+    would report the pre-AQE shuffle partition count) repartitions
+    unconditionally."""
+    from pyspark.sql import functions as F
+
+    from sql_to_dbsp_compiler_spark.operators.skew import spread_by
+
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("text")
+    )
+    # one file -> one split -> must spread
+    one = str(tmp_path / "one")
+    df.repartition(1).write.parquet(one)
+    plan_one = spread_by(spark.read.parquet(one), "doc_id")._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" in plan_one or "Repartition" in plan_one
+
+    # >= par files -> scan already parallel -> NO exchange inserted
+    many = str(tmp_path / "many")
+    df.repartition(par).write.parquet(many)
+    sp = spread_by(spark.read.parquet(many), "doc_id")
+    plan_many = sp._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" not in plan_many, plan_many
+
+    # non-scan shape -> unconditional repartition (pre-AQE partition
+    # counts of shuffle-derived inputs are not trusted)
+    agg = df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    plan_agg = spread_by(agg, "doc_id")._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" in plan_agg or "Repartition" in plan_agg

@@ -196,6 +196,7 @@ def test_optimized_plan_report(spark):
     assert plan["v_join"] == "naive"
 
 
+@pytest.mark.slow
 def test_optimized_matches_naive_every_step(spark):
     """Same program, same delta stream: the optimized incremental
     paths and the naive D∘Q∘I fallback must emit equivalent deltas
@@ -433,6 +434,7 @@ def test_optimized_plan_report_new_shapes(spark):
     assert plan["v_hav"] == "aggregate"
 
 
+@pytest.mark.slow
 def test_optimized_new_shapes_match_naive(spark):
     """DISTINCT / outer-join / TopK recognized views emit the same
     deltas as naive D∘Q∘I under a random insert+delete stream
@@ -648,6 +650,7 @@ def test_tumble_view_maintained_incrementally(spark):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
 
 
+@pytest.mark.slow
 def test_union_views_maintained_incrementally(spark):
     """UNION ALL compiles to stateless Z-set addition (DBSPSumOperator)
     and UNION (distinct) to sum + IncrementalDistinct; both match
@@ -708,6 +711,7 @@ def test_union_views_maintained_incrementally(spark):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
 
 
+@pytest.mark.slow
 def test_setop_views_maintained_incrementally(spark):
     """EXCEPT / EXCEPT ALL / INTERSECT / INTERSECT ALL views compile to
     the multiplicity-state IncrementalSetOp (the reference lowers these
@@ -754,6 +758,7 @@ def test_setop_views_maintained_incrementally(spark):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
 
 
+@pytest.mark.slow
 def test_global_aggregate_maintained_incrementally(spark):
     """GROUP-BY-less aggregates keep SQL's one-row-always semantics
     incrementally: the empty-input step emits the COUNT=0/NULL-sum
@@ -791,6 +796,7 @@ def test_global_aggregate_maintained_incrementally(spark):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
 
 
+@pytest.mark.slow
 def test_join_chain_and_global_topk_maintained_incrementally(spark):
     """A left-deep 3-way inner equi-join view compiles to a cascade of
     bilinear IncrementalJoins (the reference emits one
@@ -879,6 +885,7 @@ def test_recognizer_round2_shapes_not_naive(spark):
     assert plan["v_ja_hav"] == "join-aggregate-recompute"
 
 
+@pytest.mark.slow
 def test_recognizer_round2_shapes_match_naive(spark):
     """Optimized == naive deltas each step for the round-2 shapes
     under a random insert+delete stream. Window ORDER BY values are
@@ -1020,6 +1027,7 @@ def test_nested_parenthesized_join_still_correct(spark):
     assert _zrows(d2["v_nest"]) == {(1, 17, -1)}
 
 
+@pytest.mark.slow
 def test_window_and_joinagg_views_driven_by_stream(spark, tmp_path):
     """The round-2 operators under actual Structured Streaming
     driving: a window-function view (affected-partition recompute)
@@ -1163,6 +1171,7 @@ def test_recognizer_round3_shapes_not_naive(spark):
     assert plan["v_gsets_mm"] == "rollup-aggregate-recompute"
 
 
+@pytest.mark.slow
 def test_recognizer_round3_shapes_match_naive(spark):
     """Optimized == naive deltas each step for the round-3 shapes
     under a random insert+delete stream on both inputs, including
@@ -1214,6 +1223,7 @@ def test_recognizer_round3_shapes_match_naive(spark):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
 
 
+@pytest.mark.slow
 def test_range_correlated_exists_decorrelates(spark):
     """Non-equi correlated EXISTS/NOT EXISTS with an equi anchor
     (VERDICT r4 item 4; reference CalciteToDBSPCompiler.java:213
@@ -1400,6 +1410,7 @@ def test_between_band_correlation_decorrelates(spark):
         assert _zrows(do["v_band"]) == _zrows(dn["v_band"]), f"step {i}"
 
 
+@pytest.mark.slow
 def test_range_correlated_scalar_agg_decorrelates(spark):
     """Range-correlated scalar-aggregate subqueries (the
     "latest-before"/as-of aggregation shape) compile to the
@@ -1485,6 +1496,7 @@ def test_round3_recognizer_conservative_fallbacks(spark):
     assert _zrows(d["f_two"]) == {(1, 3, 1), (2, 3, 1)}
 
 
+@pytest.mark.slow
 def test_multi_scalar_subquery_matches_batch(spark):
     """Chained decorrelated scalar subqueries (COUNT + SUM + MAX over
     the same correlated key) maintained incrementally, including a
@@ -1648,6 +1660,7 @@ CREATE VIEW e_alias_key AS SELECT val % 3 AS k, COUNT(*) AS n FROM ta GROUP BY k
 """
 
 
+@pytest.mark.slow
 def test_recognizer_expression_keys_and_count_distinct(spark):
     """Expression / renamed / unselected GROUP BY keys compile to the
     aggregate circuits behind a linear key pre-projection, and
@@ -1733,6 +1746,7 @@ CREATE VIEW v_notin_w AS SELECT id, x FROM na
 """
 
 
+@pytest.mark.slow
 def test_recognizer_not_in_null_aware(spark):
     """x NOT IN (SELECT y …) compiles to the NULL-aware three-valued
     circuit: B empty → every row passes (even x IS NULL); B containing
@@ -1786,6 +1800,7 @@ CREATE VIEW v_cnotin_r AS SELECT id, x FROM ca
 """
 
 
+@pytest.mark.slow
 def test_recognizer_not_in_correlated(spark):
     """Correlated x NOT IN (SELECT y FROM b WHERE b.k = a.k) compiles
     to the per-key NULL-aware circuit (IncrementalKeyedNotIn,
@@ -1850,6 +1865,7 @@ CREATE VIEW c_paren AS SELECT x, y FROM sa EXCEPT
 """
 
 
+@pytest.mark.slow
 def test_recognizer_setop_chains(spark):
     """3+-branch EXCEPT[/ALL] and INTERSECT[/ALL] chains compile to a
     cascade of multiplicity-state set ops (left-assoc, the reference's
@@ -1923,6 +1939,7 @@ CREATE VIEW m_cde AS SELECT grp, COUNT(DISTINCT val % 2) AS cde, SUM(val) AS s
 """
 
 
+@pytest.mark.slow
 def test_recognizer_mixed_distinct_aggregates(spark):
     """COUNT(DISTINCT) mixed with linear aggregates compiles to the
     mixed-distinct-aggregate circuit (per-branch states recombined on
@@ -1973,6 +1990,7 @@ def test_recognizer_mixed_distinct_aggregates(spark):
             assert a == b, f"{v} step {step}: {a} vs {b}"
 
 
+@pytest.mark.slow
 def test_round3b_wave2_ops_driven_by_stream(spark, tmp_path):
     """The second round-3b wave (mixed COUNT(DISTINCT)+linear, NULL-
     aware NOT IN, mixed UNION chain, join-chain aggregate) fed by a
@@ -2124,6 +2142,7 @@ def test_round3b_ops_driven_by_stream(spark, tmp_path):
         assert _zrows(inc.snapshot(vname)) == expect, vname
 
 
+@pytest.mark.slow
 def test_recognizer_alias_and_self_joins(spark):
     """Aliased two-table joins — including SELF-joins — compile to the
     bilinear IncrementalJoin behind alias-prefixed pre-projections
@@ -2205,6 +2224,7 @@ def test_recognizer_alias_and_self_joins(spark):
             assert a == b, f"{v} step {step}"
 
 
+@pytest.mark.slow
 def test_recognizer_alias_agg_join(spark):
     """GROUP BY aggregates over aliased joins — including self-join
     aggregates (pair counts) and MIN/MAX via group-recompute — compile
@@ -2264,6 +2284,7 @@ def test_recognizer_alias_agg_join(spark):
             assert a == b, f"{v} step {step}"
 
 
+@pytest.mark.slow
 def test_recognizer_alias_outer_joins(spark):
     """Aliased LEFT/FULL OUTER joins — including a LEFT self-join —
     compile to IncrementalOuterJoin behind alias-prefixed
@@ -2327,6 +2348,7 @@ def test_recognizer_alias_outer_joins(spark):
             assert a == b, f"{v} step {step}"
 
 
+@pytest.mark.slow
 def test_recognizer_alias_join_chain(spark):
     """Aliased left-deep join chains (3 sources, repeated table,
     shadowed column names) compile to the IncrementalJoin cascade
@@ -2389,6 +2411,7 @@ def test_recognizer_alias_join_chain(spark):
             assert a == b, f"{v} step {step}"
 
 
+@pytest.mark.slow
 def test_recognizer_cte_views_compile_to_chained_circuits(spark):
     """WITH views decompose into hidden intermediate views (the
     reference's Calcite planner erases CTEs into ordinary sub-plans,
@@ -3102,6 +3125,7 @@ def test_step_statements_multi_statement_transaction(spark):
     ]
 
 
+@pytest.mark.slow
 def test_merge_randomized_against_python_reference(spark):
     """Seeded-random MERGE property test (r7): random target
     multisets, random VALUES sources (multi-matching rows allowed

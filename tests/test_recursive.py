@@ -457,6 +457,7 @@ def test_counting_stays_fresh_across_insert_steps(spark):
     assert snap == [(0, 1), (0, 2), (0, 5)]
 
 
+@pytest.mark.slow
 def test_counting_randomized_acyclic_matches_cold(spark):
     """Property test: seeded random insert/delete steps on ACYCLIC
     graphs (edges only i -> j with i < j) — counting stays eligible
@@ -492,6 +493,7 @@ def test_counting_randomized_acyclic_matches_cold(spark):
     assert ip.recursive_counting_steps >= 4  # every step after the first
 
 
+@pytest.mark.slow
 def test_dred_randomized_matches_cold(spark):
     """Property test: a seeded random sequence of mixed insert/delete
     steps on a random graph — after every step the DRed-maintained

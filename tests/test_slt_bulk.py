@@ -44,6 +44,7 @@ def test_slt_expression_bulk(spark, duck):
     assert not mism, f"{len(mism)} expression divergences:\n{msg}"
 
 
+@pytest.mark.slow
 def test_slt_statement_bulk(spark, duck):
     stmts = slt_statements(seed=11)
     assert len(stmts) >= 25
@@ -109,6 +110,7 @@ def test_slt_views_through_program_frontend(spark, duck):
     assert not fails, "\n".join(fails)
 
 
+@pytest.mark.slow
 def test_slt_statements_through_program_incremental(spark):
     """The WHOLE generated SLT statement bank as CREATE VIEWs through
     the incremental program frontend (optimized recognizers + naive
@@ -182,6 +184,7 @@ def test_slt_statements_through_program_incremental(spark):
     con.close()
 
 
+@pytest.mark.slow
 def test_slt_random_statements_through_program_incremental(spark):
     """A seeded sample of the RANDOM statement pool as CREATE VIEWs
     through IncrementalProgram — the random shapes (grouped aggregates
@@ -260,6 +263,7 @@ def test_slt_random_statements_through_program_incremental(spark):
     con.close()
 
 
+@pytest.mark.slow
 def test_slt_random_statement_bulk(spark):
     """SQLsmith-lite pass: 150 seeded random statements composed from
     the shared-dialect pools, each run on both engines and compared
@@ -280,6 +284,7 @@ def test_slt_random_statement_bulk(spark):
     con.close()
 
 
+@pytest.mark.slow
 def test_slt_statements_maintained_through_statement_protocol(spark):
     """The SLT × incremental gate driven by the STATEMENT protocol
     (r6 step_statements) instead of hand-built deltas: the whole
@@ -355,6 +360,7 @@ def test_slt_statements_maintained_through_statement_protocol(spark):
     assert not fails, f"{len(fails)} divergences:\n" + "\n".join(fails[:8])
 
 
+@pytest.mark.slow
 def test_slt_statement_protocol_merge_subquery_and_by_source(spark):
     """The r7 MERGE surface through the statement-protocol × SLT gate:
     a SUBQUERY source over another program table (groupwise-max CDC
@@ -482,6 +488,7 @@ def _wf_merge_duck_mirror(con) -> None:
     )
 
 
+@pytest.mark.slow
 def test_slt_statement_protocol_merge_window_subquery_quoted_on(spark):
     """VERDICT r7 #8 shapes through the statement-protocol × SLT gate:
     a MERGE whose SUBQUERY source contains a WINDOW FUNCTION

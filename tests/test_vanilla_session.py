@@ -24,6 +24,8 @@ factory one, and Spark allows only one session per JVM.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
@@ -38,6 +40,7 @@ SENTINELS = (
 )
 
 
+@pytest.mark.slow
 def test_sentinels_pass_on_vanilla_session():
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # the engine must export it itself
