@@ -1239,7 +1239,17 @@ def connected_components_star(
         schema = T.StructType(
             [T.StructField("id", id_type), T.StructField("component", id_type)]
         )
-        return spark.createDataFrame(out_rows, schema), 0
+        # slice count sized to the component map (one slice per ~50k
+        # rows, never defaultParallelism): the map is broadcast into
+        # the canonical-assignment join, and a 32-slice local relation
+        # costs a 32-task broadcast-build stage of pure scheduling wait
+        nsl = max(1, len(out_rows) // 50_000)
+        return (
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(out_rows, nsl), schema
+            ),
+            0,
+        )
     nodes = (
         pairs.select(F.col(id_a).alias("id"))
         .unionByName(pairs.select(F.col(id_b).alias("id")))

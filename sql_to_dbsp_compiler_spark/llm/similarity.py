@@ -137,19 +137,42 @@ def ivf_assign_to(
     ).withColumn("__nv", F.sqrt(dot(F.col("vec"), F.col("vec"))))
 
     if len(rows) <= 64:
+        # The whole argmax expression is built as ONE SQL string and
+        # parsed JVM-side: constructing it Column-by-Column costs a
+        # py4j round trip per literal/node (~2.3 s of DRIVER time per
+        # call for 16 centroids × 64 dims — measured; it erased the
+        # executor-side win). Python float repr round-trips to the
+        # identical IEEE double under Double.parseDouble, and the SQL
+        # text spells the exact aggregate(zip_with(...)) fold dot()
+        # builds, so the parsed tree and every emitted value are
+        # unchanged (pinned by test_assign_in_row_argmax_matches_
+        # aggregate and the oracle sweep).
+        def _d(x: float) -> str:
+            return repr(float(x)) + "D"
 
-        def cand(r):
-            cvec = F.array(*[F.lit(float(x)) for x in r["cvec"]])
-            nc = F.sqrt(dot(cvec, cvec))  # constant-folded, same fold order
-            csim = dot(F.col("vec"), cvec) / (F.col("__nv") * nc)
-            return F.struct(
-                csim.alias("c"),
-                F.lit(-r["centroid_id"]).alias("n"),
-                F.lit(r["centroid_id"]).alias("i"),
+        def _arr(vals) -> str:
+            return "array(" + ", ".join(_d(v) for v in vals) + ")"
+
+        def cand_sql(r) -> str:
+            arr = _arr(r["cvec"])
+            dot_v = (
+                f"aggregate(zip_with(vec, {arr}, (x, y) -> x * y), "
+                f"0.0D, (acc, v) -> acc + v)"
+            )
+            nc = (
+                f"sqrt(aggregate(zip_with({arr}, {arr}, (x, y) -> x * y), "
+                f"0.0D, (acc, v) -> acc + v))"
+            )
+            cid = int(r["centroid_id"])
+            return (
+                f"named_struct('c', ({dot_v} / (__nv * {nc})), "
+                f"'n', {-cid}, 'i', {cid})"
             )
 
-        cands = [cand(r) for r in rows]
-        best = cands[0] if len(cands) == 1 else F.greatest(*cands)
+        cands = [cand_sql(r) for r in rows]
+        best = F.expr(
+            cands[0] if len(cands) == 1 else "greatest(" + ", ".join(cands) + ")"
+        )
         return c.select(id_col, "vec", best["i"].alias("centroid_id"))
 
     ct = centroids.withColumn("__nc", F.sqrt(dot(F.col("cvec"), F.col("cvec"))))
@@ -192,6 +215,7 @@ def ivf_train_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_n: int = 100_000,
+    assign_corpus: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF training with REAL k-means (Lloyd + k-means++ init) on a
     bounded deterministic sample, assignment distributed.
@@ -254,15 +278,26 @@ def ivf_train_kmeans(
             if len(members):
                 C[j] = members.mean(axis=0)
 
+    # ONE-slice parallelize (r10): the plain createDataFrame splits a
+    # 16-row local table into defaultParallelism slices, and every
+    # downstream collect/broadcast/write over it then runs a 32-task
+    # stage of ~0.2 s/task pure scheduling wait (measured — this was
+    # the recurring near-zero-CPU stage in the profiles). One slice →
+    # one task, and the old repartition(1)-for-the-write becomes moot.
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+        spark.sparkContext.parallelize(
+            [(i, [float(x) for x in row]) for i, row in enumerate(C)], 1
+        ),
         schema="centroid_id int, cvec array<double>",
-    ).repartition(1)  # tiny dim table: one partition → one-file
-    # persists (repartition, NOT coalesce: coalesce(1) inherits the
-    # 32 preferred locations and pathologically stalls the write —
-    # measured 4 s vs 0.5 s on a 66-row table)
-    # Broadcast once so both returned frames (and every downstream
-    # reuse) share one tiny dimension table.
+    )
+    # assign_corpus=False skips building the assignment frame
+    # entirely — callers that only want the centroids (x_semdedup
+    # persists them and re-assigns inside semdedup_drops) otherwise
+    # pay the in-row-argmax plan construction + centroid collect for
+    # a frame they discard (r10). NB the Lloyd loop's local `assign`
+    # array shadows any same-named parameter.
+    if not assign_corpus:
+        return centroids, None
     assigned = ivf_assign_to(corpus, centroids, id_col, vec_col)
     return centroids, assigned
 
@@ -305,10 +340,14 @@ def write_srp_hyperplanes(
     except (OSError, ValueError):
         pass
     H = np.random.default_rng(seed).standard_normal((dim, bits))
+    # one-slice parallelize: see ivf_train_kmeans — a 32-slice local
+    # relation costs a 32-task stage per downstream read
     df = spark.createDataFrame(
-        [(i, [float(x) for x in H[:, i]]) for i in range(bits)],
+        spark.sparkContext.parallelize(
+            [(i, [float(x) for x in H[:, i]]) for i in range(bits)], 1
+        ),
         schema="bit_idx int, hvec array<double>",
-    ).repartition(1)  # tiny dim table (see ivf_train_kmeans note)
+    )
     df.write.mode("overwrite").parquet(path)
     with open(marker, "w") as fh:
         json.dump(key, fh)
@@ -1057,7 +1096,10 @@ def pq_topk(
             for j in range(m)
             for cid, row in enumerate(head)
         ]
-        cb = spark.createDataFrame(rows, "j int, cid int, cvec array<double>")
+        cb = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            "j int, cid int, cvec array<double>",
+        )  # one-slice local table (see ivf_train_kmeans note)
 
     def subvectors(v: Column) -> Column:
         return F.transform(

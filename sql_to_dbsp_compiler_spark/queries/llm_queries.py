@@ -1465,7 +1465,7 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_to_dbsp_compiler_spark.sources.tables import rowcount
 
     nlist = max(16, rowcount(e) // 300)
-    centroids, _ = ivf_train_kmeans(e, nlist=nlist)
+    centroids, _ = ivf_train_kmeans(e, nlist=nlist, assign_corpus=False)
     # write for the oracle; assign from the in-memory centroids
     # (exact parquet round-trip — r9 x_bm25 precedent)
     centroids.write.mode("overwrite").parquet(_SEMDEDUP_CENTROID_PATH)

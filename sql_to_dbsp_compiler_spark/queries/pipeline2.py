@@ -203,11 +203,12 @@ def x_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [("__intercept__", float(model.intercept))] + [
         (name, float(w)) for name, w in zip(_FEATURES, model.coefficients)
     ]
-    # repartition(1), NOT coalesce(1): the coalesced single task
-    # inherits every parent partition's preferred location and stalls
-    # the tiny artifact write (measured ~4 s on a handful of rows)
-    spark.createDataFrame(rows, "feature string, weight double").repartition(
-        1
+    # one-slice parallelize (r10): a plain createDataFrame splits the
+    # local rows into defaultParallelism slices and every downstream
+    # stage over them runs 32 ~0.2 s tasks of scheduling wait; one
+    # slice also makes the old repartition(1)-for-the-write moot
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), "feature string, weight double"
     ).write.mode("overwrite").parquet(_LR_WEIGHTS_PATH)
 
     # ---- score from the persisted weights (what the oracle sees) ----
@@ -336,7 +337,10 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    q = spark.createDataFrame(_BM25_QUERIES, "query_id string, qtext string")
+    q = spark.createDataFrame(
+        spark.sparkContext.parallelize(_BM25_QUERIES, 1),
+        "query_id string, qtext string",
+    )  # one-slice local table (see _LR_WEIGHTS note)
     qt = q.select(
         "query_id", F.explode(F.split("qtext", " ", -1)).alias("word")
     )
@@ -372,9 +376,11 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all 32 parallelize partitions' preferred locations and sits out
     # spark.locality.wait (~4.5 s for this one-row write, measured).
     ia = spark.createDataFrame(
-        idf_rows, "word string, df long, n_docs long, idf double"
-    )
-    ia.repartition(1).write.mode("overwrite").parquet(_BM25_IDF_PATH)
+        spark.sparkContext.parallelize(idf_rows, 1),
+        "word string, df long, n_docs long, idf double",
+    )  # one slice: the write needs no repartition and the broadcast
+    # build below reads one task, not 32
+    ia.write.mode("overwrite").parquet(_BM25_IDF_PATH)
     # The write must stay — the oracle joins against the persisted
     # artifact — but the engine scores from the same in-memory rows:
     # parquet round-trips long/double exactly, so reading the file
@@ -926,7 +932,10 @@ def y_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort. RRF scores are sums of two exactly-rounded
     IEEE divisions with integer operands: bit-identical on both
     engines."""
-    q = spark.createDataFrame(_BM25_QUERIES, "query_id string, qtext string")
+    q = spark.createDataFrame(
+        spark.sparkContext.parallelize(_BM25_QUERIES, 1),
+        "query_id string, qtext string",
+    )  # one-slice local table
     qt = q.select(
         "query_id", F.explode(F.split(F.col("qtext"), " ", -1)).alias("word")
     )

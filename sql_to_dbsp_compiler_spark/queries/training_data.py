@@ -238,8 +238,9 @@ def train_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decontamination shape used before training runs."""
     d = load_table(spark, sf_dir, "documents")
     canary = d.sparkSession.createDataFrame(
-        [(c,) for c in _CANARIES], "phrase string"
-    )
+        d.sparkSession.sparkContext.parallelize([(c,) for c in _CANARIES], 1),
+        "phrase string",
+    )  # one-slice local table: the broadcast build reads 1 task, not 32
     return d.join(
         F.broadcast(canary), F.col("text").contains(F.col("phrase"))
     ).select("doc_id", "phrase")
@@ -397,7 +398,10 @@ def train_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = n.agg(F.min(F.expr("cnt * 100 div tw")).alias("mt"))
     budgets = (
         spark.createDataFrame(
-            [(k, v) for k, v in _MIX_TARGETS.items()], "lang string, tw long"
+            spark.sparkContext.parallelize(
+                [(k, v) for k, v in _MIX_TARGETS.items()], 1
+            ),
+            "lang string, tw long",
         )
         .crossJoin(F.broadcast(m))
         .select("lang", F.expr("tw * mt div 100").alias("budget"))

@@ -8,6 +8,8 @@ silently diverged from naive/batch recompute (ADVICE r2, high)."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -52,6 +54,7 @@ def _null_key_steps(seed: int, nsteps: int):
     return steps
 
 
+@pytest.mark.slow
 def test_partitioned_window_null_partition_key(spark):
     op = IncrementalPartitionedWindow(
         part_keys=["k"],
@@ -77,6 +80,7 @@ def test_partitioned_window_null_partition_key(spark):
     assert _rows(ZSet.from_df(op.snapshot())) == _rows(acc)
 
 
+@pytest.mark.slow
 def test_topk_null_group_key(spark):
     op = IncrementalTopK(keys=["k"], order=[F.col("v").desc()], k=2, checkpoint_every=2)
     acc = None
@@ -90,6 +94,7 @@ def test_topk_null_group_key(spark):
         assert _rows(acc) == _rows(ZSet.from_df(expect)), "NULL-group topk diverged"
 
 
+@pytest.mark.slow
 def test_group_recompute_null_group_key(spark):
     op = IncrementalGroupRecomputeAgg(
         keys=["k"], aggs=[F.max("v").alias("mx"), F.min("v").alias("mn")], checkpoint_every=2

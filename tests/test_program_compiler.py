@@ -483,6 +483,7 @@ def test_optimized_new_shapes_match_naive(spark):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
 
 
+@pytest.mark.slow
 def test_program_driven_by_stream(spark, tmp_path):
     """run_program_on_stream: micro-batches become input Z-set deltas
     of an optimized IncrementalProgram; after consuming all available
@@ -554,6 +555,7 @@ CREATE VIEW v_agg AS SELECT label, COUNT(*) AS n, SUM(v2) AS sv FROM v_join GROU
 """
 
 
+@pytest.mark.slow
 def test_recognizer_composes_through_views(spark):
     """A recognized view can feed a later recognized join/aggregate —
     the whole three-view circuit compiles to incremental operators
@@ -595,6 +597,7 @@ def test_recognizer_composes_through_views(spark):
         assert _zrows(opt.snapshot(vname)) == _zrows(naive.snapshot(vname)), vname
 
 
+@pytest.mark.slow
 def test_tumble_view_maintained_incrementally(spark):
     """A Calcite TUMBLE group-by compiles to an optimized incremental
     window aggregate (reference DBSPWindowAggregateOperator): the
@@ -1267,6 +1270,7 @@ def test_range_correlated_exists_decorrelates(spark):
             assert _zrows(do[v]) == _zrows(dn[v]), f"step {i} {v}"
 
 
+@pytest.mark.slow
 def test_range_correlated_in_subquery_decorrelates(spark):
     """Correlated IN with a range residual — ``x IN (SELECT b.y FROM b
     WHERE b.ts < a.ts ...)`` — routes to the same range-semi circuit
@@ -1568,6 +1572,7 @@ def test_schema_json_contract(spark):
                for rel in js["inputs"] + js["outputs"] for f in rel["fields"])
 
 
+@pytest.mark.slow
 def test_round3_ops_driven_by_stream(spark, tmp_path):
     """Round-3 circuit ops (UNNEST flatmap, decorrelated EXISTS,
     scalar-agg subquery, ROLLUP) fed by a real Structured Streaming
@@ -2075,6 +2080,7 @@ def test_round3b_wave2_ops_driven_by_stream(spark, tmp_path):
         assert _zrows(inc.snapshot(vname)) == expect, vname
 
 
+@pytest.mark.slow
 def test_round3b_ops_driven_by_stream(spark, tmp_path):
     """The widened-aggregate circuit ops (expression keys, ordinality
     flatmap, COUNT DISTINCT, projected global top-k) fed by a real
@@ -2504,6 +2510,7 @@ def test_recognizer_ignore_nulls_window(spark):
     assert _zrows(opt.snapshot("v_locf")) == _zrows(naive.snapshot("v_locf"))
 
 
+@pytest.mark.slow
 def test_save_restore_resumes_incremental(spark, tmp_path):
     """save_state → restore across 'process' boundaries: the restored
     program must produce the SAME view snapshots and the SAME next-step
@@ -2721,6 +2728,7 @@ def test_hll_registers_maintained_incrementally(spark):
     assert so == sn and len(so) > 0
 
 
+@pytest.mark.slow
 def test_filter_clause_aggregates_recognized_and_incremental(spark):
     """agg(x) FILTER (WHERE p) rewrites to the exact CASE form on the
     recognition copy, so FILTER-conditional SUM/COUNT compile to the
@@ -3052,6 +3060,7 @@ def test_merge_case_when_and_quoted_idents_do_not_shear(spark):
     assert got == [(1, 15)]
 
 
+@pytest.mark.slow
 def test_step_statements_drives_circuits(spark):
     """step_statements: the reference's statement-stream input
     protocol (TableContents consumes INSERT/DELETE statements;
@@ -3442,6 +3451,7 @@ def test_merge_subquery_source_quoted_identifiers(spark):
     assert got == [(1, 105), (2, 7)], got
 
 
+@pytest.mark.slow
 def test_dedup_statement_sequence_native_replay(spark):
     """VERDICT r8 #7: a SEQUENCE of signed-delta statements
     (DELETE / UPDATE / MERGE, including a delete of a row an earlier

@@ -115,6 +115,7 @@ def test_streaming_rejects_recursive(spark):
         compile_streaming(spark, CYCLIC, stream_sources={})
 
 
+@pytest.mark.slow
 def test_incremental_maintains_fixpoint_with_deletes(spark):
     """Optimized flag on: the recursive view reports the
     recursive-fixpoint plan kind and its per-step deltas integrate to
@@ -149,6 +150,7 @@ def test_incremental_maintains_fixpoint_with_deletes(spark):
     assert snap == [(0, 1)]
 
 
+@pytest.mark.slow
 def test_warm_start_matches_cold_recompute(spark):
     """Insert-only delta sequence: the warm-started fixpoint (DBSP
     delta-rule seed from the previous total) must equal a from-scratch
@@ -219,6 +221,7 @@ def test_incremental_rejects_colliding_recursive_cte(spark):
         IncrementalProgram(spark, prog, optimize=True)
 
 
+@pytest.mark.slow
 def test_deep_recursion_respects_max_iters(spark):
     """max_iters is plumbed through compile_batch: a chain deeper than
     the bound raises, a raised bound succeeds."""
@@ -296,6 +299,7 @@ def test_incremental_with_recursive_cte(spark):
     assert "reach" not in inc.step({})  # hidden CTE is not an output
 
 
+@pytest.mark.slow
 def test_recursive_view_driven_by_stream(spark, tmp_path):
     """Continuous transitive closure: a recursive view maintained by
     run_program_on_stream — each micro-batch of edges is an insert
@@ -358,6 +362,7 @@ def _zs(spark, rows, w=1):
     return ZSet.from_df(df) if w == 1 else ZSet.from_df(df).neg()
 
 
+@pytest.mark.slow
 def test_counting_used_for_retraction_steps(spark):
     """The delete step of the canonical scenario now goes through
     counting-based maintenance (derivation-count Z-set weights), not
@@ -388,6 +393,7 @@ def test_dred_used_when_counting_disabled(spark):
     assert snap == [(0, 1)]
 
 
+@pytest.mark.slow
 def test_counting_alternate_support_diamond(spark):
     """The alternate-support acid test under counting: deleting one
     edge of a diamond decrements the count of facts on the shared
@@ -421,6 +427,7 @@ def test_dred_rederives_alternate_support(spark):
     assert snap == [(0, 1), (0, 2), (0, 3), (0, 4)]
 
 
+@pytest.mark.slow
 def test_counting_cycle_diverges_to_dred(spark):
     """Cyclic derivations: the count fixpoint cannot terminate; the
     stall detector abandons counting quickly, marks the view failed
@@ -438,6 +445,7 @@ def test_counting_cycle_diverges_to_dred(spark):
     assert ip.recursive_counting_steps == 0
 
 
+@pytest.mark.slow
 def test_counting_stays_fresh_across_insert_steps(spark):
     """Once initialized, counting sees every subsequent step (an
     insert-only step must keep derivation counts fresh, or a later
@@ -547,6 +555,7 @@ def test_dred_randomized_matches_cold(spark):
     assert ip.recursive_dred_steps + ip.recursive_counting_steps >= 4
 
 
+@pytest.mark.slow
 def test_counting_survives_save_restore(spark, tmp_path):
     """Counting state is derived, not persisted: after save_state →
     restore (bootstrap insert-only replay), the next retraction

@@ -248,6 +248,7 @@ def test_streaming_session_window_matches_batch(spark, event_batches_dir, events
     assert result.count() > 0
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_join(spark, events_schema, tmp_path):
     """LEFT OUTER stream-stream join: unmatched purchases emit
     NULL-padded rows once the watermark passes their time bound.
@@ -357,6 +358,7 @@ def test_streaming_lsh_neardup_matches_batch(spark, tmp_path_factory):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_stream_stream_full_outer_join(spark, events_schema, tmp_path):
     """FULL OUTER stream-stream join: unmatched rows on BOTH sides
     emit NULL-padded once the watermark passes their bound — the last
@@ -718,6 +720,7 @@ def test_transform_with_state_scd2_matches_batch(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_streaming_checkpoint_restart_recovers_state(spark, tmp_path):
     """Exactly-once restart from a checkpoint: a watermarked tumbling
     aggregate runs over two files, STOPS, and a NEW query (same

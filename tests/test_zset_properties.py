@@ -5,6 +5,8 @@ makes delta-processing sound."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -30,6 +32,7 @@ def _z(spark, data):
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 @given(a=rows, b=rows)
 def test_addition_commutes(spark, a, b):
     za, zb = _z(spark, a), _z(spark, b)
@@ -44,6 +47,7 @@ def test_neg_is_additive_inverse(spark, a):
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 @given(a=rows, b=rows)
 def test_filter_is_linear(spark, a, b):
     za, zb = _z(spark, a), _z(spark, b)
