@@ -1112,7 +1112,12 @@ def delta_dedup_retract(
     ).localCheckpoint(eager=False)
     # signed diff on (pair, jaccard): join keys are doubles, but both
     # legs compute an untouched pair's jaccard from IDENTICAL integer
-    # counts over identical texts, so equality is exact
+    # counts over identical texts, so equality is exact. Deliberately
+    # NOT broadcast (r10, tried and reverted): forcing each pair view
+    # to the build side serializes the two verify cascades behind
+    # blocking broadcast-build jobs — measured 4.1-4.8 s → 4.4-5.9 s;
+    # the SMJ/AQE form lets both sides' shuffle maps run concurrently
+    # and AQE still converts to broadcast when runtime stats allow.
     diff_keys = ["id_a", "id_b", "jaccard"]
     neg = old_pairs.join(new_pairs, diff_keys, "left_anti").select(
         *diff_keys, F.lit(-1).cast("int").alias("weight")
