@@ -56,8 +56,12 @@ SECTIONS: list[tuple[str, str | None, str]] = [
     (
         "dedup_minhash_pairs",
         "dedup_minhash_pairs",
-        "Signatures computed once (InMemoryTableScan reuse), band"
-        " bucket equi-join, bucket-size guard broadcast.",
+        "MinHash signatures as explode → codegen'd (h1,h2) → ONE"
+        " HashAggregate of 16 partial mins (r10 — the HOF transform/"
+        " array_min folds were interpreted per element); join-free"
+        " banded bucket pairing with the bucket exchange pinned to"
+        " defaultParallelism (AQE's byte-based coalescing can't see"
+        " the quadratic in-bucket pair work).",
     ),
     (
         "ann_bruteforce_topk",
@@ -89,7 +93,11 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         "x_semdedup",
         "x_semdedup",
         "Cluster-scoped pairs behind a centroid_id equi-join; nlist"
-        " scales with the corpus so in-cluster pair work stays bounded.",
+        " scales with the corpus so in-cluster pair work stays"
+        " bounded. Assignment (r10): in-row greatest() argmax over"
+        " ≤64 collected centroids — no crossJoin, no SortAggregate;"
+        " above 64 the broadcast crossJoin + max_by aggregate"
+        " remains (identical tie semantics, pinned by test).",
     ),
     (
         "x_unigram_logprob",
@@ -168,14 +176,18 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         " persisted 3-column bucket table equi-joined on the band"
         " key (at scale: bucketed by (band_id, band_hash), so"
         " co-located and file-pruned). Combined hot-bucket cap"
-        " reproduces the full cascade's; verify joins candidates"
-        " only. Fixed-delta anchor: 2.1× at 100× corpus.",
+        " reproduces the full cascade's from bucket sizes counted"
+        " over delta-touched buckets ONLY (r10: broadcast semi-probe"
+        " before the aggregate — the state is never shuffled);"
+        " verify joins candidates only. Fixed-delta anchor: 2.1× at"
+        " 100× corpus.",
     ),
     (
         "y_ann_delta_ingest",
         "y_ann_delta_ingest",
-        "Incremental ANN ingest (r8): delta assignment is one"
-        " broadcast cosine-argmax (never touches the standing"
+        "Incremental ANN ingest (r8): delta assignment is an IN-ROW"
+        " cosine-argmax over the collected centroids (r10 — no join,"
+        " no aggregate, no exchange; never touches the standing"
         " corpus); the merged index searches through the identical"
         " probe/bucket-join/rerank plan as a fresh one"
         " (ivf_search_assigned). Ingest anchor flat per delta vector"
@@ -188,8 +200,10 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         " hyperplanes: numpy Arrow-batched signatures, 16×4-bit"
         " banding, in-bucket 256-bit Hamming prefilter (popcount"
         " inside the codegen'd bucket row — random collisions die"
-        " before any pair is shuffled), exact cosine verify on"
-        " survivors. Candidate-bound, never all-pairs.",
+        " before any pair is shuffled; bucket exchange pinned to"
+        " defaultParallelism so AQE can't serialize the quadratic"
+        " pair stage — r10), exact cosine verify on survivors."
+        " Candidate-bound, never all-pairs.",
     ),
     (
         "y_dedup_delta_retract",
@@ -203,8 +217,11 @@ SECTIONS: list[tuple[str, str | None, str]] = [
         " diff evaluates each verify once and the corpus text is"
         " scanned ≤5 times, pruned (was 8 with double evaluation"
         " before the cuts). Standing state read as the lean 3-column"
-        " bucket table. Fixed-delta anchor: 2.5× at 100× corpus —"
-        " the three state scans (old sizes, new sizes, anti-join).",
+        " bucket table, probed via planning-time broadcasts of the"
+        " delta-bound key sets (r10 — the state and the corpus text"
+        " are never shuffled), with both states' bucket sizes"
+        " counted over touched ∪ witness bucket keys only."
+        " Fixed-delta anchor: 2.5× at 100× corpus.",
     ),
     (
         "y_ann_delta_commit",
