@@ -981,10 +981,13 @@ def delta_dedup_retract(
     bands_old_r = state_old.join(
         F.broadcast(retract_ids), id_col, "leftsemi"
     ).localCheckpoint(eager=False)
+    # no distinct: `touched` feeds only broadcast SEMI probes, which
+    # tolerate duplicate build keys — dropping the dedup aggregation
+    # removes an exchange from the critical path; the key multiset is
+    # |delta bands|-bound either way (r10)
     touched = (
         bands_old_r.select(*keys)
         .unionByName(bands_u.select(*keys))
-        .distinct()
         .localCheckpoint(eager=False)
     )
 
@@ -1017,10 +1020,12 @@ def delta_dedup_retract(
     # Witness lookups only ever touch state rows whose id appears in a
     # candidate pair — restrict the state ONCE and share the slice
     # across both sides of both states.
+    # no distinct (r10): cand_ids feeds only broadcast SEMI probes —
+    # duplicate build keys are harmless and the dedup aggregation was
+    # a full exchange over a delta-bound frame
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
         .localCheckpoint(eager=False)
     )
     state_old_c = state_old.join(
@@ -1048,8 +1053,7 @@ def delta_dedup_retract(
     keys_needed = (
         touched.unionByName(state_old_c.select(*keys))
         .unionByName(bands_u.select(*keys))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)  # semi-probe only: dups harmless
     )
     rflag = retract_ids.withColumn("__r", F.lit(1))
     contrib = (
